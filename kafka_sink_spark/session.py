@@ -1,0 +1,110 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]`` but every setting is chosen to also hold on a
+large cluster: AQE on (runtime re-plan + skew-join handling), shuffle partitions
+sized for the data scale, Arrow enabled for the few pandas-UDF code paths, and
+case-sensitive SQL because the reference's mapping DSL distinguishes quoted
+case-sensitive identifiers (reference:
+sink/src/it/java/com/datastax/oss/kafka/sink/ccm/StructEndToEndCCMIT.java:611-668).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka-sink-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults scale with the environment: ``SPARK_GRAFT_CPUS`` drives local
+    parallelism; on a real cluster the same configs apply unchanged (AQE
+    coalesces the 2x-cores shuffle partitions down when partitions are small,
+    and splits skewed ones).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Reference mapping DSL is case-sensitive for quoted identifiers.
+        .config("spark.sql.caseSensitive", "true")
+        # AQE: runtime coalescing, skew-join splitting, join-strategy switch.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDFs (timeuuid/locale codecs, multimodal plumbing).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast small dimension tables aggressively (region/nation/etc.).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scans: keep splits big enough to amortize task overhead at
+        # 100 TB (128 MiB default is right; make it explicit).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata parquet carries TIMESTAMP(NANOS) which Spark rejects
+        # by default; read as raw nanos long and convert in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the driver parquet tables and register them as temp views.
+
+    Returns a dict of DataFrames. Views make every query runnable via
+    ``spark.sql`` too.
+    """
+    all_names = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        df = _convert_nanos_timestamps(df, path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _convert_nanos_timestamps(df, path: str):
+    """TIMESTAMP(NANOS) parquet columns arrive as raw nanos longs (via
+    spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType with
+    microsecond truncation — exactly what DuckDB does reading the same file,
+    so oracle comparisons agree."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    ns_cols = [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
