@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is forced with a count() (no driver-side collect of payload).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # connector hot path: full decode → map → route
+    "sink_json_map",
+    "sink_literal_fallback",
+    "sink_upsert_replay",
+    "sink_counter_accrual",
+    "sink_batching",
+    # analytics
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "events_topk_per_user",
+    "events_sessionize",
+    # training-data extensions
+    "text_profile",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "embedding_lsh_buckets",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kafka_sink_spark import get_spark
+    from kafka_sink_spark.plans import QUERIES
+
+    spark = get_spark(app_name="kafka-sink-spark-bench")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    QUERIES["sink_json_map"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kafka_sink_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

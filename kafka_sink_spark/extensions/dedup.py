@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each scale-first:
+
+- exact:       md5 hash → groupBy. One shuffle on the 128-bit digest.
+- minhash+LSH: shingle → k minhashes → b bands → bucket join. Candidate pairs
+               come from a self-join on (band, bucket) — never the O(n²)
+               cross product. All hashing is deterministic md5-based integer
+               arithmetic so a DuckDB oracle can replay it bit-for-bit.
+- simhash:     per-token hash → bitwise majority vote → W-bit signature;
+               near-dups share signatures (or differ in ≤ hamming_k bits).
+- n-gram Jaccard: exact set similarity on shingle hashes for candidate pairs
+               (the verify stage after LSH).
+- embedding:   cosine near-dup over `array<float>` — see similarity.py; the
+               dedup entry point buckets by random-hyperplane LSH first.
+
+At 100 TB: every stage is scan → project → shuffle-on-hash; candidate
+generation is |bands| × n rows, verification only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.extensions.text import md5_long, shingles, tokens
+
+# Deterministic affine-permutation constants for minhash: h_i(x) = (a_i*x + b_i) mod p.
+# p = 2^31 - 1 keeps a*(h mod p) + b < 2^62 — no int64 overflow in Spark OR in
+# the DuckDB oracle replaying the same arithmetic.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from md5 of the seed+index — no RNG
+    state, reproducible anywhere (including inside generated oracle SQL)."""
+    import hashlib
+
+    params = []
+    for i in range(k):
+        d = hashlib.md5(f"minhash-{seed}-{i}".encode()).hexdigest()
+        a = (int(d[:15], 16) % (MINHASH_PRIME - 1)) + 1
+        b = int(d[15:30], 16) % MINHASH_PRIME
+        assert a * (MINHASH_PRIME - 1) + b < 2**62
+        params.append((a, b))
+    return params
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: per digest, the surviving (min) doc_id
+    and the number of copies. One shuffle, map-side partial agg."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Return the deduplicated documents (keep lowest doc_id per content)."""
+    keep = exact_duplicates(docs, text_col).select(F.col("keep_doc_id").alias("doc_id"))
+    return docs.join(F.broadcast(keep), "doc_id", "left_semi")
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """doc_id → exploded 60-bit shingle hashes (the minhash/jaccard substrate)."""
+    return docs.select(
+        F.col("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select(F.col("doc_id"), md5_long(F.col("shingle")).alias("h"))
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = 16, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """doc_id → k-column minhash signature.
+
+    Computed as k aggregates over the exploded shingle hashes: one explode +
+    one groupBy(doc_id) — partial aggregation makes the shuffle tiny (k longs
+    per doc). Column names m0..m{k-1}.
+    """
+    sh = shingle_hashes(docs, text_col, n)
+    h_mod = (F.col("h") % MINHASH_PRIME).alias("hm")
+    aggs = [
+        F.min((h_mod * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_hash) → candidate
+    near-dup pairs (doc_a < doc_b).
+
+    The join key is the md5 of the concatenated band slice; same-bucket docs
+    are candidates. Skew note: a degenerate bucket (e.g. empty docs) would
+    blow up the self-join — AQE skew-join handles moderate skew, and callers
+    can pre-filter empty docs.
+    """
+    k = bands * rows_per_band
+    sig_cols = [f"m{i}" for i in range(k)]
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(c).cast("string")
+                                    for c in sig_cols[
+                                        b * rows_per_band : (b + 1) * rows_per_band
+                                    ]
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_similarity(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over distinct
+    shingle-hash sets. Joins shingles to pairs (pairs are few after LSH), so
+    the heavy side is the shingle explode — linear in corpus size."""
+    sh = shingle_hashes(docs, text_col, n).distinct()
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        pairs.join(a, pairs.doc_a == F.col("sa.doc_id"))
+        .join(b, (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Full minhash+LSH near-dup pipeline: signature → band join → exact
+    Jaccard verify → threshold filter."""
+    sigs = minhash_signatures(docs, text_col, k=k, n=n)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
+    sim = jaccard_similarity(docs, pairs, text_col, n)
+    return sim.filter(F.col("jaccard") >= threshold)
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def simhash(col: Column, bits: int = 16) -> Column:
+    """W-bit simhash over whitespace tokens.
+
+    For each bit position: majority vote of token-hash bits (+1/-1 weighted,
+    here unweighted). Expressed as a sum over the token array per bit —
+    aggregate-free (pure projection), so it composes with any plan shape.
+    Bit i of the token hash h is (h >> i) & 1; vote = Σ(2*bit - 1); signature
+    bit set iff vote > 0.
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint"),
+        )
+        sig = sig + F.when(vote > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Group docs by identical simhash signature (hamming-0 near-dups).
+    For hamming ≤ d, band the signature into d+1 slices and bucket-join —
+    same pattern as minhash LSH."""
+    return (
+        docs.select(F.col("doc_id"), simhash(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )

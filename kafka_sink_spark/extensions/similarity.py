@@ -1,0 +1,205 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, mirroring how a 100 TB ANN pipeline is actually built:
+
+- **Brute-force top-k** (the correctness baseline): query set × corpus join
+  with a JVM-side dot product (``F.aggregate`` over ``zip_with`` — no Python
+  in the loop), ranked per query. Cost is |queries| × |corpus|; fine when the
+  query side is small (it's broadcast), wrong as all-pairs — use LSH then.
+- **Random-hyperplane LSH buckets** (the scale path): H fixed hyperplanes →
+  H-bit signature → join on bucket. Hyperplanes are deterministic (seeded
+  constants shared with the DuckDB oracle), so results are reproducible.
+
+All floating-point is computed in float64 with a fixed left-to-right
+summation order and rounded for comparison stability.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i], left-to-right — same order DuckDB's list functions use,
+    so the float64 result is bit-identical for oracle comparison."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (small by construction); the corpus is
+    scanned once. Ranking uses the ROUNDED cosine (6 dp) with id tie-break so
+    ordering is stable across engines and float summation orders.
+    Output: query_id, neighbor_id, cos_sim, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    Derived from md5 — no RNG library, so the exact same constants can be
+    embedded in generated oracle SQL. Quality is adequate for LSH (uniformity
+    matters, gaussianity barely does for sign-random-projection).
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"hyperplane-{seed}-{p}-{d}".encode()).digest()
+            (u,) = _struct.unpack(">Q", h[:8])
+            row.append(round(u / 2**63 - 1.0, 9))  # [-1, 1), 9 dp for SQL literals
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """H-bit sign-random-projection bucket id (bigint)."""
+    acc = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        d = dot(vec, lit_plane)
+        acc = acc + F.when(d > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
+    return acc
+
+
+def embedding_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """vec_id → LSH bucket. One projection; the bucket column is then the
+    shuffle/join key for ANN and near-dup workloads."""
+    planes = hyperplanes(dim, n_planes, seed)
+    return embeddings.select(
+        F.col(id_col),
+        lsh_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; rank by
+    exact cosine within the bucket. Recall grows with fewer planes / multiple
+    tables; this is the single-table variant."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    scored = (
+        F.broadcast(q)
+        .join(c, (q["bucket"] == c["bucket"]) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
+    same-bucket pairs are compared — the all-pairs O(n²) never materializes.
+    Output: id_a < id_b, cos_sim ≥ threshold."""
+    planes = hyperplanes(dim, n_planes, seed)
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    left = b.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("bucket")
+    )
+    right = b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("bucket")
+    )
+    return (
+        left.join(right, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

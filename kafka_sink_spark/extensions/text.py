@@ -1,0 +1,151 @@
+"""Text analysis operators over a document table: tokenization, quality
+scoring, language ID, fingerprinting.
+
+Design constraints:
+- Pure ``pyspark.sql.functions`` expressions — JVM-side, codegen-friendly, no
+  Python in the hot path. At 100 TB these run as a single scan + projection.
+- Deterministic and ANSI-SQL-expressible, so every operator has a DuckDB
+  oracle twin (the driver's correctness gate).
+- Hashing uses md5 (available and bit-identical in both Spark and DuckDB);
+  64-bit integer digests are derived from the first 15 hex chars (60 bits,
+  always non-negative, exactly representable in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Words used for the marker-based language heuristic. Deterministic and tiny;
+# broadcast as literals inside the expression (no join needed).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "la", "les"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "and", "of", "to", "in", "is", "it", "on", "for",
+)
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit non-negative integer hash of a string.
+
+    conv(substr(md5(x),1,15), 16, 10) is bit-identical in Spark and DuckDB
+    (DuckDB twin: ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`` via
+    from_hex arithmetic) — the foundation for minhash/simhash oracles.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization. split + filter of empties — matches DuckDB's
+    ``list_filter(string_split_regex(x, '\\s+'), t -> t <> '')``."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_tokens(col: Column) -> Column:
+    """BPE-ish regex tokenization: runs of letters, runs of digits, or a
+    single non-space symbol — the classic pre-tokenizer split."""
+    return F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords (quality signal)."""
+    toks = tokens(F.lower(col))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(
+        F.length(col), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: long enough, low punctuation,
+    reasonable stopword density. Weights are arbitrary but fixed."""
+    length_ok = F.least(F.length(col).cast("double") / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_ok
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.25) * F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0)),
+        6,
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-word hit count per language over lowercase whitespace tokens."""
+    toks = tokens(F.lower(col))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by marker hits; 'und' when nothing matches.
+    Ties break by fixed priority order (en > de > es > fr)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ("en", "de", "es", "fr"):
+        s = scores[lang]
+        cond = s > best_score  # strict > ⇒ earlier language wins ties
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (rolling-hash-class
+    dedup key; md5 keeps it oracle-checkable)."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles over whitespace tokens, as strings."""
+    toks = tokens(col)
+    return F.when(F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass document profile: token/char counts, ratios, quality, lang,
+    fingerprint. Single projection over the scan — the plan at 100 TB is
+    scan → project, nothing else."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col("doc_id"),
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_computed"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -192,18 +192,22 @@ def apply_null_to_unset(routed: DataFrame, table: TableConfig, schema: TableSche
     if not table.null_to_unset:
         return routed  # nulls behave as ordinary values (tombstones)
     pk = [c for c in schema.primary_key if c in routed.columns]
-    order_ts = F.coalesce(F.col(WRITETIME_COL), F.lit(0))
     non_pk = [c for c in schema.regular_columns if c in routed.columns]
-    aggs = []
+    order = [F.coalesce(F.col(WRITETIME_COL), F.lit(0)).asc()]
+    if "_kafka_offset" in routed.columns:
+        order.append(F.col("_kafka_offset").asc())
+    w = (
+        Window.partitionBy(*[F.col(c) for c in pk])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # Per-column LAST NON-NULL in write order — a null cell leaves the prior
+    # value untouched (the UNSET semantics). Window + distinct keeps the whole
+    # thing deterministic and SQL-oracle-expressible.
+    proj = [F.col(c) for c in pk]
     for c in non_pk:
-        # Highest-writetime NON-NULL value per column; max_by ignores null
-        # values of the ordering only — filter via when() to skip null cells.
-        aggs.append(
-            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_ts)).alias(c)
-        )
-    aggs.append(F.max(order_ts).alias(WRITETIME_COL))
-    aggs.append(F.max_by(F.col(ROUTE_COL), order_ts).alias(ROUTE_COL))
-    return routed.groupBy(*[F.col(c) for c in pk]).agg(*aggs)
+        proj.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+    return routed.select(*proj).distinct()
 
 
 def run_sink_pipeline(

@@ -1,0 +1,2 @@
+from kafka_sink_spark.plans.queries import ORACLES, QUERIES  # noqa: F401
+import kafka_sink_spark.plans.analytics  # noqa: F401,E402  (registers into the catalog)

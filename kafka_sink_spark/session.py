@@ -106,5 +106,7 @@ def _convert_nanos_timestamps(df, path: str):
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     ]
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # Integer division (`div`), NOT `/`: epoch-nanos (~1.7e18) exceed
+        # double precision, so floor(col/1000.0) is off by ±1 µs.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
