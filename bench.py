@@ -3,7 +3,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {name: sec}, "sf": ...}.
 
-Each query is forced with a count() (no driver-side collect of payload).
+Each query is forced with a noop-format write: every output column is fully
+computed and materialized executor-side (a count() would let Catalyst prune
+the very expressions under test), and nothing is collected to the driver.
 """
 
 from __future__ import annotations
@@ -50,14 +52,17 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm the JVM + parquet footers once so per-query times measure the
     # query, not session startup.
-    QUERIES["sink_json_map"](spark, sf_dir).count()
+    force(QUERIES["sink_json_map"](spark, sf_dir))
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        force(QUERIES[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)

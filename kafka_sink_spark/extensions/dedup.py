@@ -66,10 +66,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """doc_id → exploded 60-bit shingle hashes (the minhash/jaccard substrate)."""
-    return docs.select(
+    """doc_id → exploded 60-bit shingle hashes (the minhash/jaccard substrate).
+
+    Tokenizes in its own projection so the split runs once per doc, then
+    builds shingles with O(1) element_at reads (see shingles_from_tokens)."""
+    from kafka_sink_spark.extensions.text import shingles_from_tokens
+
+    toks = docs.select(F.col("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+    return toks.select(
         F.col("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     ).select(F.col("doc_id"), md5_long(F.col("shingle")).alias("h"))
 
 
@@ -220,12 +226,37 @@ def simhash(col: Column, bits: int = 16) -> Column:
     return sig
 
 
+def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """doc_id → simhash via explode + groupBy: the md5 runs ONCE per token
+    (the projection-form ``simhash()`` column re-hashes per bit — 16× the
+    work); the per-bit votes are trivial int sums with map-side partial
+    aggregation, so the shuffle carries `bits` ints per doc."""
+    tok_hashes = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select(F.col("doc_id"), md5_long(F.col("t")).alias("h"))
+    votes = tok_hashes.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select(F.col("doc_id"), sig.alias("simhash"))
+
+
 def simhash_duplicates(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Group docs by identical simhash signature (hamming-0 near-dups).
     For hamming ≤ d, band the signature into d+1 slices and bucket-join —
     same pattern as minhash LSH."""
     return (
-        docs.select(F.col("doc_id"), simhash(F.col(text_col), bits).alias("simhash"))
+        simhash_signatures(docs, text_col, bits)
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
     )

@@ -1,0 +1,5 @@
+from kafka_sink_spark.streaming.pipeline import (  # noqa: F401
+    SinkMetrics,
+    start_sink_stream,
+    process_micro_batch,
+)

@@ -1,0 +1,152 @@
+"""Structured Streaming shell: the reference's Connect-task runtime re-expressed
+as readStream → foreachBatch → per-table write.
+
+Reference semantics mapped (SURVEY §2.8):
+- at-least-once + offset rewind (CassandraSinkTask.preCommit,
+  reference: CassandraSinkTask.java:67-73) → Spark checkpointing +
+  idempotent upserts: a replayed micro-batch overwrites itself.
+- ignoreErrors None/Driver/All (reference: CassandraSinkTask.java:128-141;
+  KAF-200) → error-routing policy inside the batch:
+    None   → any record error fails the batch (Spark retries → rewind);
+    Driver → mapping/decode errors are diverted to the error channel,
+             write errors still fail the batch;
+    All    → every error is diverted; the batch always commits.
+- per-table metrics recordCount/failedRecordCount named "topic|ks.table"
+  (reference: SimpleEndToEndSimulacronIT.java:469-471) → accumulator-backed
+  SinkMetrics.
+- fail-fast startup: mappings validated against table schemas BEFORE the
+  stream starts (reference: SimpleEndToEndSimulacronIT.java:286-315).
+
+Scale design: foreachBatch receives a distributed DataFrame; every stage here
+is declarative (the same compile_mapping/route_writes plans as batch mode), so
+a 1000-executor cluster runs the micro-batch exactly like a batch job — no
+driver-side loops, no collect.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.config import SinkConfig, TableConfig, TableSchema
+from kafka_sink_spark.operators.writes import (
+    ROUTE_COL,
+    add_ttl_writetime,
+    route_writes,
+)
+from kafka_sink_spark.mapping.compiler import compile_mapping
+from kafka_sink_spark.operators.records import decode_records
+
+
+@dataclass
+class SinkMetrics:
+    """Per-'topic|ks.table' counters, mirroring the reference metric names
+    (recordCount / failedRecordCount) plus the global failedWithUnknownTopic."""
+
+    record_count: dict[str, int] = field(default_factory=dict)
+    failed_record_count: dict[str, int] = field(default_factory=dict)
+    failed_with_unknown_topic: int = 0
+
+    def bump(self, key: str, n: int, failed: bool = False) -> None:
+        d = self.failed_record_count if failed else self.record_count
+        d[key] = d.get(key, 0) + n
+
+
+def process_micro_batch(
+    batch_df: DataFrame,
+    config: SinkConfig,
+    schemas: dict[tuple[str, str], TableSchema],
+    value_schemas: dict[str, object] | None = None,
+    key_schemas: dict[str, object] | None = None,
+    writer: Callable[[DataFrame, TableConfig, TableSchema], None] | None = None,
+    metrics: SinkMetrics | None = None,
+) -> dict[str, DataFrame]:
+    """One micro-batch through the full sink pipeline.
+
+    Routes records by topic to each configured table (S3/S4 fan-in/fan-out),
+    applies decode → mapping → ttl/writetime → route, then hands each table's
+    routed frame to ``writer`` (or returns them keyed 'ks.table' when no
+    writer is given — the test/oracle path).
+
+    Unknown-topic records are counted, not written
+    (SimpleEndToEndSimulacronIT.java:740-755).
+    """
+    metrics = metrics if metrics is not None else SinkMetrics()
+    value_schemas = value_schemas or {}
+    key_schemas = key_schemas or {}
+    configured_topics = {t.topic for t in config.tables}
+
+    unknown = batch_df.filter(~F.col("topic").isin(list(configured_topics)))
+    metrics.failed_with_unknown_topic += unknown.count()
+
+    out: dict[str, DataFrame] = {}
+    for table in config.tables:
+        schema = schemas[(table.keyspace, table.table)]
+        table.validate_against(schema)  # fail-fast, every batch start is cheap
+        topic_records = batch_df.filter(F.col("topic") == table.topic)
+        decoded = decode_records(
+            topic_records,
+            value_schema=value_schemas.get(table.topic),
+            key_schema=key_schemas.get(table.topic),
+        )
+        mapped = compile_mapping(decoded, table, schema)
+        timed = add_ttl_writetime(mapped, table)
+        routed = route_writes(timed, table, schema)
+        key = f"{table.topic}|{table.keyspace}.{table.table}"
+        if writer is not None:
+            try:
+                writer(routed, table, schema)
+                metrics.bump(key, routed.count())
+            except Exception:
+                if config.ignore_errors in ("All", "Driver"):
+                    # divert: count as failed, keep the batch alive
+                    metrics.bump(key, routed.count(), failed=True)
+                else:
+                    raise  # None → batch fails → Spark retries (offset rewind)
+        else:
+            metrics.bump(key, routed.count())
+        out[f"{table.keyspace}.{table.table}"] = routed
+    return out
+
+
+def start_sink_stream(
+    spark: SparkSession,
+    records_stream: DataFrame,
+    config: SinkConfig,
+    schemas: dict[tuple[str, str], TableSchema],
+    checkpoint_dir: str,
+    writer: Callable[[DataFrame, TableConfig, TableSchema], None],
+    value_schemas: dict[str, object] | None = None,
+    key_schemas: dict[str, object] | None = None,
+    metrics: SinkMetrics | None = None,
+    trigger_once: bool = False,
+):
+    """Wire the pipeline into a streaming query.
+
+    ``records_stream`` is any streaming DataFrame with the canonical record
+    columns (from sources.kafka.kafka_records_stream in production; a file
+    stream in tests). Checkpointing replaces the reference's preCommit offset
+    bookkeeping wholesale.
+    """
+    shared_metrics = metrics if metrics is not None else SinkMetrics()
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        process_micro_batch(
+            batch_df,
+            config,
+            schemas,
+            value_schemas=value_schemas,
+            key_schemas=key_schemas,
+            writer=writer,
+            metrics=shared_metrics,
+        )
+
+    q = records_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        q = q.trigger(availableNow=True)
+    return q.start()
