@@ -170,6 +170,91 @@ def knn_lsh(
     )
 
 
+def ivf_scored(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """vec_id × centroid cosine scores with per-vector rank (rank 1 = the
+    vector's IVF cell). Centroids are the first ``n_centroids`` vectors — a
+    deterministic stand-in for a k-means coarse quantizer (at 100 TB the
+    centroid set comes from a sampled k-means fit, still tiny → broadcast).
+
+    Cosines are ROUNDED (6 dp) before ranking with centroid-id tie-break, so
+    the ranking is reproducible across engines and summation orders.
+    """
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("ce")
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("ve")
+    ).join(F.broadcast(cent)).select(
+        "vid", "cid", F.round(cosine(F.col("ve"), F.col("ce")), 6).alias("cs")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    return scored.withColumn("crank", F.row_number().over(w))
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid (the cell), probe the query's ``nprobe`` nearest cells, rank
+    candidates by exact cosine within the probed cells.
+
+    Scale shape: assignment is a |corpus| × |centroids| broadcast product (one
+    scan); the candidate join is cell-bucketed — per query only ~nprobe/C of
+    the corpus is scored, and the cell column is the natural partition key for
+    a 100 TB vector table.
+    """
+    scored = ivf_scored(embeddings, n_centroids, id_col, vec_col)
+    cells = scored.filter(F.col("crank") == 1).select(
+        F.col("vid").alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    probes = scored.filter(
+        (F.col("vid") < n_queries) & (F.col("crank") <= nprobe)
+    ).select(F.col("vid").alias("query_id"), F.col("cid").alias("cell"))
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_v")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(
+            F.broadcast(
+                vecs.select(F.col("_vid").alias("query_id"), F.col("_v").alias("qv"))
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("neighbor_id"), F.col("_v").alias("cv")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -226,9 +226,11 @@ def base64_to_decimal(col: Column, precision: int, scale: int) -> Column:
     nbytes = F.length(raw)
     top_bit_set = F.conv(F.substring(hexed, 1, 2), 16, 10).cast("int") >= 128
     signed = F.when(
-        top_bit_set, unsigned - F.pow(F.lit(2.0), nbytes * 8).cast("decimal(38,0)")
+        top_bit_set,
+        unsigned - F.pow(F.lit(2.0), nbytes * 8).cast("decimal(38,0)"),
     ).otherwise(unsigned)
-    return (signed / F.pow(F.lit(10.0), F.lit(scale))).cast(
+    # Exact decimal division (double division would wobble the last digit).
+    return (signed / F.lit(10**scale).cast("decimal(19,0)")).cast(
         f"decimal({precision},{scale})"
     )
 

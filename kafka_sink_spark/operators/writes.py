@@ -51,6 +51,11 @@ def add_ttl_writetime(mapped: DataFrame, table: TableConfig) -> DataFrame:
         factor_us = time_unit_to_seconds(table.timestamp_time_unit) * 1e6
         wt = (F.col("_mapped_timestamp") * F.lit(factor_us)).cast("long")
         out = out.withColumn(WRITETIME_COL, wt)
+    elif table.query is not None:
+        # W5 provided-query mode: the record-timestamp auto-writetime is NOT
+        # applied (reference: ProvidedQueryCCMIT.java:127-128) — timestamps
+        # only flow through an explicit USING TIMESTAMP :var in the query.
+        out = out.withColumn(WRITETIME_COL, F.lit(None).cast("long"))
     elif "_kafka_timestamp" in mapped.columns:
         out = out.withColumn(
             WRITETIME_COL, (F.unix_micros(F.col("_kafka_timestamp"))).cast("long")
@@ -102,7 +107,12 @@ def cql_statement(table: TableConfig, schema: TableSchema) -> Column:
       ... AND TTL :message_internal_ttl        (when a TTL is present)
       DELETE FROM ks.t WHERE pk1=:pk1 AND ...  (delete route)
       UPDATE ks.t SET c = c + :c WHERE ...     (counter route)
+
+    In provided-query mode (W5, reference: ProvidedQueryCCMIT.java:90-129) the
+    user's CQL text is used verbatim — no generation, no validation.
     """
+    if table.query is not None:
+        return F.lit(table.query)
     fq = f"{table.keyspace}.{table.table}"
     cols = [c.name for c in schema.columns]
     insert = (

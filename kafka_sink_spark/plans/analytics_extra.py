@@ -1,0 +1,380 @@
+"""Second analytics wave: n-gram Jaccard dedup with a full oracle, IVF-style
+ANN, BPE-ish token stats, rolling-hash fingerprints, frame-sampling plumbing,
+and three more TPC-H-style queries (Q6/Q10/Q14 shapes).
+
+Same determinism rules as plans/analytics.py: decimal money math, md5-derived
+integer hashing, fixed left-to-right float folds rounded at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.extensions import dedup, multimodal, similarity, text
+from kafka_sink_spark.extensions.text import md5_long
+from kafka_sink_spark.plans.analytics import (
+    DEC,
+    DEC_F,
+    DEC_OUT,
+    _OMD,
+    _dec,
+    _dot_sql,
+    _norm_sql,
+    _one_minus,
+)
+from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.session import load_tables
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact set similarity, oracle-verified)
+# --------------------------------------------------------------------------
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+         ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+), hs AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+), inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN hs sa ON sa.doc_id = p.doc_a
+  JOIN hs sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over a deterministic candidate pairing (each even
+    doc vs its successor) — the verify stage of LSH dedup, oracle-checked end
+    to end. The shingle explode is linear in corpus size; the pair join only
+    touches candidates."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+        )
+        .join(ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    )
+    return dedup.jaccard_similarity(docs, pairs).select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# IVF-style approximate nearest neighbors
+# --------------------------------------------------------------------------
+
+
+def _ivf_oracle(
+    k: int = 5, n_queries: int = 10, n_centroids: int = 8, nprobe: int = 2, dim: int = 64
+) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {n_centroids}),
+    sc AS (
+      SELECT vid, cid,
+             round(({_dot_sql('ve', 'ce', dim)})
+                   / ({_norm_sql('ve', dim)} * {_norm_sql('ce', dim)}), 6) AS cs
+      FROM e CROSS JOIN cent
+    ), ranked AS (
+      SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid ASC) AS crank
+      FROM sc
+    ), cells AS (
+      SELECT vid AS neighbor_id, cid AS cell FROM ranked WHERE crank = 1
+    ), probes AS (
+      SELECT vid AS query_id, cid AS cell FROM ranked WHERE vid < {n_queries} AND crank <= {nprobe}
+    ), cand AS (
+      SELECT p.query_id, c.neighbor_id
+      FROM probes p JOIN cells c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(({_dot_sql('qe', 'ne', dim)})
+                   / ({_norm_sql('qe', dim)} * {_norm_sql('ne', dim)}), 6) AS cos_sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q ON q.vec_id = cand.query_id
+      JOIN (SELECT vec_id, embedding AS ne FROM embeddings) n ON n.vec_id = cand.neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("knn_ivf", oracle=_ivf_oracle())
+def knn_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    centroids, probe the 2 nearest cells per query, exact-rank within cells.
+    The cell id is the shuffle/partition key at scale — per query only
+    ~nprobe/C of the corpus is scored."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.knn_ivf(emb, k=5, n_queries=10, n_centroids=8, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token stats
+# --------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS n_tokens_bpe,
+         CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS INTEGER) AS n_alpha,
+         CAST(len(list_filter(t, x -> regexp_full_match(x, '[0-9]+'))) AS INTEGER) AS n_num,
+         COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS total_len
+  FROM toks
+)
+SELECT doc_id, n_tokens_bpe, n_alpha, n_num,
+       CAST(n_tokens_bpe - n_alpha - n_num AS INTEGER) AS n_sym,
+       round(CAST(total_len AS DOUBLE) / GREATEST(n_tokens_bpe, 1), 6) AS avg_token_len
+FROM m
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
+def text_token_stats(spark, sf_dir):
+    """BPE-ish pre-tokenizer stats: letter runs / digit runs / single symbols
+    (the classic regex split), with class counts and mean token length — one
+    scan, one projection, all JVM-side."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        F.col("doc_id"), text.word_tokens(F.col("text")).alias("_t")
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    alpha = F.size(F.filter(t, lambda x: x.rlike("^[A-Za-z]+$")))
+    num = F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$")))
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return staged.select(
+        "doc_id",
+        n.alias("n_tokens_bpe"),
+        alpha.alias("n_alpha"),
+        num.alias("n_num"),
+        (n - alpha - num).alias("n_sym"),
+        F.round(
+            total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling-hash document fingerprint
+# --------------------------------------------------------------------------
+
+_ROLLING_FP_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nm
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         list_transform(range(GREATEST(length(nm) - 7, 1)), i -> substr(nm, i + 1, 8)) AS wins
+  FROM n
+)
+SELECT doc_id,
+       CAST(len(wins) AS INTEGER) AS n_windows,
+       list_min(list_transform(wins, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS rolling_min_hash
+FROM w
+"""
+
+
+@register("text_rolling_fingerprint", oracle=_ROLLING_FP_ORACLE)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rolling-window fingerprint (winnowing-style): hash every 8-char window
+    of the normalized text, keep the minimum — a content-defined signature
+    robust to small edits. Pure projection; the window transform stays inside
+    codegen (no explode, no shuffle)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        F.col("doc_id"), text.normalize_text(F.col("text")).alias("_norm")
+    )
+    wins = F.expr(
+        "transform(sequence(1, greatest(length(_norm) - 7, 1)), i -> substring(_norm, i, 8))"
+    )
+    staged = staged.select(F.col("doc_id"), wins.alias("_wins"))
+    return staged.select(
+        "doc_id",
+        F.size(F.col("_wins")).alias("n_windows"),
+        F.array_min(F.transform(F.col("_wins"), lambda x: md5_long(x))).alias(
+            "rolling_min_hash"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+    f AS (SELECT doc_id AS asset_id,
+                 1 + ('0x' || substr(dg, 5, 2))::INTEGER % 30 AS n_frames
+          FROM d),
+    x AS (SELECT asset_id, unnest(range(0, n_frames, 5)) AS fi FROM f)
+    SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx FROM x
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (every 5th pseudo-frame from the stubbed
+    decode's n_frames metadata): explode → filter, the plan shape of real
+    video frame extraction with per-frame decode downstream."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = multimodal.documents_as_assets(docs)
+    sampled = multimodal.frame_sample(assets, every_n=5)
+    return sampled.select("asset_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H shapes: Q6 / Q10 / Q14
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC_F})) AS {DEC_OUT}) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan + filter + agg — the predicate-pushdown benchmark.
+    All three filters reach the parquet scan (PushedFilters); no shuffle at
+    all beyond the final single-group agg."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * F.col("l_discount").cast(DEC_F))
+            .cast(DEC_OUT)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue. lineitem⋈orders
+    shuffles on orderkey; customer and nation broadcast; top-20 via
+    TakeOrderedAndProject (no full sort)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(t["customer"]), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+            .cast(DEC_OUT)
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS {DEC}) * {_OMD}
+                           ELSE CAST(0 AS {DEC}) END) AS {DEC_OUT}) AS promo,
+             CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS total
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    )
+    SELECT promo AS promo_revenue, total AS total_revenue,
+           round(CAST(promo AS DOUBLE) * 100 / CAST(total AS DOUBLE), 6) AS promo_pct
+    FROM s
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share. part is a dimension → broadcast
+    join onto the filtered lineitem scan; one single-group aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    agg = (
+        li.join(F.broadcast(t["part"]), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            )
+            .cast(DEC_OUT)
+            .alias("promo"),
+            F.sum(rev).cast(DEC_OUT).alias("total"),
+        )
+    )
+    return agg.select(
+        F.col("promo").alias("promo_revenue"),
+        F.col("total").alias("total_revenue"),
+        F.round(
+            F.col("promo").cast("double") * 100 / F.col("total").cast("double"), 6
+        ).alias("promo_pct"),
+    )

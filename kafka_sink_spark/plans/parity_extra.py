@@ -1,0 +1,471 @@
+"""Second parity wave: the SURVEY §2 operators not covered by the first
+catalog — provided-query mode (W5), quoted identifiers (P6), collection/UDT
+codecs (C8-C14), decimal BASE64 (C16), schema defaults (C17), the
+ignoreErrors policy (§2.8), and per-table consistency levels incl. the cloud
+clamp (W7/S7).
+
+Same contract as plans/queries.py: every entry is a Spark callable plus a
+DuckDB oracle over the identical parquet inputs, with bit-identical outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from kafka_sink_spark.config import ColumnSpec, TableConfig, TableSchema, parse_sink_config
+from kafka_sink_spark.functions import codecs
+from kafka_sink_spark.mapping.parser import parse_mapping
+from kafka_sink_spark.operators.writes import (
+    ROUTE_COL,
+    WRITETIME_COL,
+    cql_statement,
+    run_sink_pipeline,
+)
+from kafka_sink_spark.plans.queries import V_SCHEMA_K, _k, _records, register
+from kafka_sink_spark.session import load_tables
+
+# --------------------------------------------------------------------------
+# W5 — provided-query mode
+# --------------------------------------------------------------------------
+
+_PROVIDED_QUERY = (
+    "INSERT INTO ks.series(pk, seq, v) VALUES (:some_pk, :some_seq, :some_v) "
+    "USING TTL :ttl_var"
+)
+
+
+@register(
+    "sink_provided_query",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS some_pk,
+           CAST(event_id AS BIGINT) AS some_seq,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS some_v,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) + 10 AS BIGINT) AS ttl_var,
+           CAST(NULL AS BIGINT) AS writetime,
+           '{_PROVIDED_QUERY}' AS cql
+    FROM events
+    """,
+)
+def sink_provided_query(spark, sf_dir):
+    """W5 (reference: ProvidedQueryCCMIT.java:90-129, 167-193, 224-288):
+    user-supplied CQL replaces statement generation; mapping targets are
+    BOUND-VARIABLE names (arbitrary, no column validation); the record-
+    timestamp auto-writetime is NOT applied (ProvidedQueryCCMIT.java:127-128);
+    TTL flows only through the query's own USING TTL :var."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    value = F.concat(
+        F.lit('{"seq": '), F.col("event_id").cast("string"),
+        F.lit(', "v": '), _k().cast("string"),
+        F.lit(', "ttlv": '), (_k().cast("long") + 10).cast("string"), F.lit("}"),
+    )
+    records = _records(events, key=F.col("user_id").cast("string"), value=value)
+    # Bound-var "schema": the mapping targets, typed; PK role only drives the
+    # (unused) route check. deletesEnabled=false is REQUIRED with a provided
+    # query (ProvidedQueryCCMIT.java:132-163 — ConfigException otherwise).
+    schema = TableSchema(
+        "ks", "series",
+        [
+            ColumnSpec("some_pk", "bigint", primary_key=True),
+            ColumnSpec("some_seq", "bigint"),
+            ColumnSpec("some_v", "int"),
+            ColumnSpec("ttl_var", "bigint"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "series",
+        parse_mapping("some_pk=key, some_seq=value.seq, some_v=value.v, ttl_var=value.ttlv"),
+        query=_PROVIDED_QUERY,
+        deletes_enabled=False,
+    )
+    vschema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("v", IntegerType()),
+            StructField("ttlv", LongType()),
+        ]
+    )
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    return routed.select(
+        "some_pk", "some_seq", "some_v", "ttl_var",
+        F.col(WRITETIME_COL).alias("writetime"),
+        cql_statement(table, schema).alias("cql"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P6 — case-sensitive quoted identifiers (columns AND fields)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_quoted_identifiers",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS "Quoted Col",
+           CAST(event_id AS BIGINT) AS spaced
+    FROM events
+    """,
+)
+def sink_quoted_identifiers(spark, sf_dir):
+    """P6 (reference: StructEndToEndCCMIT.java:611-668 KAF-83,
+    RawDataEndToEndCCMIT.java:322-360 KAF-84): quoted mapping identifiers are
+    case-sensitive and may contain spaces and dots — on both the column side
+    ("Quoted Col") and the field side (value."Field.Dotted", a single field
+    whose NAME contains dots, not nested traversal)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    value = F.concat(
+        F.lit('{"Field.Dotted": '), _k().cast("string"),
+        F.lit(', "With Space": '), F.col("event_id").cast("string"), F.lit("}"),
+    )
+    records = _records(events, key=F.col("event_id").cast("string"), value=value)
+    vschema = StructType(
+        [
+            StructField("Field.Dotted", IntegerType()),
+            StructField("With Space", LongType()),
+        ]
+    )
+    schema = TableSchema(
+        "ks", "quoted",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("Quoted Col", "int"),
+            ColumnSpec("spaced", "bigint"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "quoted",
+        parse_mapping(
+            'pk=key, "Quoted Col"=value."Field.Dotted", spaced=value."With Space"'
+        ),
+    )
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    return routed.select("pk", "`Quoted Col`", "spaced")
+
+
+# --------------------------------------------------------------------------
+# C8/C9/C10 — collection codecs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_collection_codecs",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CAST(4 AS INTEGER) AS list_len,
+           CAST(kv AS INTEGER) AS list_first,
+           array_to_string(list_sort(list_distinct(
+             [CAST(kv AS INTEGER), CAST(kv % 5 AS INTEGER),
+              CAST(kv AS INTEGER), CAST((kv * 2) % 7 AS INTEGER)])), ',') AS set_repr,
+           '{"a":' || kv || ',"b":' || (kv * 2) || '}' AS map_json,
+           '[[' || kv || '],[' || (kv + 1) || ']]' AS nested_json
+    FROM k
+    """,
+)
+def sink_collection_codecs(spark, sf_dir):
+    """C8 JSON-array-string → list (RawDataEndToEndCCMIT.java:150-162),
+    C9 array → set dedup+sort (StructEndToEndCCMIT.java:228-233) incl. nested
+    list<set<int>>, C10 map construction (StructEndToEndCCMIT.java:225-226).
+    Collections are rendered canonically (sorted / JSON) so the value-hash is
+    representation-stable across engines."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    kv = _k().cast("long")
+    # C8: the raw record value IS a JSON array string.
+    raw = F.concat(
+        F.lit("["), kv.cast("string"), F.lit(", "), (kv % 5).cast("string"),
+        F.lit(", "), kv.cast("string"), F.lit(", "), ((kv * 2) % 7).cast("string"),
+        F.lit("]"),
+    )
+    arr = codecs.json_array_to_list(raw, "int")
+    nested = F.array(F.array(kv.cast("int"), kv.cast("int")), F.array((kv + 1).cast("int")))
+    return events.select(
+        F.col("event_id").cast("bigint").alias("pk"),
+        F.size(arr).alias("list_len"),
+        F.element_at(arr, 1).alias("list_first"),
+        F.array_join(
+            F.transform(codecs.array_to_set(arr), lambda x: x.cast("string")), ","
+        ).alias("set_repr"),
+        F.to_json(F.create_map(F.lit("a"), kv, F.lit("b"), kv * 2)).alias("map_json"),
+        F.to_json(codecs.nested_array_to_set(nested)).alias("nested_json"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C11/C12/C13/C14 — UDT / tuple construction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_udt_codecs",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CAST(kv AS INTEGER) AS u1,
+           CAST(kv * 3 AS VARCHAR) AS u2,
+           CAST(kv AS SMALLINT) AS t0,
+           CAST(kv * 2 AS INTEGER) AS t1,
+           CAST(kv * 3 AS INTEGER) AS t2
+    FROM k
+    """,
+)
+def sink_udt_codecs(spark, sf_dir):
+    """C11 JSON-object → UDT by field name with C14 coercion (int payload →
+    text UDT member, StructEndToEndCCMIT.java:240-247 `udt.newValue(47,"90")`),
+    C12 ordered list → tuple/UDT by POSITION (`udtfromlist`,
+    StructEndToEndCCMIT.java:202,247) with C2 per-slot truncation (int →
+    smallint, `[37,96,90]` → `(37s,96,90)`). Strict arity (C13,
+    StructToUDTCodec.java:47-87) is enforced at mapping-compile time."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    kv = _k().cast("long")
+    # C11/C14: whole-value JSON object → struct<udtmem1:int,udtmem2:string>.
+    value = F.concat(
+        F.lit('{"udtmem1": '), kv.cast("string"),
+        F.lit(', "udtmem2": '), (kv * 3).cast("string"), F.lit("}"),
+    )
+    records = _records(events, key=F.col("event_id").cast("string"), value=value)
+    vschema = StructType(
+        [StructField("udtmem1", LongType()), StructField("udtmem2", LongType())]
+    )
+    schema = TableSchema(
+        "ks", "udt_table",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("udtcol", "struct<udtmem1:int,udtmem2:string>"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "udt_table", parse_mapping("pk=key, udtcol=value")
+    )
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    # C12: ordered collection → tuple by position with per-slot casts (input
+    # derived from the mapped column — the source record is already projected
+    # away at this stage).
+    kv2 = F.col("udtcol.udtmem1").cast("long")
+    tup = codecs.list_to_udt(
+        F.array(kv2, kv2 * 2, kv2 * 3), ["t0", "t1", "t2"], ["smallint", "int", "int"]
+    )
+    return routed.select(
+        "pk",
+        F.col("udtcol.udtmem1").alias("u1"),
+        F.col("udtcol.udtmem2").alias("u2"),
+        tup.getField("t0").alias("t0"),
+        tup.getField("t1").alias("t1"),
+        tup.getField("t2").alias("t2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C16 — Connect Decimal logical type (BASE64 unscaled bytes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_decimal_base64",
+    oracle="""
+    WITH k AS (
+      SELECT event_id,
+             (CAST(json_extract_string(props, '$.k') AS BIGINT) - 50) * 100 + 7 AS unscaled
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CAST(unscaled AS BIGINT) AS unscaled,
+           CAST(CAST(unscaled AS DOUBLE) / 100 AS DECIMAL(12,2)) AS dec_val
+    FROM k
+    """,
+)
+def sink_decimal_base64(spark, sf_dir):
+    """C16 (reference: AvroJsonConvertersTest.java:82-128): the Connect
+    Decimal logical type arrives as BASE64 text of the unscaled big-endian
+    two's-complement bytes. Round-trip: build the 4-byte representation
+    (negatives exercise the sign path), decode via the codec, recover
+    DECIMAL(12,2)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    unscaled = (_k().cast("long") - 50) * 100 + 7
+    twos = (unscaled + F.lit(2**32)) % F.lit(2**32)  # 4-byte two's complement
+    b64 = F.base64(F.unhex(F.lpad(F.conv(twos.cast("string"), 10, 16), 8, "0")))
+    return events.select(
+        F.col("event_id").cast("bigint").alias("pk"),
+        unscaled.alias("unscaled"),
+        codecs.base64_to_decimal(b64, 12, 2).alias("dec_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C17 — Connect schema defaults / missing optional fields
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_schema_defaults",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CASE WHEN event_id % 4 = 0 THEN 42
+                ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS with_default,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS without_default
+    FROM events
+    """,
+)
+def sink_schema_defaults(spark, sf_dir):
+    """C17 (reference: StructEndToEndCCMIT.java:346-376 missing optional field
+    → unset/null; :441-462 Connect schema defaultValue 42 applied): every 4th
+    record omits the optional field; the default-bearing column fills 42, the
+    default-free column stays null."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    value = F.when(F.col("event_id") % 4 == 0, F.lit("{}")).otherwise(F.col("props"))
+    records = _records(events, key=F.col("event_id").cast("string"), value=value)
+    schema = TableSchema(
+        "ks", "defaults_table",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("with_default", "int"),
+            ColumnSpec("without_default", "int"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "defaults_table",
+        parse_mapping("pk=key, with_default=value.k, without_default=value.k"),
+    )
+    routed = run_sink_pipeline(records, table, schema, value_schema=V_SCHEMA_K)
+    return routed.select(
+        "pk",
+        codecs.with_default(F.col("with_default"), 42).alias("with_default"),
+        "without_default",
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 — ignoreErrors policy (None / Driver / All)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_error_policy",
+    oracle="""
+    WITH flags AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS map_err,
+             CASE WHEN event_id % 7 <> 0 AND event_id % 13 = 0 THEN 1 ELSE 0 END AS drv_err
+      FROM events
+    ), agg AS (
+      SELECT SUM(map_err) AS m, SUM(drv_err) AS d, COUNT(*) - SUM(map_err) - SUM(drv_err) AS ok
+      FROM flags
+    )
+    SELECT 'None' AS policy, CAST(ok AS BIGINT) AS n_written,
+           CAST(0 AS BIGINT) AS n_skipped, CAST(m + d AS BIGINT) AS n_rewound FROM agg
+    UNION ALL
+    SELECT 'Driver', CAST(ok AS BIGINT), CAST(d AS BIGINT), CAST(m AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 'All', CAST(ok AS BIGINT), CAST(m + d AS BIGINT), CAST(0 AS BIGINT) FROM agg
+    """,
+)
+def sink_error_policy(spark, sf_dir):
+    """ignoreErrors=None/Driver/All (reference: CassandraSinkTask.java:128-141,
+    SimpleEndToEndSimulacronIT.java:475-564, KAF-200): None rewinds every
+    failure; Driver ignores driver-side errors but rewinds mapping errors;
+    All ignores everything (log+count only). Mapping errors are simulated with
+    a non-numeric payload (every 7th record), driver errors with a
+    deterministic write-failure flag (every 13th)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    value = F.when(F.col("event_id") % 7 == 0, F.lit('{"k": "oops"}')).otherwise(
+        F.col("props")
+    )
+    records = _records(events, key=F.col("event_id").cast("string"), value=value)
+    schema = TableSchema(
+        "ks", "err_table",
+        [ColumnSpec("pk", "bigint", primary_key=True), ColumnSpec("kcol", "int")],
+    )
+    table = TableConfig("events", "ks", "err_table", parse_mapping("pk=key, kcol=value.k"))
+    routed = run_sink_pipeline(records, table, schema, value_schema=V_SCHEMA_K)
+    # Mapping error: the payload was present but the typed decode yielded null.
+    flags = routed.select(
+        F.when(F.col("kcol").isNull(), 1).otherwise(0).alias("map_err"),
+        F.when(
+            (F.col("kcol").isNotNull()) & (F.col("_kafka_offset") % 13 == 0), 1
+        ).otherwise(0).alias("drv_err"),
+    )
+    agg = flags.agg(
+        F.sum("map_err").alias("m"),
+        F.sum("drv_err").alias("d"),
+        (F.count(F.lit(1)) - F.sum("map_err") - F.sum("drv_err")).alias("ok"),
+    )
+    z = F.lit(0).cast("bigint")
+    rows = [
+        agg.select(
+            F.lit("None").alias("policy"), F.col("ok").alias("n_written"),
+            z.alias("n_skipped"), (F.col("m") + F.col("d")).alias("n_rewound"),
+        ),
+        agg.select(
+            F.lit("Driver").alias("policy"), F.col("ok").alias("n_written"),
+            F.col("d").alias("n_skipped"), F.col("m").alias("n_rewound"),
+        ),
+        agg.select(
+            F.lit("All").alias("policy"), F.col("ok").alias("n_written"),
+            (F.col("m") + F.col("d")).alias("n_skipped"), z.alias("n_rewound"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# W7/S7 — per-table consistency level + cloud clamp
+# --------------------------------------------------------------------------
+
+_CL_PROPS = {
+    "topic.click.ks.t_click.mapping": "pk=key, kcol=value.k",
+    "topic.click.ks.t_click.consistencyLevel": "QUORUM",
+    "topic.view.ks.t_view.mapping": "pk=key, kcol=value.k",
+}
+
+
+@register(
+    "sink_consistency_level",
+    oracle="""
+    SELECT 'standard' AS mode, 'ks.t_click' AS table_name, 'QUORUM' AS cl,
+           COUNT(*) AS n_records
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'standard', 'ks.t_view', 'LOCAL_ONE', COUNT(*)
+    FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT 'cloud', 'ks.t_click', 'QUORUM', COUNT(*)
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'cloud', 'ks.t_view', 'LOCAL_QUORUM', COUNT(*)
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def sink_consistency_level(spark, sf_dir):
+    """W7 per-table CL (reference: SimpleEndToEndSimulacronIT.java:685-737 —
+    LOCAL_ONE vs QUORUM observed per bound statement; default LOCAL_ONE,
+    sample:169-170) + S7 cloud clamp (CloudSniEndToEndIT.java:103 — secure
+    bundle forces weak CLs up to LOCAL_QUORUM, explicit QUORUM stays)."""
+    std = parse_sink_config(dict(_CL_PROPS))
+    cloud = parse_sink_config(
+        dict(_CL_PROPS, **{"cloud.secureConnectBundle": "/secure-connect.zip"})
+    )
+    cfg_rows = [
+        (mode, f"{t.keyspace}.{t.table}", t.consistency_level, t.topic)
+        for mode, cfg in (("standard", std), ("cloud", cloud))
+        for t in cfg.tables
+    ]
+    cfg_df = spark.createDataFrame(cfg_rows, "mode string, table_name string, cl string, topic string")
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    counts = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("event_type").alias("topic"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+    return (
+        counts.join(F.broadcast(cfg_df), "topic")
+        .select("mode", "table_name", "cl", "n_records")
+    )
