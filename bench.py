@@ -28,14 +28,21 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
     "events_topk_per_user",
     "events_sessionize",
     # training-data extensions
     "text_profile",
+    "text_token_stats",
+    "text_rolling_fingerprint",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "knn_bruteforce",
+    "knn_ivf",
     "embedding_lsh_buckets",
     "multimodal_features",
 ]
