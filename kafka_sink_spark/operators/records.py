@@ -42,33 +42,6 @@ HEADERS_MAP = "headers"
 RAW_FIELD = "__self"
 
 
-def _json_with_literal_fallback(
-    source: Column, schema: StructType
-) -> tuple[Column, Column]:
-    """Return (parsed_struct, literal_string) implementing JSON-or-literal.
-
-    ``from_json`` in PERMISSIVE mode with ``columnNameOfCorruptRecord`` yields
-    the raw text in the corrupt column when the input is not valid JSON; we
-    surface that as the literal-fallback field and null out the parsed struct
-    for such rows, matching reference mode selection
-    (MetadataCreatorTest.java:69-116).
-    """
-    schema_with_corrupt = StructType(
-        [f for f in schema.fields] + [StructType().add(CORRUPT_COL, StringType()).fields[0]]
-    )
-    parsed_all = F.from_json(
-        source.cast("string"),
-        schema_with_corrupt,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-    )
-    is_corrupt = parsed_all.getField(CORRUPT_COL).isNotNull()
-    parsed = F.when(source.isNotNull() & ~is_corrupt, parsed_all).otherwise(F.lit(None))
-    literal = F.when(source.isNotNull() & is_corrupt, source.cast("string")).otherwise(
-        F.lit(None)
-    )
-    return parsed, literal
-
-
 def decode_records(
     records: DataFrame,
     value_schema: StructType | None = None,
@@ -77,6 +50,10 @@ def decode_records(
     """Add decoded key/value namespace columns to a record DataFrame.
 
     - With a schema: JSON decode with literal fallback (modes 2-3).
+      ``from_json`` in PERMISSIVE mode with ``columnNameOfCorruptRecord``
+      yields the raw text in the corrupt column when the input is not valid
+      JSON; that surfaces as the literal-fallback field while the parsed
+      struct is nulled for such rows (MetadataCreatorTest.java:69-116).
     - Without a schema: raw mode — the bare column IS the single field
       (mode 4); whole-key/value mapping reads it directly.
     - If the key/value column is already a struct (the Avro/Connect path after
@@ -84,6 +61,12 @@ def decode_records(
 
     Keeps every original column (topic/partition/offset/timestamp/headers) so
     downstream stages can use record metadata (writetime, routing).
+
+    Perf note: the raw ``from_json`` result is materialized under its own
+    alias in a FIRST projection and only referenced (3×) in the second —
+    CollapseProject refuses to inline a non-cheap multiply-referenced alias,
+    so the JSON parse runs exactly once per record instead of once per
+    referencing expression.
     """
     out = records
     for col_name, schema, parsed_name, literal_name in (
@@ -99,8 +82,32 @@ def decode_records(
                 literal_name, F.lit(None).cast("string")
             )
         elif schema is not None:
-            parsed, literal = _json_with_literal_fallback(F.col(col_name), schema)
-            out = out.withColumn(parsed_name, parsed).withColumn(literal_name, literal)
+            schema_with_corrupt = StructType(
+                [f for f in schema.fields]
+                + [StructType().add(CORRUPT_COL, StringType()).fields[0]]
+            )
+            raw_name = f"_{col_name}_parsed_raw"
+            # Stage 1: parse once.
+            out = out.withColumn(
+                raw_name,
+                F.from_json(
+                    F.col(col_name).cast("string"),
+                    schema_with_corrupt,
+                    {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+                ),
+            )
+            # Stage 2: derive parsed/literal from the staged parse.
+            source = F.col(col_name)
+            is_corrupt = F.col(raw_name).getField(CORRUPT_COL).isNotNull()
+            out = out.select(
+                "*",
+                F.when(source.isNotNull() & ~is_corrupt, F.col(raw_name))
+                .otherwise(F.lit(None))
+                .alias(parsed_name),
+                F.when(source.isNotNull() & is_corrupt, source.cast("string"))
+                .otherwise(F.lit(None))
+                .alias(literal_name),
+            ).drop(raw_name)
         # Raw mode: no namespace columns; the compiler reads the bare column.
     return out
 
