@@ -180,14 +180,28 @@ def replay_final_state(routed: DataFrame, schema: TableSchema) -> DataFrame:
         aggs = [F.sum(F.col(c)).alias(c) for c in schema.counters]
         return routed.groupBy(*[F.col(c) for c in pk]).agg(*aggs)
 
-    order = [F.col(WRITETIME_COL).desc_nulls_last()]
-    if "_kafka_offset" in routed.columns:
-        order.append(F.col("_kafka_offset").desc())
-    w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(*order)
-    ranked = routed.withColumn("_rn", F.row_number().over(w))
-    final = ranked.filter(F.col("_rn") == 1).filter(F.col(ROUTE_COL) != ROUTE_DELETE)
+    # Last-write-wins as a HASH AGGREGATION (max_by over the write-order key),
+    # not a sort-based window: partial aggregation combines map-side, the
+    # shuffle carries one row per key per map task, and no per-key sort runs.
+    # At 100 TB this is the difference between a bounded-memory agg and a
+    # full sort of every replica of every key.
+    order_key = _write_order_key(routed)
     keep = [c.name for c in schema.columns if c.name in routed.columns]
-    return final.select(*keep)
+    payload = F.struct(*[F.col(c) for c in keep], F.col(ROUTE_COL))
+    won = routed.groupBy(*[F.col(c) for c in pk]).agg(
+        F.max_by(payload, order_key).alias("_win")
+    )
+    final = won.filter(F.col(f"_win.{ROUTE_COL}") != ROUTE_DELETE)
+    return final.select(*[F.col(f"_win.{c}").alias(c) for c in keep])
+
+
+def _write_order_key(routed: DataFrame) -> Column:
+    """Cassandra write-resolution order as one orderable struct: writetime
+    (nulls lowest) then arrival order (Kafka offset) as tie-break."""
+    parts = [F.coalesce(F.col(WRITETIME_COL), F.lit(-(2**63))).alias("wt")]
+    if "_kafka_offset" in routed.columns:
+        parts.append(F.col("_kafka_offset").alias("off"))
+    return F.struct(*parts)
 
 
 def apply_null_to_unset(routed: DataFrame, table: TableConfig, schema: TableSchema) -> DataFrame:
@@ -203,21 +217,17 @@ def apply_null_to_unset(routed: DataFrame, table: TableConfig, schema: TableSche
         return routed  # nulls behave as ordinary values (tombstones)
     pk = [c for c in schema.primary_key if c in routed.columns]
     non_pk = [c for c in schema.regular_columns if c in routed.columns]
-    order = [F.coalesce(F.col(WRITETIME_COL), F.lit(0)).asc()]
-    if "_kafka_offset" in routed.columns:
-        order.append(F.col("_kafka_offset").asc())
-    w = (
-        Window.partitionBy(*[F.col(c) for c in pk])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
     # Per-column LAST NON-NULL in write order — a null cell leaves the prior
-    # value untouched (the UNSET semantics). Window + distinct keeps the whole
-    # thing deterministic and SQL-oracle-expressible.
-    proj = [F.col(c) for c in pk]
-    for c in non_pk:
-        proj.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
-    return routed.select(*proj).distinct()
+    # value untouched (the UNSET semantics). Expressed as max_by per column
+    # with a null ordering key masking the null writes (max_by ignores rows
+    # whose ordering value is null): ONE hash aggregation with map-side
+    # partial combine, no window sort, no distinct.
+    order_key = _write_order_key(routed)
+    aggs = [
+        F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_key)).alias(c)
+        for c in non_pk
+    ]
+    return routed.groupBy(*[F.col(c) for c in pk]).agg(*aggs)
 
 
 def run_sink_pipeline(
