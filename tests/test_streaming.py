@@ -1,0 +1,137 @@
+"""End-to-end Structured Streaming shell tests: file-source stream →
+foreachBatch sink pipeline → materialized output, with metrics and
+error-policy behavior (SURVEY §2.8)."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_sink_spark.config import ColumnSpec, SinkConfig, TableConfig, TableSchema
+from kafka_sink_spark.mapping.parser import parse_mapping
+from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.streaming.pipeline import SinkMetrics, start_sink_stream
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+RECORD_SCHEMA = (
+    "topic string, partition int, offset long, timestamp timestamp, "
+    "key string, value string"
+)
+
+V_SCHEMA = StructType([StructField("k", IntegerType())])
+
+
+def _write_records(spark, tmpdir: str) -> int:
+    """events → Kafka-shaped record parquet; every 10th record routed to an
+    unconfigured topic."""
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    records = events.select(
+        F.when(F.col("event_id") % 10 == 0, F.lit("other")).otherwise(
+            F.lit("events")
+        ).alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+    )
+    records.write.mode("overwrite").parquet(tmpdir)
+    return records.count()
+
+
+def _config() -> tuple[SinkConfig, dict, TableSchema]:
+    schema = TableSchema(
+        "ks", "user_events",
+        [ColumnSpec("pk", "bigint", primary_key=True), ColumnSpec("kcol", "int")],
+    )
+    table = TableConfig(
+        "events", "ks", "user_events", parse_mapping("pk=key, kcol=value.k")
+    )
+    cfg = SinkConfig(tables=[table])
+    return cfg, {("ks", "user_events"): schema}, schema
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "records")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n_total = _write_records(spark, src)
+
+    cfg, schemas, _ = _config()
+    metrics = SinkMetrics()
+
+    def writer(routed, table, schema):
+        routed.select("pk", "kcol").write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src)
+    q = start_sink_stream(
+        spark, stream, cfg, schemas, ckpt, writer,
+        value_schemas={"events": V_SCHEMA}, metrics=metrics, trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(out_dir)
+    n_unknown = metrics.failed_with_unknown_topic
+    assert n_unknown > 0
+    assert written.count() == n_total - n_unknown
+    assert metrics.record_count["events|ks.user_events"] == n_total - n_unknown
+    # decode actually happened: kcol is typed and populated
+    assert written.filter(F.col("kcol").isNotNull()).count() > 0
+
+    # Restart from the same checkpoint with no new data → no duplicate writes
+    # (offset bookkeeping = Spark checkpoint, replacing preCommit).
+    q2 = start_sink_stream(
+        spark, spark.readStream.schema(RECORD_SCHEMA).parquet(src),
+        cfg, schemas, ckpt, writer,
+        value_schemas={"events": V_SCHEMA}, metrics=metrics, trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_total - n_unknown
+
+
+def test_stream_error_policy_all_commits(spark, tmp_path):
+    src = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    _write_records(spark, src)
+    cfg, schemas, _ = _config()
+    cfg.ignore_errors = "All"
+    metrics = SinkMetrics()
+
+    def failing_writer(routed, table, schema):
+        raise RuntimeError("simulated driver-side write failure")
+
+    q = start_sink_stream(
+        spark, spark.readStream.schema(RECORD_SCHEMA).parquet(src),
+        cfg, schemas, ckpt, failing_writer,
+        value_schemas={"events": V_SCHEMA}, metrics=metrics, trigger_once=True,
+    )
+    q.awaitTermination(120)  # completes despite writer failures
+    assert q.exception() is None
+    assert metrics.failed_record_count["events|ks.user_events"] > 0
+    assert not metrics.record_count  # nothing written
+
+
+def test_stream_error_policy_none_fails(spark, tmp_path):
+    src = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    _write_records(spark, src)
+    cfg, schemas, _ = _config()
+    assert cfg.ignore_errors == "None"
+
+    def failing_writer(routed, table, schema):
+        raise RuntimeError("simulated driver-side write failure")
+
+    q = start_sink_stream(
+        spark, spark.readStream.schema(RECORD_SCHEMA).parquet(src),
+        cfg, schemas, ckpt, failing_writer,
+        value_schemas={"events": V_SCHEMA}, trigger_once=True,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
