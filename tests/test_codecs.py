@@ -1,0 +1,166 @@
+"""Unit tests for the codec layer (SURVEY §2.4) and remaining config surface:
+temporal patterns (C4), epoch units (C5), packed time (C6), collections
+(C8-C10), UDT construction and strict arity (C11-C13), decimal BASE64 sign
+handling (C16), defaults (C17), and global write-tuning keys (W9-W11)."""
+
+import datetime
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_sink_spark.config import ConfigError, parse_sink_config
+from kafka_sink_spark.functions import codecs
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_string_to_timestamp_patterns(spark):
+    """C4 (JsonEndToEndCCMIT.java:339-372): ISO default and explicit pattern."""
+    iso = _one(spark, codecs.string_to_timestamp(F.lit("2018-03-09T17:12:32.584")))
+    assert iso == datetime.datetime(2018, 3, 9, 17, 12, 32, 584000)
+    pat = _one(
+        spark,
+        codecs.string_to_timestamp(F.lit("09/03/2018 17:12"), "dd/MM/yyyy HH:mm"),
+    )
+    assert pat == datetime.datetime(2018, 3, 9, 17, 12)
+    d = _one(spark, codecs.string_to_date(F.lit("2018-03-09")))
+    assert d == datetime.date(2018, 3, 9)
+
+
+def test_epoch_units(spark):
+    """C5 (JsonEndToEndCCMIT.java:303-336): codec.unit selects the epoch unit."""
+    expect = datetime.datetime(2018, 3, 9, 16, 12, 32)
+    s = _one(spark, codecs.epoch_to_timestamp(F.lit(1520611952), "SECONDS"))
+    ms = _one(spark, codecs.epoch_to_timestamp(F.lit(1520611952000), "MILLISECONDS"))
+    us = _one(spark, codecs.epoch_to_timestamp(F.lit(1520611952000000), "MICROSECONDS"))
+    assert s == ms == us == expect
+
+
+def test_hhmmss_packed_time(spark):
+    """C6: 171232584 → 17:12:32.584 (JsonEndToEndCCMIT.java:320-335)."""
+    nanos = _one(spark, codecs.hhmmss_numeric_to_time_nanos(F.lit(171232584)))
+    assert nanos == ((17 * 3600 + 12 * 60 + 32) * 1000 + 584) * 1_000_000
+    s = _one(spark, codecs.time_nanos_to_string(F.lit(nanos)))
+    assert s == "17:12:32.584"
+
+
+def test_number_to_boolean(spark):
+    assert _one(spark, codecs.number_to_boolean(F.lit(37))) is True
+    assert _one(spark, codecs.number_to_boolean(F.lit(0))) is False
+    assert _one(spark, codecs.number_to_boolean(F.lit(None).cast("int"))) is None
+
+
+def test_collections(spark):
+    """C8/C9: JSON array string → list; array → sorted distinct set."""
+    arr = codecs.json_array_to_list(F.lit("[42, 37]"), "int")
+    assert _one(spark, arr) == [42, 37]
+    assert _one(spark, codecs.array_to_set(F.array(F.lit(3), F.lit(1), F.lit(3)))) == [1, 3]
+    nested = codecs.nested_array_to_set(
+        F.array(F.array(F.lit(2), F.lit(2)), F.array(F.lit(5)))
+    )
+    assert _one(spark, nested) == [[2], [5]]
+
+
+def test_udt_construction(spark):
+    """C11/C12/C14: map→UDT by name, list→tuple by position, coercion."""
+    m = F.create_map(F.lit("a"), F.lit(47), F.lit("b"), F.lit(90))
+    udt = _one(spark, codecs.map_to_udt(m, ["a", "b"], ["int", "string"]))
+    assert (udt["a"], udt["b"]) == (47, "90")  # int → text member coercion
+    tup = _one(
+        spark,
+        codecs.list_to_udt(
+            F.array(F.lit(37), F.lit(96), F.lit(90)),
+            ["t0", "t1", "t2"],
+            ["smallint", "int", "int"],
+        ),
+    )
+    assert (tup["t0"], tup["t1"], tup["t2"]) == (37, 96, 90)
+
+
+def test_struct_cast_strict_arity(spark):
+    """C13 (StructToUDTCodecTest.java:66-81): field-count mismatch is rejected
+    at plan time — Spark's struct cast enforces equal arity."""
+    df = spark.range(1).select(
+        F.struct(F.lit(1).alias("a"), F.lit(2).alias("b"), F.lit(3).alias("c")).alias("s")
+    )
+    with pytest.raises(AnalysisException):
+        df.select(F.col("s").cast("struct<a:int,b:int>")).collect()
+
+
+def test_base64_decimal_signs(spark):
+    """C16: signed big-endian unscaled bytes, positive and negative."""
+    import base64
+    from decimal import Decimal
+
+    for unscaled, scale, expect in (
+        (1234, 2, Decimal("12.34")),
+        (-1234, 2, Decimal("-12.34")),
+        (7, 2, Decimal("0.07")),
+        (-7, 2, Decimal("-0.07")),
+    ):
+        raw = unscaled.to_bytes(4, "big", signed=True)
+        b64 = base64.b64encode(raw).decode()
+        got = _one(spark, codecs.base64_to_decimal(F.lit(b64), 12, scale))
+        assert got == expect, (unscaled, got)
+
+
+def test_with_default(spark):
+    """C17 (StructEndToEndCCMIT.java:441-462): default 42 fills nulls only."""
+    assert _one(spark, codecs.with_default(F.lit(None).cast("int"), 42)) == 42
+    assert _one(spark, codecs.with_default(F.lit(7), 42)) == 7
+
+
+def test_locale_number_roundtrip(spark):
+    """C3: fr_FR and de_DE separators parse; en_US grouping strips."""
+    assert _one(spark, codecs.parse_number_locale(F.lit("1 234,56"), "fr_FR")) == 1234.56
+    assert _one(spark, codecs.parse_number_locale(F.lit("1.234,56"), "de_DE")) == 1234.56
+    assert _one(spark, codecs.parse_number_locale(F.lit("1,234.56"), "en_US")) == 1234.56
+
+
+def test_global_write_tuning_keys():
+    """W9/W10/W11 + S5: global connection/write settings parse with the
+    reference defaults (sample:35-61)."""
+    cfg = parse_sink_config(
+        {
+            "topic.t.ks.tbl.mapping": "pk=key",
+            "maxConcurrentRequests": "250",
+            "compression": "Lz4",
+            "queryExecutionTimeout": "45",
+            "connectionPoolLocalSize": "8",
+        }
+    )
+    assert cfg.max_concurrent_requests == 250
+    assert cfg.compression == "Lz4"
+    assert cfg.query_execution_timeout_s == 45
+    assert cfg.connection_pool_local_size == 8
+    # defaults
+    dflt = parse_sink_config({"topic.t.ks.tbl.mapping": "pk=key"})
+    assert dflt.max_concurrent_requests == 500
+    assert dflt.max_number_of_records_in_batch == 32
+    assert dflt.query_execution_timeout_s == 30
+
+
+def test_cloud_mode_rules():
+    """S7: bundle ⊕ contactPoints rejected; weak CLs clamp to LOCAL_QUORUM."""
+    with pytest.raises(ConfigError, match="mutually exclusive"):
+        parse_sink_config(
+            {
+                "topic.t.ks.tbl.mapping": "pk=key",
+                "cloud.secureConnectBundle": "/b.zip",
+                "contactPoints": "127.0.0.1",
+            }
+        )
+    cfg = parse_sink_config(
+        {
+            "topic.t.ks.tbl.mapping": "pk=key",
+            "cloud.secureConnectBundle": "/b.zip",
+        }
+    )
+    assert cfg.tables[0].consistency_level == "LOCAL_QUORUM"
