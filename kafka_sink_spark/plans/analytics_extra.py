@@ -333,6 +333,105 @@ def q10_returned_items(spark, sf_dir):
 
 
 @register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_millionths,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup via F.window (the Structured Streaming window
+    primitive, here in batch): one shuffle on (bucket, type), map-side partial
+    agg. The double-valued sum is integer-ized (floor ×1e6) so it is
+    summation-order independent — the pattern for exact cross-engine money/
+    metric totals."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_millionths"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "events_salted_rollup",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_millionths,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_salted_rollup(spark, sf_dir):
+    """Skew-resistant per-user rollup via the salted two-phase aggregation
+    (operators/skew.py): phase 1 groups by (user, salt) spreading hot users
+    over 8 reducers, phase 2 folds the partials. Result is identical to a
+    direct groupBy — the oracle IS the direct groupBy."""
+    from kafka_sink_spark.operators.skew import salted_aggregate
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    events = events.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id"),
+        F.col("value"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("_vm"),
+    )
+    return salted_aggregate(
+        events,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", F.lit(1)),
+            "sum_value_millionths": ("sum", F.col("_vm")),
+            "max_value": ("max", F.col("value")),
+        },
+        n_salts=8,
+        salt_expr=F.pmod(F.col("event_id"), F.lit(8)),
+    ).select("user_id", "n_events", F.col("sum_value_millionths").cast("bigint").alias("sum_value_millionths"), "max_value")
+
+
+@register(
+    "orders_priority_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_priority_rollup(spark, sf_dir):
+    """Grouping-sets capability: ROLLUP(status, priority) — subtotals and a
+    grand total in one pass (Spark expands to a single Expand + aggregate;
+    one shuffle)."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+
+
+@register(
     "q14_promo_revenue",
     oracle=f"""
     WITH s AS (
