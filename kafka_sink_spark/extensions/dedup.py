@@ -155,32 +155,40 @@ def jaccard_similarity(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over distinct
-    shingle-hash sets. Joins shingles to pairs (pairs are few after LSH), so
-    the heavy side is the shingle explode — linear in corpus size."""
+    shingle-hash sets.
+
+    Single-pass formulation: each pair explodes into its two member docs, ONE
+    join attaches the shingle hashes, and intersection + both set sizes fall
+    out of a two-level aggregation. The expensive shingle explode is scanned
+    once (the naive a-join/b-join/sizes shape scans it three times), and the
+    shuffle keys (pair, h) → (pair) are exactly the candidate volume — linear
+    in Σ|pair member shingles|, independent of corpus size."""
     sh = shingle_hashes(docs, text_col, n).distinct()
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = (
-        pairs.join(a, pairs.doc_a == F.col("sa.doc_id"))
-        .join(b, (pairs.doc_b == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sides = pairs.select(
+        "doc_a", "doc_b",
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna({"n_inter": 0})
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+    tagged = sides.join(sh, "doc_id").select(
+        "doc_a", "doc_b", "h",
+        (F.col("doc_id") == F.col("doc_a")).cast("int").alias("in_a"),
+        (F.col("doc_id") == F.col("doc_b")).cast("int").alias("in_b"),
+    )
+    per_hash = tagged.groupBy("doc_a", "doc_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    stats = per_hash.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.sum("in_a").alias("size_a"),
+        F.sum("in_b").alias("size_b"),
+    )
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 
