@@ -1,0 +1,136 @@
+"""Streaming analytics operators: event-time windows, watermarks,
+sessionization, and a custom stateful operator.
+
+The reference has NO event-time processing (SURVEY §2.8 — its record timestamp
+is only a writetime), so this module is north-star surface: the streaming
+twins of the batch catalog queries, built on the Structured Streaming
+primitives a 100 TB pipeline uses:
+
+- tumbling windows + watermark  → ``F.window`` with ``withWatermark`` (late
+  data beyond the watermark is dropped; state is bounded).
+- session windows               → ``F.session_window`` (gap-based, merging);
+  the batch twin is ``events_sessionize`` (lag + conditional sum) and the two
+  agree on complete data.
+- custom stateful operators     → ``applyInPandasWithState`` with per-key
+  state and processing-time timeouts (the pattern for dedup-within-horizon,
+  running profiles, CDC-style accumulators).
+
+Every operator takes/returns DataFrames and works identically on a streaming
+or batch input where Spark allows it, so tests can replay file streams with
+``trigger(availableNow=True)`` and diff final state against the batch
+catalog oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour rollup with a watermark bounding state.
+
+    Streaming twin of the batch ``events_hourly_rollup`` catalog query: same
+    grouping, same integer-ized sum, so the availableNow final output equals
+    the batch/oracle result on complete data.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        # Group by the window STRUCT (not window().start) — the struct keeps
+        # the event-time column attached so the watermark can close windows
+        # and append mode is valid.
+        .groupBy(F.window("ts", "1 hour").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_millionths"),
+        )
+        .select(
+            F.col("bucket.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value_millionths",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` — Spark merges
+    overlapping gap windows per key, which on complete data yields exactly
+    the batch lag-based session count (``events_sessionize``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
+# --- custom stateful operator: per-user running profile --------------------
+
+RUNNING_PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = "n BIGINT, last_id BIGINT"
+
+
+def _profile_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user event count + latest event id, surviving across
+    micro-batches in the state store. The shape of any custom accumulator
+    (rate limiter, dedup-within-horizon, running quality profile)."""
+    (user_id,) = key
+    n, last_id = state.get if state.exists else (0, -1)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            last_id = max(last_id, int(pdf["event_id"].max()))
+    state.update((n, last_id))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events_total": [n], "last_event_id": [last_id]}
+    )
+
+
+def running_user_profile(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emits the
+    per-user running totals each micro-batch. State is one tuple per user —
+    bounded by key cardinality; Arrow batches keep the Python hop vectorized.
+    """
+    return (
+        events.select("user_id", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _profile_fn,
+            outputStructType=RUNNING_PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,119 @@
+"""Streaming analytics tests: windowed aggregation, session windows, and the
+custom stateful operator, each replayed from a file stream with
+trigger(availableNow=True) and diffed against the batch/oracle result."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_sink_spark.plans import QUERIES
+from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.streaming.analytics import (
+    hourly_rollup_stream,
+    running_user_profile,
+    sessionize_stream,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _event_stream(spark, tmp_path):
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    src = str(tmp_path / "events_src")
+    events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+
+
+def _run_to_memory(spark, df, name, ckpt, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    return spark.table(name)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    # complete mode: append would (correctly) hold back windows the final
+    # watermark hasn't closed; for the batch diff we want every window.
+    out = _run_to_memory(
+        spark,
+        hourly_rollup_stream(stream),
+        "hourly_stream_out",
+        str(tmp_path / "ckpt"),
+        mode="complete",
+    )
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value_millionths"])
+        for r in out.collect()
+    }
+    batch = QUERIES["events_hourly_rollup"](spark, SF_DIR)
+    exp = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value_millionths"])
+        for r in batch.collect()
+    }
+    assert got == exp
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    out = _run_to_memory(
+        spark,
+        sessionize_stream(stream),
+        "session_stream_out",
+        str(tmp_path / "ckpt"),
+        mode="complete",
+    )
+    got = (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    got_rows = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()}
+    batch = QUERIES["events_sessionize"](spark, SF_DIR)
+    exp_rows = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()}
+    assert got_rows == exp_rows
+
+
+def test_running_user_profile_state(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    out = _run_to_memory(
+        spark,
+        running_user_profile(stream),
+        "profile_stream_out",
+        str(tmp_path / "ckpt"),
+        mode="update",
+    )
+    # update mode: take the LAST emission per user (highest running total).
+    got = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events_total").alias("n_events_total"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+    )
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    exp = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events_total"),
+        F.max("event_id").alias("last_event_id"),
+    )
+    got_rows = {r["user_id"]: (r["n_events_total"], r["last_event_id"]) for r in got.collect()}
+    exp_rows = {r["user_id"]: (r["n_events_total"], r["last_event_id"]) for r in exp.collect()}
+    assert got_rows == exp_rows
