@@ -1,0 +1,249 @@
+"""Executor-side Cassandra write path: the physical layer of W1-W11.
+
+``write_routed`` takes a routed DataFrame (output of ``run_sink_pipeline``)
+and executes it against Cassandra with the reference's write semantics
+(reference behaviors pinned in SURVEY §2.5):
+
+- per-route CQL: generated INSERT/DELETE/counter-UPDATE templates or the
+  user-provided query (W1-W5) — exactly the `cql_statement` shapes;
+- partition-key batching: same-routing-key statements grouped into unlogged
+  batches capped at ``maxNumberOfRecordsInBatch`` (W8,
+  reference: SimpleEndToEndSimulacronIT.java:776-875); distinct keys execute
+  individually;
+- bounded concurrency: ≤ ``maxConcurrentRequests`` in-flight requests (W9,
+  sample:35-36) via a sliding window over async executions;
+- nullToUnset: null bound values sent as driver UNSET (W6,
+  reference: RawDataEndToEndCCMIT.java:181-218);
+- per-table consistency level (W7).
+
+Spark-first shape: the DataFrame is repartitioned ON the routing key and
+sorted within partitions, so (a) all statements for one Cassandra partition
+are built by one task — batching is a linear scan over consecutive rows, no
+per-task hash map; (b) at 1000 executors each task talks to a bounded set of
+replicas (token-aware locality is the driver's job, but key-clustered tasks
+make its routing cache effective).
+
+The driver session is injected (``session_factory``) so the logic is fully
+testable without a cluster; ``cassandra_session_factory`` builds a real one
+from ``SinkConfig`` when the ``cassandra-driver`` package is available.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.config import SinkConfig, TableConfig, TableSchema
+from kafka_sink_spark.operators.writes import (
+    ROUTE_COL,
+    ROUTE_COUNTER,
+    ROUTE_DELETE,
+    ROUTE_INSERT,
+    TTL_COL,
+    WRITETIME_COL,
+)
+
+# Driver UNSET sentinel: the real one when available, a stable stand-in
+# otherwise (fakes/tests compare identity).
+try:  # pragma: no cover - depends on optional package
+    from cassandra.query import UNSET_VALUE as UNSET  # type: ignore
+except ImportError:  # pragma: no cover
+    class _Unset:
+        def __repr__(self) -> str:
+            return "UNSET"
+
+    UNSET = _Unset()
+
+
+def statement_texts(table: TableConfig, schema: TableSchema) -> dict[str, str]:
+    """The prepared-statement texts for each route (W1/W2/W4/W3/W5) — same
+    shapes `cql_statement` stamps per row, computed once for preparation."""
+    if table.query is not None:
+        return {"provided": table.query}
+    fq = f"{table.keyspace}.{table.table}"
+    cols = [c.name for c in schema.columns]
+    insert = (
+        f"INSERT INTO {fq}({','.join(cols)}) VALUES "
+        f"({','.join(':' + c for c in cols)}) "
+        f"USING TIMESTAMP :message_internal_timestamp"
+    )
+    out = {
+        "insert": insert,
+        "insert_ttl": insert + " AND TTL :message_internal_ttl",
+        "delete": f"DELETE FROM {fq} WHERE "
+        + " AND ".join(f"{c}=:{c}" for c in schema.primary_key),
+    }
+    if schema.counters:
+        out["counter"] = (
+            f"UPDATE {fq} SET "
+            + ", ".join(f"{c} = {c} + :{c}" for c in schema.counters)
+            + " WHERE "
+            + " AND ".join(f"{c}=:{c}" for c in schema.primary_key)
+        )
+    return out
+
+
+def _route_and_params(
+    row: dict, table: TableConfig, schema: TableSchema
+) -> tuple[str, dict]:
+    """Pick the statement kind and bound parameters for one routed row."""
+    route = row[ROUTE_COL]
+    null_marker = UNSET if table.null_to_unset else None
+    if table.query is not None:
+        params = {
+            e.column: (row.get(e.column) if row.get(e.column) is not None else null_marker)
+            for e in table.mapping
+        }
+        return "provided", params
+    if route == ROUTE_DELETE:
+        return "delete", {c: row[c] for c in schema.primary_key}
+    if route == ROUTE_COUNTER:
+        params = {c: row[c] for c in schema.primary_key}
+        params.update({c: row.get(c) or 0 for c in schema.counters})
+        return "counter", params
+    assert route == ROUTE_INSERT
+    params = {
+        c.name: (row.get(c.name) if row.get(c.name) is not None else null_marker)
+        for c in schema.columns
+    }
+    params["message_internal_timestamp"] = row.get(WRITETIME_COL)
+    if row.get(TTL_COL) is not None:
+        params["message_internal_ttl"] = row[TTL_COL]
+        return "insert_ttl", params
+    return "insert", params
+
+
+def _submit_unlogged_batch(session, stmts: list, consistency_level: str):
+    """Submit one unlogged BATCH frame (W8). Uses the real driver's
+    BatchStatement when the package is present; otherwise delegates to the
+    session's ``execute_batch`` hook (the fake/test interface)."""
+    try:  # pragma: no cover - needs optional package
+        from cassandra import ConsistencyLevel  # type: ignore
+        from cassandra.query import BatchStatement, BatchType  # type: ignore
+
+        batch = BatchStatement(
+            batch_type=BatchType.UNLOGGED,
+            consistency_level=getattr(ConsistencyLevel, consistency_level),
+        )
+        for prep, params in stmts:
+            batch.add(prep, params)
+        return session.execute_async(batch)
+    except ImportError:
+        return session.execute_batch(stmts, consistency_level=consistency_level)
+
+
+def write_routed(
+    routed: DataFrame,
+    table: TableConfig,
+    schema: TableSchema,
+    config: SinkConfig,
+    session_factory: Callable[[], object],
+) -> dict[str, int]:
+    """Execute a routed DataFrame against Cassandra. Returns aggregate stats
+    {'rows', 'batches', 'singles'} (a batch = one unlogged BATCH frame;
+    a single = one standalone EXECUTE).
+
+    ``session_factory`` is called once per partition ON THE EXECUTOR and must
+    return an object with ``prepare(cql) -> stmt`` and
+    ``execute_async(stmt, params) -> future`` (``future.result()`` awaited
+    under the concurrency bound) — the cassandra-driver Session API.
+    """
+    pk = [c for c in schema.primary_key if c in routed.columns]
+    texts = statement_texts(table, schema)
+    max_batch = config.max_number_of_records_in_batch
+    max_inflight = config.max_concurrent_requests
+    table_ref = table
+    schema_ref = schema
+
+    def write_partition(rows: Iterable) -> Iterator[tuple[int, int, int]]:
+        session = session_factory()
+        prepared = {kind: session.prepare(cql) for kind, cql in texts.items()}
+        futures: list = []
+
+        def throttle() -> None:
+            """Bound in-flight requests: await the oldest future once the
+            window is full (W9 maxConcurrentRequests)."""
+            while len(futures) >= max_inflight:
+                futures.pop(0).result()
+
+        def submit(stmts: list[tuple[str, dict]]) -> tuple[int, int]:
+            """One key-run → unlogged batch frames of ≤ max_batch; a chunk of
+            one goes as a standalone EXECUTE. Returns (batch_frames, singles).
+            """
+            batch_frames = singles = 0
+            for i in range(0, len(stmts), max_batch):
+                chunk = stmts[i : i + max_batch]
+                throttle()
+                if len(chunk) == 1:
+                    kind, params = chunk[0]
+                    fut = session.execute_async(prepared[kind], params)
+                    singles += 1
+                else:
+                    fut = _submit_unlogged_batch(
+                        session,
+                        [(prepared[k], p) for k, p in chunk],
+                        table_ref.consistency_level,
+                    )
+                    batch_frames += 1
+                futures.append(fut)
+            return batch_frames, singles
+
+        n_rows = n_batches = n_singles = 0
+        run_key = object()
+        run: list[tuple[str, dict]] = []
+        for r in rows:
+            row = r.asDict()
+            key = tuple(row[c] for c in pk)
+            if key != run_key and run:
+                b, s = submit(run)
+                n_batches += b
+                n_singles += s
+                run = []
+            run_key = key
+            run.append(_route_and_params(row, table_ref, schema_ref))
+            n_rows += 1
+        if run:
+            b, s = submit(run)
+            n_batches += b
+            n_singles += s
+        for fut in futures:
+            fut.result()
+        yield (n_rows, n_batches, n_singles)
+
+    parts = (
+        routed.repartition(*[F.col(c) for c in pk])
+        .sortWithinPartitions(*[F.col(c) for c in pk])
+        .rdd.mapPartitions(write_partition)
+        .collect()
+    )
+    return {
+        "rows": sum(p[0] for p in parts),
+        "batches": sum(p[1] for p in parts),
+        "singles": sum(p[2] for p in parts),
+    }
+
+
+def cassandra_session_factory(config: SinkConfig) -> Callable[[], object]:
+    """Real-session factory from the connector config (requires the
+    ``cassandra-driver`` package — not bundled in this environment; the
+    import is deferred to executor call time)."""
+
+    contact_points = list(config.contact_points)
+    port = config.port
+    local_dc = config.local_dc
+
+    def factory() -> object:  # pragma: no cover - needs live cluster
+        from cassandra.cluster import Cluster  # type: ignore
+
+        kwargs = {"contact_points": contact_points, "port": port}
+        if local_dc:
+            from cassandra.policies import DCAwareRoundRobinPolicy, TokenAwarePolicy  # type: ignore
+
+            kwargs["load_balancing_policy"] = TokenAwarePolicy(
+                DCAwareRoundRobinPolicy(local_dc=local_dc)
+            )
+        return Cluster(**kwargs).connect()
+
+    return factory
