@@ -145,6 +145,15 @@ def _parse_field(tok: _Tokenizer) -> tuple[str, str | None, bool]:
         raw = tok.quoted_identifier()
         ns, path = _split_field(raw)
         return ns, path, True
+    # ns."quoted path": the path is scanned with the real quote rules, so
+    # commas/equals/doubled-quotes inside are content, not syntax (KAF-84).
+    for ns in ("key", "value", "header"):
+        if tok.text.startswith(ns + '."', tok.pos):
+            tok.pos += len(ns) + 1  # consume 'ns.'
+            path = tok.quoted_identifier()
+            if not path:
+                raise MappingError(_FIELD_ERROR)
+            return ns, path, True
     raw = tok.unquoted_until(",").strip()
     if raw == "now()":
         return "function", "now", False
@@ -164,9 +173,9 @@ def _split_field(raw: str) -> tuple[str, str | None]:
         prefix = ns + "."
         if raw.startswith(prefix):
             path = raw[len(prefix) :]
-            # Strip one level of inner quoting: value."field.with.dots"
-            if path.startswith('"') and path.endswith('"') and len(path) >= 2:
-                path = path[1:-1].replace('""', '"')
+            # Inside an entirely-quoted field the text after 'ns.' is the
+            # field name LITERALLY (quote characters included) — the
+            # ns."quoted" form is scanned separately in _parse_field.
             if not path:
                 raise MappingError(_FIELD_ERROR)
             return ns, path

@@ -333,6 +333,100 @@ def q10_returned_items(spark, sf_dir):
 
 
 @register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery with HAVING. Catalyst rewrites the
+    subquery to a left-semi join; AQE picks broadcast when the qualifying
+    order set is small (it is — the HAVING is selective). Quantities are
+    integer-valued doubles → BIGINT sum for exact cross-engine totals."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"))
+    )
+
+
+@register(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+    FROM supplier s, nation n
+    WHERE s.s_nationkey = n.n_nationkey
+      AND s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+      )
+    """,
+)
+def q2_min_acctbal_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar subquery (per-nation minimum).
+    Expressed via spark.sql so Catalyst's subquery decorrelation runs — it
+    plans the same aggregate-then-join a hand-written version would, without
+    hand-scheduling it."""
+    load_tables(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal = (
+          SELECT MIN(s2.s_acctbal) FROM supplier s2
+          WHERE s2.s_nationkey = s.s_nationkey
+        )
+        """
+    )
+
+
+@register(
+    "events_set_ops",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'click_and_buy' AS cohort, CAST(user_id AS BIGINT) AS user_id
+    FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT 'click_not_buy', CAST(user_id AS BIGINT)
+    FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    """,
+)
+def events_set_ops(spark, sf_dir):
+    """Set operators (absent in the reference, free in Spark): INTERSECT /
+    EXCEPT cohorts over distinct user sets — both plan as aggregations, not
+    nested-loop anti joins."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    clickers = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).select(
+        F.lit("click_and_buy").alias("cohort"), F.col("user_id").cast("bigint").alias("user_id")
+    )
+    only = clickers.exceptAll(buyers).select(
+        F.lit("click_not_buy").alias("cohort"), F.col("user_id").cast("bigint").alias("user_id")
+    )
+    return both.unionByName(only)
+
+
+@register(
     "events_hourly_rollup",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_start,
