@@ -368,10 +368,77 @@ def dedup_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(docs, k=16)
 
 
-@register("dedup_minhash_pairs")  # rows-only: full LSH pipeline
+def _minhash_pairs_oracle(
+    threshold: float = 0.2, k: int = 16, bands: int = 4, n: int = 3
+) -> str:
+    """Full LSH pipeline twin: signatures → band buckets → candidate join →
+    exact Jaccard → threshold. Generated from the same constants the Spark
+    code uses."""
+    rows = k // bands
+    p = dedup.MINHASH_PRIME
+    mins = ",\n         ".join(
+        f"MIN((hm * {a} + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(k))
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || ',' || ".join(
+            f"CAST(m{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+        )
+        + ") AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= {n}
+             THEN list_transform(range(len(t) - {n - 1}), i -> array_to_string(t[i+1:i+{n}], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hraw FROM sh
+    ), hm AS (
+      SELECT doc_id, hraw % {p} AS hm FROM h
+    ), sigs AS (
+      SELECT doc_id, {mins} FROM hm GROUP BY doc_id
+    ), banded AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), hs AS (
+      SELECT DISTINCT doc_id, hraw AS hx FROM h
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS nsz FROM hs GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN hs sa ON sa.doc_id = c.doc_a
+      JOIN hs sb ON sb.doc_id = c.doc_b AND sb.hx = sa.hx
+      GROUP BY c.doc_a, c.doc_b
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / CAST(za.nsz + zb.nsz - COALESCE(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+      FROM cand c
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@register("dedup_minhash_pairs", oracle=_minhash_pairs_oracle())
 def dedup_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    Band-bucket join — the O(n²) cross product never materializes."""
+    Band-bucket join — the O(n²) cross product never materializes. The whole
+    pipeline is md5-derived integer arithmetic, so the oracle replays it
+    bit-for-bit (signatures → band buckets → candidates → Jaccard)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.minhash_dedup_pairs(docs, threshold=0.2)
 
@@ -466,9 +533,39 @@ def embedding_lsh_buckets(spark, sf_dir):
     return similarity.embedding_buckets(emb, n_planes=8, dim=64)
 
 
-@register("embedding_cosine_neardup")  # rows-only: bucketed pair generation
+def _cosine_neardup_oracle(
+    threshold: float = 0.8, n_planes: int = 8, dim: int = 64
+) -> str:
+    planes = similarity.hyperplanes(dim, n_planes)
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for p_idx, plane in enumerate(planes):
+            dot = " + ".join(f"{col}[{i+1}]::DOUBLE * ({plane[i]!r})" for i in range(dim))
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {2**p_idx} ELSE 0 END)")
+        return "\n           + ".join(terms)
+
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket_expr('embedding')} AS BIGINT) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.embedding AS va, b2.embedding AS vb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             round(({_dot_sql('va', 'vb', dim)})
+                   / ({_norm_sql('va', dim)} * {_norm_sql('vb', dim)}), 6) AS cos_sim
+      FROM pairs
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+@register("embedding_cosine_neardup", oracle=_cosine_neardup_oracle())
 def embedding_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within LSH buckets (threshold 0.8)."""
+    """Embedding-cosine near-dup pairs within LSH buckets (threshold 0.8).
+    Deterministic hyperplanes + fixed-order float folds → the bucket join and
+    cosine threshold replay exactly in the oracle."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.cosine_near_dup_pairs(emb, threshold=0.8, n_planes=8, dim=64)
 
