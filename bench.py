@@ -31,8 +31,11 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_revenue",
+    "q18_large_orders",
     "events_topk_per_user",
     "events_sessionize",
+    "events_hourly_rollup",
+    "events_salted_rollup",
     # training-data extensions
     "text_profile",
     "text_token_stats",

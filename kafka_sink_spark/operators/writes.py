@@ -180,11 +180,13 @@ def replay_final_state(routed: DataFrame, schema: TableSchema) -> DataFrame:
         aggs = [F.sum(F.col(c)).alias(c) for c in schema.counters]
         return routed.groupBy(*[F.col(c) for c in pk]).agg(*aggs)
 
-    # Last-write-wins as a HASH AGGREGATION (max_by over the write-order key),
-    # not a sort-based window: partial aggregation combines map-side, the
-    # shuffle carries one row per key per map task, and no per-key sort runs.
-    # At 100 TB this is the difference between a bounded-memory agg and a
-    # full sort of every replica of every key.
+    # Last-write-wins as an AGGREGATION (max_by over the write-order key),
+    # not a sort-based window: partial aggregation combines map-side, so the
+    # shuffle carries one candidate row per key per map task instead of every
+    # replica of every key. (Struct-payload max_by buffers aren't
+    # hash-aggregable — Spark plans SortAggregate — but the map-side combine
+    # is the property that matters at 100 TB; the residual sort is local and
+    # spillable.)
     order_key = _write_order_key(routed)
     keep = [c.name for c in schema.columns if c.name in routed.columns]
     payload = F.struct(*[F.col(c) for c in keep], F.col(ROUTE_COL))

@@ -369,6 +369,38 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q4_priority_with_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_returns(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery → Catalyst plans a
+    left-semi join on orderkey (no per-row subquery execution). Expressed via
+    spark.sql to exercise the decorrelation path."""
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
     "q2_min_acctbal_supplier",
     oracle="""
     SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal

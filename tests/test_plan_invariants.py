@@ -1,0 +1,86 @@
+"""Physical-plan invariants: the scale properties SCALE.md promises, asserted
+against the executed plans so perf regressions fail loudly.
+
+These run at sf0.001 — plan SHAPE is what matters, not data volume (AQE may
+swap join strategies by size; the asserts below only pin properties that are
+scale-invariant: pushdown, agg mode, absence of sorts/windows/extra parses).
+"""
+
+import io
+import contextlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_sink_spark.plans import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decode_parses_json_once(spark):
+    """The JSON-or-literal decode must evaluate from_json exactly once per
+    record (regression: the naive when/otherwise shape evaluated it 3x)."""
+    plan = _plan(spark, "sink_literal_fallback")
+    assert plan.count("from_json") == 1, plan.count("from_json")
+
+
+def test_replay_is_partial_agg_not_window(spark):
+    """Final-state replay is a max_by aggregation with MAP-SIDE PARTIAL
+    combine (shuffle carries one candidate row per key per task), not a
+    window over every write. Struct-payload max_by buffers aren't
+    hash-aggregable, so Spark plans SortAggregate — the partial combine is
+    the scale property, the local sort is per-partition and spillable."""
+    for name in ("sink_upsert_replay", "sink_null_to_unset"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, name
+        assert "partial_max_by" in plan, name
+
+
+def test_q6_filters_pushed_and_pruned(spark):
+    fmt = _formatted(spark, "q6_forecast_revenue")
+    assert "PushedFilters" in fmt
+    # projection pruning: unused wide columns never reach the scan
+    assert "l_returnflag" not in fmt.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q1_partial_aggregation(spark):
+    """Scan-heavy agg must combine map-side (partial_ functions in plan)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_topk_uses_group_limit_or_take_ordered(spark):
+    """Per-key top-k gets WindowGroupLimit pushdown; global top-k plans
+    TakeOrderedAndProject — neither does a full sort of all rows."""
+    topk = _plan(spark, "events_topk_per_user")
+    assert "WindowGroupLimit" in topk
+    q3 = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in q3
+
+
+def test_text_profile_no_shuffle(spark):
+    """Document profiling is scan → project only."""
+    plan = _plan(spark, "text_profile")
+    assert "Exchange" not in plan
+
+
+def test_no_cartesian_products(spark):
+    """Candidate generation (LSH/IVF) must never plan a cartesian product —
+    except the intentional broadcast of tiny query/centroid sets."""
+    for name in ("dedup_minhash_pairs", "embedding_cosine_neardup"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
