@@ -8,9 +8,10 @@ Reference semantics mapped (SURVEY §2.8):
 - ignoreErrors None/Driver/All (reference: CassandraSinkTask.java:128-141;
   KAF-200) → error-routing policy inside the batch:
     None   → any record error fails the batch (Spark retries → rewind);
-    Driver → mapping/decode errors are diverted to the error channel,
-             write errors still fail the batch;
-    All    → every error is diverted; the batch always commits.
+    Driver → driver/write errors are ignored (counted), mapping/decode
+             errors still fail the batch (rewind);
+    All    → every error is ignored; mapping errors divert to the
+             dead-letter ``error_sink``; the batch always commits.
 - per-table metrics recordCount/failedRecordCount named "topic|ks.table"
   (reference: SimpleEndToEndSimulacronIT.java:469-471) → accumulator-backed
   SinkMetrics.
@@ -55,6 +56,32 @@ class SinkMetrics:
         d[key] = d.get(key, 0) + n
 
 
+def split_mapping_errors(
+    decoded: DataFrame, table: TableConfig
+) -> tuple[DataFrame, DataFrame | None]:
+    """Separate records whose value failed the typed decode from the healthy
+    stream — the reference's per-record mapping error
+    (CassandraSinkTask.java:128-141: mapping errors are rewound under
+    None/Driver, skipped+counted under All).
+
+    A record is a mapping error when the table's mapping addresses typed
+    ``value.<field>`` paths but the value did not parse (the literal-fallback
+    channel is populated). Tables that only map the whole value / raw mode
+    never error here — the literal IS their data.
+    """
+    from kafka_sink_spark.operators.records import RAW_FIELD, VALUE_LITERAL
+
+    needs_typed_value = any(
+        e.namespace == "value" and e.path not in (None, RAW_FIELD)
+        for e in table.mapping
+    )
+    if not needs_typed_value or VALUE_LITERAL not in decoded.columns:
+        return decoded, None
+    good = decoded.filter(F.col(VALUE_LITERAL).isNull())
+    bad = decoded.filter(F.col(VALUE_LITERAL).isNotNull())
+    return good, bad
+
+
 def process_micro_batch(
     batch_df: DataFrame,
     config: SinkConfig,
@@ -63,6 +90,7 @@ def process_micro_batch(
     key_schemas: dict[str, object] | None = None,
     writer: Callable[[DataFrame, TableConfig, TableSchema], None] | None = None,
     metrics: SinkMetrics | None = None,
+    error_sink: Callable[[DataFrame, TableConfig], None] | None = None,
 ) -> dict[str, DataFrame]:
     """One micro-batch through the full sink pipeline.
 
@@ -72,7 +100,11 @@ def process_micro_batch(
     writer is given — the test/oracle path).
 
     Unknown-topic records are counted, not written
-    (SimpleEndToEndSimulacronIT.java:740-755).
+    (SimpleEndToEndSimulacronIT.java:740-755). Records that fail the typed
+    decode are mapping errors: under ignoreErrors=All they are diverted to
+    ``error_sink`` (the dead-letter channel) and counted; under None/Driver
+    they fail the batch so Spark's retry rewinds the offsets — the
+    reference's failure-offset behavior (SURVEY §2.8).
     """
     metrics = metrics if metrics is not None else SinkMetrics()
     value_schemas = value_schemas or {}
@@ -92,10 +124,23 @@ def process_micro_batch(
             value_schema=value_schemas.get(table.topic),
             key_schema=key_schemas.get(table.topic),
         )
+        key = f"{table.topic}|{table.keyspace}.{table.table}"
+        decoded, bad = split_mapping_errors(decoded, table)
+        if bad is not None:
+            n_bad = bad.count()
+            if n_bad:
+                if config.ignore_errors == "All":
+                    metrics.bump(key, n_bad, failed=True)
+                    if error_sink is not None:
+                        error_sink(bad, table)
+                else:
+                    raise RuntimeError(
+                        f"{n_bad} record(s) failed mapping for {key} "
+                        f"(ignoreErrors={config.ignore_errors} rewinds mapping errors)"
+                    )
         mapped = compile_mapping(decoded, table, schema)
         timed = add_ttl_writetime(mapped, table)
         routed = route_writes(timed, table, schema)
-        key = f"{table.topic}|{table.keyspace}.{table.table}"
         if writer is not None:
             try:
                 writer(routed, table, schema)
@@ -123,6 +168,7 @@ def start_sink_stream(
     key_schemas: dict[str, object] | None = None,
     metrics: SinkMetrics | None = None,
     trigger_once: bool = False,
+    error_sink: Callable[[DataFrame, TableConfig], None] | None = None,
 ):
     """Wire the pipeline into a streaming query.
 
@@ -142,6 +188,7 @@ def start_sink_stream(
             key_schemas=key_schemas,
             writer=writer,
             metrics=shared_metrics,
+            error_sink=error_sink,
         )
 
     q = records_stream.writeStream.foreachBatch(handle).option(

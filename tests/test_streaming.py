@@ -116,6 +116,85 @@ def test_stream_error_policy_all_commits(spark, tmp_path):
     assert not metrics.record_count  # nothing written
 
 
+def test_mapping_errors_divert_to_dead_letter(spark, tmp_path):
+    """ignoreErrors=All: records whose value fails the typed decode are
+    diverted to the error sink (DLQ) with the raw payload intact; healthy
+    records are written; counts reconcile."""
+    src = str(tmp_path / "records")
+    out_dir = str(tmp_path / "out")
+    dlq_dir = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    records = events.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").cast("string").alias("key"),
+        F.when(
+            F.col("event_id") % 5 == 0, F.concat(F.lit("corrupt "), F.col("props"))
+        ).otherwise(F.col("props")).alias("value"),
+    )
+    records.write.mode("overwrite").parquet(src)
+    n_total = records.count()
+    n_bad = records.filter(F.col("offset") % 5 == 0).count()
+
+    cfg, schemas, _ = _config()
+    cfg.ignore_errors = "All"
+    metrics = SinkMetrics()
+
+    def writer(routed, table, schema):
+        routed.select("pk", "kcol").write.mode("append").parquet(out_dir)
+
+    def dlq(bad, table):
+        bad.select("topic", "offset", "value").write.mode("append").parquet(dlq_dir)
+
+    q = start_sink_stream(
+        spark, spark.readStream.schema(RECORD_SCHEMA).parquet(src),
+        cfg, schemas, ckpt, writer,
+        value_schemas={"events": V_SCHEMA}, metrics=metrics, trigger_once=True,
+        error_sink=dlq,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    written = spark.read.parquet(out_dir)
+    dead = spark.read.parquet(dlq_dir)
+    assert written.count() == n_total - n_bad
+    assert dead.count() == n_bad
+    assert metrics.failed_record_count["events|ks.user_events"] == n_bad
+    assert metrics.record_count["events|ks.user_events"] == n_total - n_bad
+    # DLQ keeps the raw payload for replay/inspection
+    assert dead.filter(F.col("value").startswith("corrupt ")).count() == n_bad
+
+
+def test_mapping_errors_fail_batch_under_driver_policy(spark, tmp_path):
+    """ignoreErrors=Driver ignores WRITE errors but mapping errors still fail
+    the batch (rewind) — the reference's asymmetric policy."""
+    src = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    events.select(
+        F.lit("events").alias("topic"), F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"), F.col("ts").alias("timestamp"),
+        F.col("event_id").cast("string").alias("key"),
+        F.lit("not json at all").alias("value"),
+    ).write.mode("overwrite").parquet(src)
+    cfg, schemas, _ = _config()
+    cfg.ignore_errors = "Driver"
+
+    q = start_sink_stream(
+        spark, spark.readStream.schema(RECORD_SCHEMA).parquet(src),
+        cfg, schemas, ckpt, lambda df, t, s: None,
+        value_schemas={"events": V_SCHEMA}, trigger_once=True,
+    )
+    with pytest.raises(Exception, match="failed mapping|StreamingQueryException"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+
 def test_stream_error_policy_none_fails(spark, tmp_path):
     src = str(tmp_path / "records")
     ckpt = str(tmp_path / "ckpt")
