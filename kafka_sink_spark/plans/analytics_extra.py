@@ -431,6 +431,61 @@ def q2_min_acctbal_supplier(spark, sf_dir):
 
 
 @register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles with a disjunctive cross-filter. Both nation instances and
+    supplier/customer broadcast; lineitem⋈orders is the only shuffle."""
+    t = load_tables(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
+            .cast(DEC_OUT)
+            .alias("revenue")
+        )
+    )
+
+
+@register(
     "events_set_ops",
     oracle="""
     WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
