@@ -208,6 +208,55 @@ def minhash_dedup_pairs(
     return sim.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into groups: iterative min-label propagation
+    (the HashMin connected-components algorithm).
+
+    Each iteration is one distributed join + aggregation; convergence needs
+    O(component diameter) rounds — near-dup clusters are shallow, so this
+    terminates in a handful of iterations. ``localCheckpoint`` truncates the
+    lineage per round (the standard iterative-algorithm pattern; without it
+    the plan doubles every iteration). Output: doc_id, cluster_id (= the
+    minimum doc_id in the component).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                F.col("doc_id"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 # --- simhash ---------------------------------------------------------------
 
 

@@ -471,6 +471,36 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_duplicates(docs, bits=16)
 
 
+def _clusters_oracle(threshold: float = 0.2, k: int = 16, bands: int = 4, n: int = 3) -> str:
+    pairs_sql = _minhash_pairs_oracle(threshold, k, bands, n)
+    return f"""
+    WITH RECURSIVE pairsq AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairsq
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairsq
+    ), verts AS (
+      SELECT DISTINCT src AS doc_id FROM edges
+    ), reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+    )
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components via
+    iterative min-label propagation (HashMin). Each round is one distributed
+    join+agg; the DuckDB twin computes the same components with a recursive
+    CTE — an iterative Spark algorithm that is still oracle-checkable."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2)
+    return dedup.connected_components(pairs)
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
