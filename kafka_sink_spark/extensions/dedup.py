@@ -208,7 +208,7 @@ def minhash_dedup_pairs(
     return sim.filter(F.col("jaccard") >= threshold)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Cluster near-dup pairs into groups: iterative min-label propagation
     (the HashMin connected-components algorithm).
 
@@ -223,7 +223,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).localCheckpoint()  # materialize once — iterating must not re-run the
+    # (potentially expensive) upstream pair-generation pipeline per round
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
@@ -254,6 +255,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(component diameter exceeds max_iter) — raise max_iter"
+        )
     return labels.select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

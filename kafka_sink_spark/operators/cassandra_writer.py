@@ -58,31 +58,15 @@ except ImportError:  # pragma: no cover
 
 
 def statement_texts(table: TableConfig, schema: TableSchema) -> dict[str, str]:
-    """The prepared-statement texts for each route (W1/W2/W4/W3/W5) — same
-    shapes `cql_statement` stamps per row, computed once for preparation."""
-    if table.query is not None:
-        return {"provided": table.query}
-    fq = f"{table.keyspace}.{table.table}"
-    cols = [c.name for c in schema.columns]
-    insert = (
-        f"INSERT INTO {fq}({','.join(cols)}) VALUES "
-        f"({','.join(':' + c for c in cols)}) "
-        f"USING TIMESTAMP :message_internal_timestamp"
-    )
-    out = {
-        "insert": insert,
-        "insert_ttl": insert + " AND TTL :message_internal_ttl",
-        "delete": f"DELETE FROM {fq} WHERE "
-        + " AND ".join(f"{c}=:{c}" for c in schema.primary_key),
-    }
-    if schema.counters:
-        out["counter"] = (
-            f"UPDATE {fq} SET "
-            + ", ".join(f"{c} = {c} + :{c}" for c in schema.counters)
-            + " WHERE "
-            + " AND ".join(f"{c}=:{c}" for c in schema.primary_key)
-        )
-    return out
+    """The prepared-statement texts for each route (W1/W2/W4/W3/W5) —
+    delegates to the single template builder in operators.writes so the
+    executed statements can never drift from the oracle-verified ``cql``
+    column. Adds ``insert_plain`` (no USING TIMESTAMP) for records without a
+    writetime: binding null to a USING TIMESTAMP variable is a server error.
+    """
+    from kafka_sink_spark.operators.writes import cql_templates
+
+    return cql_templates(table, schema)
 
 
 def _route_and_params(
@@ -108,23 +92,30 @@ def _route_and_params(
         c.name: (row.get(c.name) if row.get(c.name) is not None else null_marker)
         for c in schema.columns
     }
-    params["message_internal_timestamp"] = row.get(WRITETIME_COL)
+    wt = row.get(WRITETIME_COL)
+    if wt is None:
+        # No writetime → the timestamp-free template (binding null to
+        # USING TIMESTAMP is a server error).
+        return "insert_plain", params
+    params["message_internal_timestamp"] = wt
     if row.get(TTL_COL) is not None:
         params["message_internal_ttl"] = row[TTL_COL]
         return "insert_ttl", params
     return "insert", params
 
 
-def _submit_unlogged_batch(session, stmts: list, consistency_level: str):
-    """Submit one unlogged BATCH frame (W8). Uses the real driver's
-    BatchStatement when the package is present; otherwise delegates to the
-    session's ``execute_batch`` hook (the fake/test interface)."""
+def _submit_batch(session, stmts: list, consistency_level: str, counter: bool):
+    """Submit one BATCH frame (W8): UNLOGGED for regular mutations, COUNTER
+    for counter tables (Cassandra rejects counter statements inside
+    logged/unlogged batches). Uses the real driver's BatchStatement when the
+    package is present; otherwise delegates to the session's
+    ``execute_batch`` hook (the fake/test interface)."""
     try:  # pragma: no cover - needs optional package
         from cassandra import ConsistencyLevel  # type: ignore
         from cassandra.query import BatchStatement, BatchType  # type: ignore
 
         batch = BatchStatement(
-            batch_type=BatchType.UNLOGGED,
+            batch_type=BatchType.COUNTER if counter else BatchType.UNLOGGED,
             consistency_level=getattr(ConsistencyLevel, consistency_level),
         )
         for prep, params in stmts:
@@ -132,6 +123,23 @@ def _submit_unlogged_batch(session, stmts: list, consistency_level: str):
         return session.execute_async(batch)
     except ImportError:
         return session.execute_batch(stmts, consistency_level=consistency_level)
+
+
+def _apply_consistency(prepared: dict, consistency_level: str) -> None:
+    """W7 for SINGLE executes: the driver applies a PreparedStatement's
+    consistency_level to every statement bound from it. Guarded setattr —
+    test fakes may return plain strings from prepare()."""
+    try:  # pragma: no cover - needs optional package
+        from cassandra import ConsistencyLevel  # type: ignore
+
+        cl = getattr(ConsistencyLevel, consistency_level)
+    except ImportError:
+        cl = consistency_level
+    for stmt in prepared.values():
+        try:
+            stmt.consistency_level = cl
+        except AttributeError:
+            pass
 
 
 def write_routed(
@@ -160,6 +168,7 @@ def write_routed(
     def write_partition(rows: Iterable) -> Iterator[tuple[int, int, int]]:
         session = session_factory()
         prepared = {kind: session.prepare(cql) for kind, cql in texts.items()}
+        _apply_consistency(prepared, table_ref.consistency_level)
         futures: list = []
 
         def throttle() -> None:
@@ -181,10 +190,11 @@ def write_routed(
                     fut = session.execute_async(prepared[kind], params)
                     singles += 1
                 else:
-                    fut = _submit_unlogged_batch(
+                    fut = _submit_batch(
                         session,
                         [(prepared[k], p) for k, p in chunk],
                         table_ref.consistency_level,
+                        counter=bool(schema_ref.counters),
                     )
                     batch_frames += 1
                 futures.append(fut)

@@ -39,18 +39,18 @@ def salted_aggregate(
     """Two-phase salted aggregation.
 
     ``aggs`` maps output column name → (fn, input column) with fn in
-    count/sum/min/max (the decomposable aggregates). The salt defaults to a
-    deterministic hash of the full row's partition id substitute —
-    ``pmod(hash(*keys, monotonically_increasing_id is NOT used; callers pass
-    salt_expr for full determinism)`` — callers wanting reproducible partial
-    rows should pass ``salt_expr`` (e.g. ``pmod(col("event_id"), 16)``).
-    Results are identical to a direct groupBy either way.
+    count/sum/min/max (the decomposable aggregates). The salt defaults to
+    the task's partition id (cheap, well-spread); pass ``salt_expr`` (any
+    integer column, e.g. ``col("event_id")``) when the phase-1 partial rows
+    themselves must be reproducible. The final result is identical to a
+    direct groupBy either way — pmod is applied here, callers pass the raw
+    expression.
     """
     for name, (fn, _) in aggs.items():
         if fn not in _AGG_FNS:
             raise ValueError(f"unsupported salted aggregate {fn} for {name}")
-    salt = salt_expr if salt_expr is not None else F.pmod(F.spark_partition_id(), F.lit(n_salts))
-    salted = df.withColumn("_salt", salt % n_salts)
+    raw_salt = salt_expr if salt_expr is not None else F.spark_partition_id()
+    salted = df.withColumn("_salt", F.pmod(raw_salt, F.lit(n_salts)))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
             _AGG_FNS[fn][0](col).alias(f"_p_{name}")

@@ -98,6 +98,42 @@ def route_writes(mapped: DataFrame, table: TableConfig, schema: TableSchema) -> 
     return mapped.withColumn(ROUTE_COL, route)
 
 
+def cql_templates(table: TableConfig, schema: TableSchema) -> dict[str, str]:
+    """The ONE source of CQL template shapes (W1/W2/W4/W3/W5) — used both by
+    ``cql_statement`` (the per-row oracle-verified column) and the physical
+    writer's statement preparation, so the executed CQL can never drift from
+    the verified shapes.
+
+    Keys: provided | insert | insert_ttl | insert_plain | delete | counter.
+    ``insert_plain`` omits USING TIMESTAMP for rows without a writetime
+    (binding null to a USING TIMESTAMP variable is a server error).
+    """
+    if table.query is not None:
+        return {"provided": table.query}
+    fq = f"{table.keyspace}.{table.table}"
+    cols = [c.name for c in schema.columns]
+    insert_plain = (
+        f"INSERT INTO {fq}({','.join(cols)}) VALUES "
+        f"({','.join(':' + c for c in cols)})"
+    )
+    insert = insert_plain + " USING TIMESTAMP :message_internal_timestamp"
+    out = {
+        "insert": insert,
+        "insert_ttl": insert + " AND TTL :message_internal_ttl",
+        "insert_plain": insert_plain,
+        "delete": f"DELETE FROM {fq} WHERE "
+        + " AND ".join(f"{c}=:{c}" for c in schema.primary_key),
+    }
+    if schema.counters:
+        out["counter"] = (
+            f"UPDATE {fq} SET "
+            + ", ".join(f"{c} = {c} + :{c}" for c in schema.counters)
+            + " WHERE "
+            + " AND ".join(f"{c}=:{c}" for c in schema.primary_key)
+        )
+    return out
+
+
 def cql_statement(table: TableConfig, schema: TableSchema) -> Column:
     """Generate the CQL template string per row — pins the reference's exact
     statement shapes (W1/W2/W4,
@@ -111,30 +147,18 @@ def cql_statement(table: TableConfig, schema: TableSchema) -> Column:
     In provided-query mode (W5, reference: ProvidedQueryCCMIT.java:90-129) the
     user's CQL text is used verbatim — no generation, no validation.
     """
+    t = cql_templates(table, schema)
     if table.query is not None:
-        return F.lit(table.query)
-    fq = f"{table.keyspace}.{table.table}"
-    cols = [c.name for c in schema.columns]
-    insert = (
-        f"INSERT INTO {fq}({','.join(cols)}) VALUES "
-        f"({','.join(':' + c for c in cols)}) "
-        f"USING TIMESTAMP :message_internal_timestamp"
+        return F.lit(t["provided"])
+    chain = (
+        F.when(F.col(ROUTE_COL) == ROUTE_DELETE, F.lit(t["delete"]))
     )
-    insert_ttl = insert + " AND TTL :message_internal_ttl"
-    delete = f"DELETE FROM {fq} WHERE " + " AND ".join(
-        f"{c}=:{c}" for c in schema.primary_key
-    )
-    counter = (
-        f"UPDATE {fq} SET "
-        + ", ".join(f"{c} = {c} + :{c}" for c in schema.counters)
-        + " WHERE "
-        + " AND ".join(f"{c}=:{c}" for c in schema.primary_key)
-    )
+    if "counter" in t:
+        chain = chain.when(F.col(ROUTE_COL) == ROUTE_COUNTER, F.lit(t["counter"]))
     return (
-        F.when(F.col(ROUTE_COL) == ROUTE_DELETE, F.lit(delete))
-        .when(F.col(ROUTE_COL) == ROUTE_COUNTER, F.lit(counter))
-        .when(F.col(TTL_COL).isNotNull(), F.lit(insert_ttl))
-        .otherwise(F.lit(insert))
+        chain.when(F.col(WRITETIME_COL).isNull(), F.lit(t["insert_plain"]))
+        .when(F.col(TTL_COL).isNotNull(), F.lit(t["insert_ttl"]))
+        .otherwise(F.lit(t["insert"]))
     )
 
 

@@ -59,26 +59,50 @@ class SinkMetrics:
 def split_mapping_errors(
     decoded: DataFrame, table: TableConfig
 ) -> tuple[DataFrame, DataFrame | None]:
-    """Separate records whose value failed the typed decode from the healthy
-    stream — the reference's per-record mapping error
+    """Separate records whose key or value failed the typed decode from the
+    healthy stream — the reference's per-record mapping error
     (CassandraSinkTask.java:128-141: mapping errors are rewound under
     None/Driver, skipped+counted under All).
 
-    A record is a mapping error when the table's mapping addresses typed
-    ``value.<field>`` paths but the value did not parse (the literal-fallback
-    channel is populated). Tables that only map the whole value / raw mode
-    never error here — the literal IS their data.
+    A record errors on a side (key/value) only when the mapping addresses
+    typed ``<side>.<field>`` paths AND has no whole-``<side>`` entry AND that
+    side did not parse (its literal-fallback channel is populated). A mapping
+    that projects the whole side (P4 shape, e.g. ``raw=value, kcol=value.k``)
+    accepts literal mode — the literal IS the raw column's data and the
+    typed fields bind as absent, matching reference mode-3 semantics
+    (MetadataCreatorTest.java:104-116).
     """
-    from kafka_sink_spark.operators.records import RAW_FIELD, VALUE_LITERAL
-
-    needs_typed_value = any(
-        e.namespace == "value" and e.path not in (None, RAW_FIELD)
-        for e in table.mapping
+    from kafka_sink_spark.operators.records import (
+        KEY_LITERAL,
+        RAW_FIELD,
+        VALUE_LITERAL,
     )
-    if not needs_typed_value or VALUE_LITERAL not in decoded.columns:
+
+    def errors_on(ns: str, literal_col: str):
+        typed = any(
+            e.namespace == ns and e.path not in (None, RAW_FIELD)
+            for e in table.mapping
+        )
+        whole = any(
+            e.namespace == ns and e.path in (None, RAW_FIELD)
+            for e in table.mapping
+        )
+        if typed and not whole and literal_col in decoded.columns:
+            return F.col(literal_col).isNotNull()
+        return None
+
+    conds = [
+        c
+        for c in (errors_on("value", VALUE_LITERAL), errors_on("key", KEY_LITERAL))
+        if c is not None
+    ]
+    if not conds:
         return decoded, None
-    good = decoded.filter(F.col(VALUE_LITERAL).isNull())
-    bad = decoded.filter(F.col(VALUE_LITERAL).isNotNull())
+    bad_cond = conds[0]
+    for c in conds[1:]:
+        bad_cond = bad_cond | c
+    good = decoded.filter(~bad_cond)
+    bad = decoded.filter(bad_cond)
     return good, bad
 
 
@@ -126,7 +150,11 @@ def process_micro_batch(
         )
         key = f"{table.topic}|{table.keyspace}.{table.table}"
         decoded, bad = split_mapping_errors(decoded, table)
+        cached = None
         if bad is not None:
+            # The decode feeds up to three actions (error count, error sink,
+            # the write) — persist it once instead of re-parsing per action.
+            cached = decoded.persist()
             n_bad = bad.count()
             if n_bad:
                 if config.ignore_errors == "All":
@@ -134,6 +162,7 @@ def process_micro_batch(
                     if error_sink is not None:
                         error_sink(bad, table)
                 else:
+                    cached.unpersist()
                     raise RuntimeError(
                         f"{n_bad} record(s) failed mapping for {key} "
                         f"(ignoreErrors={config.ignore_errors} rewinds mapping errors)"
@@ -153,6 +182,8 @@ def process_micro_batch(
                     raise  # None → batch fails → Spark retries (offset rewind)
         else:
             metrics.bump(key, routed.count())
+        if cached is not None:
+            cached.unpersist()
         out[f"{table.keyspace}.{table.table}"] = routed
     return out
 
