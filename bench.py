@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "events_topk_per_user",
     "events_sessionize",
     "events_hourly_rollup",
