@@ -84,3 +84,53 @@ def test_no_cartesian_products(spark):
     for name in ("dedup_minhash_pairs", "embedding_cosine_neardup"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q19_disjunction_pushed_to_scan(spark):
+    """The OR-of-ANDs predicate must reach the part scan via CNF extraction
+    (single-side conjuncts below the join, residual Or in PushedFilters)."""
+    fmt = _formatted(spark, "q19_disjunctive_revenue")
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert any("Or(" in l and "p_brand" in l for l in pushed), pushed
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark):
+    """EXISTS / NOT EXISTS must plan as left-semi / left-anti joins on the
+    correlation key — never a per-row subquery rescan."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan, "EXISTS did not become a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS did not become an anti join"
+
+
+def test_q16_anti_join_and_distinct(spark):
+    """NOT IN over a non-null key set must plan as an anti join (broadcast at
+    this size), and the COUNT(DISTINCT) must go through partial aggregation."""
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "partial" in plan
+
+
+def test_q13_preserves_outer_join(spark):
+    """The customer-retention histogram needs the null-extended rows: the
+    left outer join must survive optimization (not degrade to inner)."""
+    plan = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q8_no_cartesian_and_pruned(spark):
+    """8-way join: no cartesian products; lineitem scan reads only the five
+    columns the query needs."""
+    plan = _plan(spark, "q8_market_share")
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(spark, "q8_market_share")
+    li_read = [l for l in fmt.splitlines() if "ReadSchema" in l and "l_partkey" in l]
+    assert li_read and "l_tax" not in li_read[0] and "l_comment" not in li_read[0]
+
+
+def test_q17_preagg_joined_not_rescanned(spark):
+    """The per-part average must be computed ONCE as a pre-aggregate and
+    joined back — exactly one aggregate over lineitem quantities (plus the
+    final one-row sum), never a per-row correlated rescan."""
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
