@@ -511,3 +511,48 @@ def q22_global_sales(spark, sf_dir):
             F.sum(_dec("c_acctbal")).cast(DEC_OUT).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q20_part_suppliers",
+    oracle=f"""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS {DEC})) > CAST(50 AS {DEC})
+    )
+    AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+    """,
+)
+def q20_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN subqueries — the inner one filters the part
+    dimension (LIKE), the outer one aggregates lineitem per (supplier, part)
+    with a HAVING threshold (standing in for the partsupp availqty
+    comparison). Catalyst plans both INs as left-semi joins; the HAVING
+    aggregate happens once, pre-join. spark.sql to exercise nested-subquery
+    planning."""
+    load_tables(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
+    return spark.sql(
+        f"""
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS {DEC})) > CAST(50 AS {DEC})
+        )
+        AND n_name = 'NATION_2'
+        """
+    )
