@@ -273,3 +273,66 @@ def run_sink_pipeline(
     mapped = compile_mapping(decoded, table, schema)
     timed = add_ttl_writetime(mapped, table)
     return route_writes(timed, table, schema)
+
+
+def replay_list_append(
+    routed: DataFrame, schema: TableSchema, val_col: str
+) -> DataFrame:
+    """Final state under a provided-query CQL list append
+    (``UPDATE ... SET l = l + [:v] WHERE pk = :pk``) executed once per record
+    (reference: ProvidedQueryCCMIT.java:196-221 — three puts of the same
+    record append three elements): per primary key the list accumulates every
+    bound value in arrival order (Kafka offset).
+
+    Distributed as collect_list + array_sort on the (offset, value) pairs —
+    the shuffle necessarily carries every element (the result IS the list);
+    collect_list merges partially so no single task sees more than its own
+    input slice before the final per-key merge.
+    """
+    pk = [c for c in schema.primary_key if c in routed.columns]
+    entry = F.struct(F.col("_kafka_offset").alias("o"), F.col(val_col).alias("v"))
+    return (
+        routed.filter(F.col(val_col).isNotNull())
+        .groupBy(*[F.col(c) for c in pk])
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(entry)), lambda s: s["v"]
+            ).alias(val_col)
+        )
+    )
+
+
+def replay_map_entries(
+    routed: DataFrame,
+    schema: TableSchema,
+    key_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Final state under a provided-query CQL map-entry update
+    (``UPDATE ... SET m[:mk] = :mv WHERE pk = :pk``): per (pk, entry key) the
+    last write in arrival order wins, and a null winning value REMOVES the
+    entry — the nullToUnset=false tombstone path of
+    reference: ProvidedQueryCCMIT.java:476-545 (map entry update/remove).
+
+    Output: per pk, the surviving entries as two key-sorted parallel arrays
+    (``<key_col>s`` / ``<val_col>s``) — deterministic across engines, unlike
+    map column ordering. Two hash aggregations, both with map-side partial
+    combine.
+    """
+    pk = [c for c in schema.primary_key if c in routed.columns]
+    winner = routed.groupBy(*[F.col(c) for c in pk + [key_col]]).agg(
+        F.max_by(F.col(val_col), F.col("_kafka_offset")).alias(val_col)
+    )
+    survivors = winner.filter(F.col(val_col).isNotNull())
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col(key_col).alias("k"), F.col(val_col).alias("v")))
+    )
+    return (
+        survivors.groupBy(*[F.col(c) for c in pk])
+        .agg(entries.alias("_e"))
+        .select(
+            *pk,
+            F.transform(F.col("_e"), lambda s: s["k"]).alias(f"{key_col}s"),
+            F.transform(F.col("_e"), lambda s: s["v"]).alias(f"{val_col}s"),
+        )
+    )

@@ -469,3 +469,100 @@ def sink_consistency_level(spark, sf_dir):
         counts.join(F.broadcast(cfg_df), "topic")
         .select("mode", "table_name", "cl", "n_records")
     )
+
+
+# --------------------------------------------------------------------------
+# W5 — provided-query collection mutations (list append, map entry update)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_provided_list_append",
+    oracle="""
+    WITH m AS (
+      SELECT user_id AS pk, event_id AS o,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS v
+      FROM events
+    )
+    SELECT CAST(pk AS BIGINT) AS pk, array_agg(v ORDER BY o) AS v
+    FROM m WHERE v IS NOT NULL GROUP BY pk
+    """,
+)
+def sink_provided_list_append(spark, sf_dir):
+    """W5 collection mutation (reference: ProvidedQueryCCMIT.java:196-221):
+    ``UPDATE ... SET l = l + [:v]`` runs once per record, so the final list
+    is every bound value in arrival order. replay_list_append materializes
+    that accrual distributively (collect_list with partial merge)."""
+    from kafka_sink_spark.operators.writes import replay_list_append
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    value = F.concat(F.lit('{"v": '), _k().cast("string"), F.lit("}"))
+    records = _records(events, key=F.col("user_id").cast("string"), value=value)
+    schema = TableSchema(
+        "ks", "lists",
+        [ColumnSpec("pk", "bigint", primary_key=True), ColumnSpec("v", "int")],
+    )
+    table = TableConfig(
+        "events", "ks", "lists", parse_mapping("pk=key, v=value.v"),
+        query="UPDATE ks.lists SET l = l + [:v] WHERE pk = :pk",
+        deletes_enabled=False,
+    )
+    vschema = StructType([StructField("v", IntegerType())])
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    return replay_list_append(routed, schema, "v")
+
+
+@register(
+    "sink_provided_map_entries",
+    oracle="""
+    WITH m AS (
+      SELECT user_id AS pk, event_type AS mk, event_id AS o,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS mv
+      FROM events
+    ), w AS (
+      SELECT pk, mk, mv,
+             row_number() OVER (PARTITION BY pk, mk ORDER BY o DESC) AS rn
+      FROM m
+    ), f AS (
+      SELECT pk, mk, mv FROM w WHERE rn = 1 AND mv IS NOT NULL
+    )
+    SELECT CAST(pk AS BIGINT) AS pk,
+           array_agg(mk ORDER BY mk) AS mks,
+           array_agg(mv ORDER BY mk) AS mvs
+    FROM f GROUP BY pk
+    """,
+)
+def sink_provided_map_entries(spark, sf_dir):
+    """W5 map-entry mutation (reference: ProvidedQueryCCMIT.java:476-545):
+    ``UPDATE ... SET m[:mk] = :mv`` — last write per (pk, entry key) wins and
+    a null bound value (nullToUnset=false path) REMOVES the entry. Output as
+    key-sorted parallel arrays for deterministic cross-engine compare."""
+    from kafka_sink_spark.operators.writes import replay_map_entries
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    mv = F.when(F.col("event_type") == "error", F.lit(None).cast("int")).otherwise(_k())
+    value = F.concat(
+        F.lit('{"mk": "'), F.col("event_type"), F.lit('", "mv": '),
+        F.coalesce(mv.cast("string"), F.lit("null")), F.lit("}"),
+    )
+    records = _records(events, key=F.col("user_id").cast("string"), value=value)
+    schema = TableSchema(
+        "ks", "maps",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("mk", "string"),
+            ColumnSpec("mv", "int"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "maps", parse_mapping("pk=key, mk=value.mk, mv=value.mv"),
+        query="UPDATE ks.maps SET m[:mk] = :mv WHERE pk = :pk",
+        deletes_enabled=False, null_to_unset=False,
+    )
+    vschema = StructType(
+        [StructField("mk", StringType()), StructField("mv", IntegerType())]
+    )
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    return replay_map_entries(routed, schema, "mk", "mv")
