@@ -566,3 +566,66 @@ def sink_provided_map_entries(spark, sf_dir):
     )
     routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
     return replay_map_entries(routed, schema, "mk", "mv")
+
+
+@register(
+    "sink_provided_udt_partial",
+    oracle="""
+    WITH m AS (
+      SELECT user_id AS pk, event_id AS o,
+             CASE WHEN event_type <> 'error'
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS f1,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN upper(event_type) END AS f2
+      FROM events
+    ), w AS (
+      SELECT pk,
+             max_by(f1, CASE WHEN f1 IS NOT NULL THEN o END) AS f1,
+             max_by(f2, CASE WHEN f2 IS NOT NULL THEN o END) AS f2
+      FROM m GROUP BY pk
+    )
+    SELECT CAST(pk AS BIGINT) AS pk, f1 AS u_f1, f2 AS u_f2
+    FROM w
+    """,
+)
+def sink_provided_udt_partial(spark, sf_dir):
+    """W5 partial non-frozen UDT update (reference:
+    ProvidedQueryCCMIT.java:333-441): ``UPDATE ... SET u.f1 = :f1`` touches
+    ONE field of a non-frozen UDT; with nullToUnset=true a null bound value
+    leaves the field untouched. Final state is per-FIELD last-non-null — the
+    same apply_null_to_unset aggregation at UDT-field granularity (each UDT
+    field is a column in the replay model; the writer stage re-assembles the
+    struct)."""
+    from kafka_sink_spark.operators.writes import apply_null_to_unset
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    f1 = F.when(F.col("event_type") != "error", _k())
+    f2 = F.when(
+        F.col("event_type").isin("click", "purchase"), F.upper(F.col("event_type"))
+    )
+    value = F.concat(
+        F.lit('{"f1": '), F.coalesce(f1.cast("string"), F.lit("null")),
+        F.lit(', "f2": '),
+        F.coalesce(F.concat(F.lit('"'), f2, F.lit('"')), F.lit("null")),
+        F.lit("}"),
+    )
+    records = _records(events, key=F.col("user_id").cast("string"), value=value)
+    schema = TableSchema(
+        "ks", "udt_partial",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("u_f1", "int"),
+            ColumnSpec("u_f2", "string"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "udt_partial",
+        parse_mapping("pk=key, u_f1=value.f1, u_f2=value.f2"),
+        query="UPDATE ks.udt_partial SET u.f1 = :u_f1, u.f2 = :u_f2 WHERE pk = :pk",
+        deletes_enabled=False,
+    )
+    vschema = StructType(
+        [StructField("f1", IntegerType()), StructField("f2", StringType())]
+    )
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    return apply_null_to_unset(routed, table, schema)
