@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "embedding_lsh_buckets",
     "multimodal_features",
+    "pipeline_training_data",
 ]
 
 

@@ -658,3 +658,63 @@ def q14_promo_revenue(spark, sf_dir):
             F.col("promo").cast("double") * 100 / F.col("total").cast("double"), 6
         ).alias("promo_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone: the composed training-data curation pipeline
+# --------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    from kafka_sink_spark.plans.analytics import TEXT_PROFILE_ORACLE
+
+    return f"""
+    WITH prof AS ({TEXT_PROFILE_ORACLE}),
+    kept AS (
+      SELECT * FROM prof
+      WHERE quality >= 0.6 AND n_tokens >= 12 AND lang_pred <> 'und'
+    ),
+    rep AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM kept GROUP BY fingerprint
+    )
+    SELECT k.doc_id, k.lang_pred, k.quality, k.n_tokens, rep.n_copies
+    FROM rep JOIN kept k
+      ON k.fingerprint = rep.fingerprint AND k.doc_id = rep.doc_id
+    """
+
+
+@register("pipeline_training_data", oracle=_pipeline_oracle())
+def pipeline_training_data(spark, sf_dir):
+    """The composed curation pipeline a training-data run would execute:
+    profile (token/char stats, quality score, language ID, normalized
+    fingerprint) → filter (quality ≥ 0.6, ≥ 12 tokens, identified language)
+    → exact dedup on the normalized fingerprint keeping the lowest doc_id as
+    representative, carrying the copy count.
+
+    One scan of documents, two projections, ONE shuffle (the fingerprint
+    group-by; min_by keeps it a hash aggregation with map-side combine —
+    no join-back, no window). At 100 TB this is scan-bound: everything
+    before the shuffle is a WholeStageCodegen projection, and the shuffle
+    carries one row per kept document."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    prof = text.text_profile(docs)
+    kept = prof.filter(
+        (F.col("quality") >= 0.6)
+        & (F.col("n_tokens") >= 12)
+        & (F.col("lang_pred") != "und")
+    )
+    rep = F.min_by(
+        F.struct("doc_id", "lang_pred", "quality", "n_tokens"), F.col("doc_id")
+    )
+    return (
+        kept.groupBy("fingerprint")
+        .agg(rep.alias("_r"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            F.col("_r.lang_pred").alias("lang_pred"),
+            F.col("_r.quality").alias("quality"),
+            F.col("_r.n_tokens").alias("n_tokens"),
+            F.col("n_copies"),
+        )
+    )
