@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "embedding_lsh_buckets",
     "multimodal_features",
     "pipeline_training_data",
+    "events_asof_attribution",
+    "events_value_band_join",
+    "shingle_kmv_estimate",
+    "docs_pack_sequences",
 ]
 
 

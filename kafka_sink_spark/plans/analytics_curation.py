@@ -1,0 +1,461 @@
+"""Curation / temporal-join wave: as-of join, bucketed range join, KMV
+cardinality sketch, stratified sampling, sequence packing, term ranking,
+funnel analysis, exact quantile profile.
+
+These are north-star extension operators (the reference has no joins or
+aggregations at all — SURVEY §2.7); each has a DuckDB oracle twin. The
+as-of oracle deliberately uses DuckDB's native ``ASOF JOIN`` so the two
+engines implement the semantics through entirely different algorithms
+(union+window vs DuckDB's dedicated operator) and must still agree.
+
+Cross-engine determinism (see plans/queries.py header): money sums in
+decimal, hashes via md5, no transcendentals, quantiles defined by rank
+(no interpolation arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.extensions import curation, sketch, text
+from kafka_sink_spark.operators.ranges import range_join_bucketed
+from kafka_sink_spark.operators.temporal import asof_join
+from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.session import load_tables
+
+
+# --------------------------------------------------------------------------
+# As-of join: purchase -> latest preceding click of the same user
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           c.event_id AS click_id,
+           c.value AS click_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_attribution(spark, sf_dir):
+    """Attribution as-of join: every purchase is attributed to the latest
+    click of the same user at-or-before the purchase time (nulls when the
+    user never clicked before).
+
+    Spark side: operators/temporal.py union+window — NO join node in the
+    plan, one shuffle on user_id (test_plan_invariants pins this). Oracle
+    side: DuckDB's native ASOF JOIN — an independent algorithm that must
+    agree row-for-row."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload={"event_id": "click_id", "value": "click_value", "ts": "click_ts"},
+        tiebreak="event_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "click_value",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join: events matched to overlapping value bands, via bucketing
+# --------------------------------------------------------------------------
+
+_N_BANDS = 25
+_BAND_STEP = 20
+_BAND_WIDTH = 50
+
+
+@register(
+    "events_value_band_join",
+    oracle=f"""
+    WITH bands AS (
+      SELECT CAST(i AS BIGINT) AS band_id,
+             CAST(i * {_BAND_STEP} AS DOUBLE) AS lo,
+             CAST(i * {_BAND_STEP} + {_BAND_WIDTH} AS DOUBLE) AS hi
+      FROM range({_N_BANDS}) t(i)
+    )
+    SELECT b.band_id, b.lo, b.hi,
+           COUNT(e.event_id) AS n_events,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(12,2))), 0)
+                AS DECIMAL(38,6)) AS sum_value
+    FROM bands b
+    JOIN events e ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id, b.lo, b.hi
+    """,
+)
+def events_value_band_join(spark, sf_dir):
+    """Overlapping value-band (range) join: bands [20i, 20i+50) for
+    i in 0..24 — every event matches 2-3 bands, so this is a genuine
+    interval join, not bucketing in disguise.
+
+    Spark side: operators/ranges.py bucketed equi-join (bucket width 20) —
+    the plan contains an equi hash/merge join on the bucket id and NO
+    BroadcastNestedLoopJoin/CartesianProduct (test_plan_invariants pins
+    this). Money summed in decimal(12,2) for cross-engine exactness."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    bands = spark.range(_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_STEP).cast("double").alias("lo"),
+        (F.col("id") * _BAND_STEP + _BAND_WIDTH).cast("double").alias("hi"),
+    )
+    joined = range_join_bucketed(
+        events.select("event_id", "value"),
+        "value",
+        bands,
+        "lo",
+        "hi",
+        bucket_width=_BAND_STEP,
+    )
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("event_id").alias("n_events"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(12,2)")), F.lit(0)
+        ).cast("decimal(38,6)").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV distinct sketch: distinct 8-char shingles per language
+# --------------------------------------------------------------------------
+
+_KMV_K = 256
+
+
+@register(
+    "shingle_kmv_estimate",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+      FROM documents
+    ), sh AS (
+      SELECT lang,
+             unnest(list_transform(range(GREATEST(length(nm) - 7, 1)),
+                                   i -> substr(nm, i + 1, 8))) AS shingle
+      FROM n
+    ), d AS (
+      SELECT DISTINCT lang,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ), r AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h ASC) AS rn
+      FROM d
+    )
+    SELECT lang,
+           CAST(CASE WHEN MAX(CASE WHEN rn = {_KMV_K} THEN h END) IS NOT NULL
+                THEN FLOOR({_KMV_K - 1}.0 * 1152921504606846976.0
+                           / CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS DOUBLE))
+                ELSE MAX(rn) END AS BIGINT) AS n_est,
+           CAST(MAX(rn) AS BIGINT) AS n_exact
+    FROM r GROUP BY lang
+    """,
+)
+def shingle_kmv_estimate(spark, sf_dir):
+    """Distinct 8-char-shingle count per language, estimated with the KMV
+    bottom-k sketch (k=256) AND exactly — the estimate itself is
+    cross-engine deterministic because the hash is md5-derived, not an
+    engine-internal HLL (extensions/sketch.py explains the trade)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    shingles = docs.select(F.col("lang"), nm.alias("_nm")).select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
+                lambda i: F.col("_nm").substr(i, F.lit(8)),
+            )
+        ).alias("shingle"),
+    )
+    return sketch.kmv_distinct(
+        shingles, ["lang"], F.col("shingle"), k=_KMV_K, with_exact=True
+    ).select("lang", "n_est", "n_exact")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+_SAMPLE_CAP = 10
+
+
+@register(
+    "docs_sample_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC
+             ) AS INTEGER) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, source, sample_rank
+    FROM r WHERE sample_rank <= {_SAMPLE_CAP}
+    """,
+)
+def docs_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: per (lang, source) stratum keep the
+    {cap} docs with the smallest md5(doc_id) — reproducible across runs,
+    engines, and partitionings (rand() is none of those). The rank filter
+    compiles to WindowGroupLimit: each map task keeps its local top-cap
+    before the shuffle (pinned in test_plan_invariants)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = curation.stratified_sample(
+        docs, ["lang", "source"], F.col("doc_id"), cap=_SAMPLE_CAP
+    )
+    return out.select("doc_id", "lang", "source", "sample_rank")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_units
+      FROM documents
+    )
+    SELECT doc_id, lang, n_units,
+           CAST(FLOOR((SUM(n_units) OVER w - n_units) / {_PACK_BUDGET}.0)
+                AS INTEGER) AS shard_id,
+           CAST(SUM(n_units) OVER w AS BIGINT) AS cum_units
+    FROM t
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def docs_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per language, documents are
+    concatenated in doc_id order and cut every {budget} whitespace tokens;
+    shard_id is the chunk where each doc starts. One window cumulative sum
+    — one shuffle on lang, sort within groups, no sequential recurrence."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = curation.pack_sequences(
+        docs,
+        ["lang"],
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint"),
+        budget=_PACK_BUDGET,
+    )
+    return out.select("doc_id", "lang", "n_units", "shard_id", "cum_units")
+
+
+# --------------------------------------------------------------------------
+# Corpus term ranking (tf/df, transcendental-free)
+# --------------------------------------------------------------------------
+
+_TOP_TERMS = 10
+
+
+@register(
+    "corpus_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT lang, term, COUNT(*) AS tf
+      FROM toks GROUP BY lang, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+    ), scored AS (
+      SELECT tf.lang, tf.term, tf.tf, df.df,
+             round(CAST(tf.tf AS DOUBLE) / df.df, 6) AS score,
+             CAST(row_number() OVER (
+               PARTITION BY tf.lang
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+             ) AS INTEGER) AS rank
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT lang, term, tf, df, score, rank
+    FROM scored WHERE rank <= {_TOP_TERMS}
+    """,
+)
+def corpus_top_terms(spark, sf_dir):
+    """Per-language top terms by tf/df (term frequency over document
+    frequency — ranks identically to tf·idf for fixed corpus size, without
+    log(): libm transcendentals are not bit-identical across engines, IEEE
+    division is). df side is a small aggregate → broadcast join."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term")
+    ratio = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("lang").orderBy(ratio.desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_TERMS)
+        .select(
+            "lang", "term", "tf", "df", F.round(ratio, 6).alias("score"), "rank"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: signup -> click -> purchase, strictly ordered in time
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS name, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2 AS stage, 'click_after_signup' AS name, COUNT(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 3 AS stage, 'purchase_after_click' AS name, COUNT(*) AS n_users FROM s3
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel: users who signed up, then clicked strictly after the
+    first signup, then purchased strictly after that first click. Each stage
+    is a keyed aggregate + equi-join on user_id — co-partitioned shuffles,
+    no windows over the full stream, cardinality shrinks per stage."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        _count(s1, 1, "signup")
+        .unionByName(_count(s2, 2, "click_after_signup"))
+        .unionByName(_count(s3, 3, "purchase_after_click"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact rank-based quantile profile (no interpolation arithmetic)
+# --------------------------------------------------------------------------
+
+_QS = (25, 50, 75, 95)
+
+
+@register(
+    "lineitem_quantile_profile",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(n) AS n_rows,
+           {", ".join(
+               f"MAX(CASE WHEN rn = CAST(FLOOR(CAST(0.{q:02d} AS DOUBLE) * (n - 1)) AS BIGINT) + 1 "
+               f"THEN l_extendedprice END) AS p{q}"
+               for q in _QS
+           )}
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def lineitem_quantile_profile(spark, sf_dir):
+    """Quantile profile per return flag, defined by RANK (lower-value
+    convention: element at index floor(q·(n-1))) — no interpolation
+    arithmetic, so the result is an actual data value and bit-identical
+    across engines. At 100 TB swap in approx_percentile with the same rank
+    convention; the exact path here is the oracle-checkable reference."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    for q in _QS:
+        idx = (F.floor(F.lit(q / 100.0) * (F.col("n") - 1)) + 1).cast("bigint")
+        aggs.append(
+            F.max(F.when(F.col("rn") == idx, F.col("l_extendedprice"))).alias(
+                f"p{q}"
+            )
+        )
+    return r.groupBy("l_returnflag").agg(*aggs)

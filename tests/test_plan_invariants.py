@@ -134,3 +134,60 @@ def test_q17_preagg_joined_not_rescanned(spark):
     plan = _plan(spark, "q17_small_quantity_revenue")
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_has_no_join_node(spark):
+    """The as-of join compiles to union + running window — ONE shuffle on the
+    key, no join operator of any kind (the range-join formulation would plan
+    a nested-loop). This is the whole point of operators/temporal.py."""
+    plan = _plan(spark, "events_asof_attribution")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2  # one per union branch at most
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The band join must execute as an equi join on the bucket id — never a
+    BroadcastNestedLoopJoin/CartesianProduct over the raw inequality."""
+    plan = _plan(spark, "events_value_band_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(n in plan for n in
+               ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_stratified_sample_uses_group_limit(spark):
+    """The per-stratum rank filter must push into WindowGroupLimit so map
+    tasks keep only their local top-cap rows before the shuffle."""
+    plan = _plan(spark, "docs_sample_stratified")
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Concat-and-chunk packing is one hash-partition on lang + in-partition
+    sort — exactly one Exchange in the plan."""
+    plan = _plan(spark, "docs_pack_sequences")
+    assert plan.count("Exchange") == 1
+
+
+def test_kmv_production_path_uses_group_limit(spark):
+    """The estimate-only KMV path (with_exact=False) must plan a
+    WindowGroupLimit: per-task state is O(k), not O(distinct)."""
+    from pyspark.sql import functions as F
+    from kafka_sink_spark.extensions.sketch import kmv_distinct
+    from kafka_sink_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    est = kmv_distinct(docs, ["lang"], F.col("text"), k=16, with_exact=False)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_top_terms_broadcasts_df_side(spark):
+    """tf/df ranking joins the small document-frequency aggregate via
+    broadcast — no shuffle of the tf side for the join."""
+    plan = _plan(spark, "corpus_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
