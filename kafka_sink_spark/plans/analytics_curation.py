@@ -459,3 +459,83 @@ def lineitem_quantile_profile(spark, sf_dir):
             )
         )
     return r.groupBy("l_returnflag").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Train/benchmark contamination detection (decontamination)
+# --------------------------------------------------------------------------
+
+_CONTAM_MIN_OVERLAP = 0.05
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(GREATEST(length(nm) - 7, 1)),
+                                   i -> substr(nm, i + 1, 8))) AS shingle
+      FROM n
+    ), bench AS (
+      SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0
+    ), bn AS (
+      SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY bench_id
+    ), hits AS (
+      SELECT s.doc_id AS train_id, b.bench_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id <> b.bench_id
+      GROUP BY s.doc_id, b.bench_id
+    )
+    SELECT h.train_id, h.bench_id, h.n_shared, bn.n_bench,
+           round(CAST(h.n_shared AS DOUBLE) / bn.n_bench, 6) AS overlap
+    FROM hits h JOIN bn ON h.bench_id = bn.bench_id
+    WHERE CAST(h.n_shared AS DOUBLE) / bn.n_bench >= {_CONTAM_MIN_OVERLAP}
+    """,
+)
+def contamination_overlap(spark, sf_dir):
+    """Train/benchmark decontamination: held-out docs (doc_id % 97 = 0) play
+    the benchmark; every training doc sharing >= 5% of a benchmark doc's
+    distinct 8-char shingles is flagged with its overlap fraction.
+
+    Scale path: the benchmark side is small by construction -> its distinct
+    shingle set broadcasts; the train side streams through a map-side hash
+    join keyed on the shingle, then one aggregation per (train, bench) pair.
+    At 100 TB the train shingle explosion never shuffles — only the matched
+    pairs do."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sh = (
+        docs.select(F.col("doc_id"), nm.alias("_nm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
+                    lambda i: F.col("_nm").substr(i, F.lit(8)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    bn = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    hits = (
+        sh.join(F.broadcast(bench), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_bench")
+    return (
+        hits.join(F.broadcast(bn), "bench_id")
+        .filter(ratio >= _CONTAM_MIN_OVERLAP)
+        .select(
+            "train_id", "bench_id", "n_shared", "n_bench",
+            F.round(ratio, 6).alias("overlap"),
+        )
+    )

@@ -191,3 +191,11 @@ def test_top_terms_broadcasts_df_side(spark):
     plan = _plan(spark, "corpus_top_terms")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    """Decontamination joins the (small) benchmark shingle set via broadcast
+    — the train-side shingle explosion must not shuffle for the join."""
+    plan = _plan(spark, "contamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
