@@ -117,3 +117,61 @@ def test_running_user_profile_state(spark, tmp_path):
     got_rows = {r["user_id"]: (r["n_events_total"], r["last_event_id"]) for r in got.collect()}
     exp_rows = {r["user_id"]: (r["n_events_total"], r["last_event_id"]) for r in exp.collect()}
     assert got_rows == exp_rows
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from kafka_sink_spark.streaming.analytics import interval_join_stream
+
+    stream = _event_stream(spark, tmp_path)
+    anchors = stream.filter(F.col("event_type") == "purchase")
+    probes = stream.filter(F.col("event_type") == "click")
+    out = _run_to_memory(
+        spark,
+        interval_join_stream(anchors, probes),
+        "interval_join_out",
+        str(tmp_path / "ckpt_ij"),
+    )
+    got = {(r["anchor_id"], r["probe_id"], r["gap_us"]) for r in out.collect()}
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    a = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("a_user_id"),
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    p = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = a.join(
+        p,
+        F.expr("a_user_id = p_user_id AND p_ts BETWEEN a_ts - INTERVAL 1 HOUR AND a_ts"),
+    ).select(
+        "anchor_id",
+        "probe_id",
+        (F.unix_micros(F.col("a_ts")) - F.unix_micros(F.col("p_ts"))).alias("gap_us"),
+    )
+    exp = {(r["anchor_id"], r["probe_id"], r["gap_us"]) for r in batch.collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_dedup_stream_drops_replayed_records(spark, tmp_path):
+    from kafka_sink_spark.streaming.analytics import dedup_stream
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    src = str(tmp_path / "dup_src")
+    sel = events.select("event_id", "ts", "user_id", "event_type", "value")
+    # two identical files in the source dir = an at-least-once replay
+    sel.write.mode("overwrite").parquet(src)
+    sel.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    out = _run_to_memory(
+        spark,
+        dedup_stream(stream, ["event_id"]),
+        "dedup_stream_out",
+        str(tmp_path / "ckpt_dd"),
+    )
+    n_distinct = sel.count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
