@@ -539,3 +539,60 @@ def contamination_overlap(spark, sf_dir):
             F.round(ratio, 6).alias("overlap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding per-label centroids (exact fixed-point arithmetic)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           CAST(r.i AS INTEGER) AS dim,
+           COUNT(*) AS n_vecs,
+           SUM(CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 1000000.0)
+                    AS BIGINT)) AS sum_millionths,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE)
+                                          * 1000000.0) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS mean_micro
+    FROM embeddings, range(64) r(i)
+    GROUP BY label, r.i
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding corpus, in exact fixed-point:
+    each float widens exactly to double, scales to millionths, floors to a
+    bigint — integer sums are order-independent, so the result is
+    bit-identical across engines and partitionings (a raw double sum is
+    neither: FP addition order varies with the shuffle).
+
+    Scale: posexplode fans out x64, but partial aggregation combines to one
+    row per (label, dim) per task BEFORE the shuffle — the exchange carries
+    |labels| x dims rows per task, not the corpus."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "e"),
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("e").cast("double") * 1000000.0).cast("bigint").alias("m"),
+    )
+    agg = exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("m").alias("sum_millionths"),
+    )
+    # Mean reported in floored micro-units: round() lands on exact .5
+    # boundaries here (fixed-point inputs) and the engines' half-rules
+    # differ (HALF_UP vs half-even); floor is identical in both.
+    return agg.select(
+        "label",
+        "dim",
+        "n_vecs",
+        "sum_millionths",
+        F.floor(
+            F.col("sum_millionths").cast("double") / F.col("n_vecs")
+        ).cast("bigint").alias("mean_micro"),
+    )
