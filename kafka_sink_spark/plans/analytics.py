@@ -30,6 +30,13 @@ DEC = "decimal(12,2)"
 DEC_F = "decimal(4,2)"
 DEC_OUT = "decimal(38,6)"  # scale-WIDENING only: DuckDB truncates on scale-down, Spark rounds
 
+# Final-output rendering: the driver compares query/oracle results through
+# pandas, where Spark decimals arrive as Decimal objects but DuckDB DECIMALs
+# arrive as float64 — same values, different hash. So every decimal-valued
+# OUTPUT column takes one last exact-decimal -> double cast on BOTH sides
+# (both engines convert the same exact decimal to the same IEEE double).
+# The internal arithmetic stays decimal; only the rendering changes.
+
 
 def _dec(c):
     return F.col(c).cast(DEC)
@@ -56,10 +63,10 @@ _OPT = f"CAST(1 + CAST(l_tax AS {DEC_F}) AS {DEC_F})"
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS {DEC})) AS {DEC_OUT}) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD} * {_OPT}) AS {DEC_OUT}) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD} * {_OPT}) AS {DEC_OUT}) AS DOUBLE) AS sum_charge,
            round(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
            round(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS avg_price,
            round(CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
@@ -80,11 +87,12 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast(DEC_OUT).alias("sum_qty"),
-            F.sum(price).cast(DEC_OUT).alias("sum_base_price"),
-            F.sum(price * omd).cast(DEC_OUT).alias("sum_disc_price"),
+            F.sum(_dec("l_quantity")).cast(DEC_OUT).cast("double").alias("sum_qty"),
+            F.sum(price).cast(DEC_OUT).cast("double").alias("sum_base_price"),
+            F.sum(price * omd).cast(DEC_OUT).cast("double").alias("sum_disc_price"),
             F.sum(price * omd * opt)
             .cast(DEC_OUT)
+            .cast("double")
             .alias("sum_charge"),
             F.round(
                 F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
@@ -104,7 +112,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -131,6 +139,7 @@ def q3_shipping_priority(spark, sf_dir):
         .agg(
             F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
             .cast(DEC_OUT)
+            .cast("double")
             .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -143,7 +152,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -187,6 +196,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .agg(
             F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
             .cast(DEC_OUT)
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -564,7 +574,7 @@ def embedding_lsh_buckets(spark, sf_dir):
 
 
 def _cosine_neardup_oracle(
-    threshold: float = 0.8, n_planes: int = 8, dim: int = 64
+    threshold: float = 0.3, n_planes: int = 8, dim: int = 64
 ) -> str:
     planes = similarity.hyperplanes(dim, n_planes)
     def bucket_expr(col: str) -> str:
@@ -593,11 +603,13 @@ def _cosine_neardup_oracle(
 
 @register("embedding_cosine_neardup", oracle=_cosine_neardup_oracle())
 def embedding_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within LSH buckets (threshold 0.8).
+    """Embedding-cosine near-dup pairs within LSH buckets (threshold 0.3 —
+    the synthetic embeddings are near-orthogonal, max in-bucket cosine ≈0.44,
+    so 0.3 keeps the check non-vacuous while staying selective).
     Deterministic hyperplanes + fixed-order float folds → the bucket join and
     cosine threshold replay exactly in the oracle."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    return similarity.cosine_near_dup_pairs(emb, threshold=0.8, n_planes=8, dim=64)
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.3, n_planes=8, dim=64)
 
 
 # --------------------------------------------------------------------------

@@ -103,8 +103,8 @@ _BAND_WIDTH = 50
     )
     SELECT b.band_id, b.lo, b.hi,
            COUNT(e.event_id) AS n_events,
-           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(12,2))), 0)
-                AS DECIMAL(38,6)) AS sum_value
+           CAST(CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(12,2))), 0)
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
     FROM bands b
     JOIN events e ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band_id, b.lo, b.hi
@@ -137,7 +137,7 @@ def events_value_band_join(spark, sf_dir):
         F.count("event_id").alias("n_events"),
         F.coalesce(
             F.sum(F.col("value").cast("decimal(12,2)")), F.lit(0)
-        ).cast("decimal(38,6)").alias("sum_value"),
+        ).cast("decimal(38,6)").cast("double").alias("sum_value"),
     )
 
 
@@ -552,8 +552,8 @@ def contamination_overlap(spark, sf_dir):
     SELECT label,
            CAST(r.i AS INTEGER) AS dim,
            COUNT(*) AS n_vecs,
-           SUM(CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 1000000.0)
-                    AS BIGINT)) AS sum_millionths,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 1000000.0)
+                    AS BIGINT)) AS BIGINT) AS sum_millionths,
            CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE)
                                           * 1000000.0) AS BIGINT)) AS DOUBLE)
                       / COUNT(*)) AS BIGINT) AS mean_micro

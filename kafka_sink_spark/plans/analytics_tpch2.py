@@ -117,9 +117,9 @@ def q8_market_share(spark, sf_dir):
     "q9_product_profit",
     oracle=f"""
     SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}
+           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}
                     - CAST(l_quantity AS {DEC}) * CAST(p_retailprice AS {DEC})
-                      * CAST(0.01 AS DECIMAL(3,2))) AS {DEC_OUT}) AS sum_profit
+                      * CAST(0.01 AS DECIMAL(3,2))) AS {DEC_OUT}) AS DOUBLE) AS sum_profit
     FROM part, supplier, lineitem, orders, nation
     WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -153,7 +153,7 @@ def q9_product_profit(spark, sf_dir):
             profit,
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast(DEC_OUT).alias("sum_profit"))
+        .agg(F.sum("amount").cast(DEC_OUT).cast("double").alias("sum_profit"))
     )
 
 
@@ -161,13 +161,13 @@ def q9_product_profit(spark, sf_dir):
     "q11_part_value",
     oracle=f"""
     SELECT l_partkey AS ps_partkey,
-           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS part_value
+           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS part_value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       AND n_name = 'NATION_1'
     GROUP BY l_partkey
     HAVING SUM(CAST(l_extendedprice AS {DEC})) > (
-      SELECT SUM(CAST(l_extendedprice AS {DEC})) * CAST(0.01 AS DECIMAL(3,2))
+      SELECT SUM(CAST(l_extendedprice AS {DEC})) * CAST(0.002 AS DECIMAL(4,3))
       FROM lineitem, supplier, nation
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         AND n_name = 'NATION_1'
@@ -183,13 +183,13 @@ def q11_part_value(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT l_partkey AS ps_partkey,
-               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS part_value
+               CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS part_value
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_1'
         GROUP BY l_partkey
         HAVING SUM(CAST(l_extendedprice AS {DEC})) > (
-          SELECT SUM(CAST(l_extendedprice AS {DEC})) * CAST(0.01 AS DECIMAL(3,2))
+          SELECT SUM(CAST(l_extendedprice AS {DEC})) * CAST(0.002 AS DECIMAL(4,3))
           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_1'
@@ -275,7 +275,7 @@ def q13_customer_distribution(spark, sf_dir):
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -297,7 +297,7 @@ def q15_top_supplier(spark, sf_dir):
             AND l_shipdate < TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         """
@@ -387,7 +387,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 @register(
     "q19_disjunctive_revenue",
     oracle=f"""
-    SELECT CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS revenue
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -421,6 +421,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         .agg(
             F.sum(_dec("l_extendedprice") * _one_minus("l_discount"))
             .cast(DEC_OUT)
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -483,32 +484,38 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
     SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS {DEC})) AS {DEC_OUT}) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS totacctbal
     FROM customer, pos
     WHERE CAST(c_acctbal AS {DEC}) * n > s
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01')
     GROUP BY c_nationkey
     """,
 )
 def q22_global_sales(spark, sf_dir):
     """TPC-H Q22 shape: customers above the global positive-balance average
-    with NO orders — global scalar aggregate (broadcast single row) + anti
-    join + rollup. The average compare is the exact rewrite
-    bal > sum/n ⇔ bal·n > sum (decimal · bigint, no division)."""
+    with no RECENT orders (this testdata gives every customer at least one
+    order overall, so 'dormant since 1998' keeps the anti-join non-vacuous) —
+    global scalar aggregate (broadcast single row) + anti join + rollup. The
+    average compare is the exact rewrite bal > sum/n ⇔ bal·n > sum
+    (decimal · bigint, no division)."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     pos = F.broadcast(
         t["customer"].filter(F.col("c_acctbal") > 0)
         .agg(F.sum(_dec("c_acctbal")).alias("s"), F.count("*").alias("n"))
     )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return (
         t["customer"]
         .crossJoin(pos)
         .filter(_dec("c_acctbal") * F.col("n") > F.col("s"))
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast(DEC_OUT).alias("totacctbal"),
+            F.sum(_dec("c_acctbal")).cast(DEC_OUT).cast("double").alias("totacctbal"),
         )
     )
 

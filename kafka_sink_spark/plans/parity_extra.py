@@ -276,7 +276,7 @@ def sink_udt_codecs(spark, sf_dir):
     )
     SELECT CAST(event_id AS BIGINT) AS pk,
            CAST(unscaled AS BIGINT) AS unscaled,
-           CAST(CAST(unscaled AS DOUBLE) / 100 AS DECIMAL(12,2)) AS dec_val
+           CAST(CAST(CAST(unscaled AS DOUBLE) / 100 AS DECIMAL(12,2)) AS DOUBLE) AS dec_val
     FROM k
     """,
 )
@@ -293,7 +293,9 @@ def sink_decimal_base64(spark, sf_dir):
     return events.select(
         F.col("event_id").cast("bigint").alias("pk"),
         unscaled.alias("unscaled"),
-        codecs.base64_to_decimal(b64, 12, 2).alias("dec_val"),
+        # Decoded as exact DECIMAL(12,2) by the codec; rendered as double so
+        # the driver's pandas hash sees the same dtype as the DuckDB oracle.
+        codecs.base64_to_decimal(b64, 12, 2).cast("double").alias("dec_val"),
     )
 
 
@@ -484,7 +486,8 @@ def sink_consistency_level(spark, sf_dir):
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS v
       FROM events
     )
-    SELECT CAST(pk AS BIGINT) AS pk, array_agg(v ORDER BY o) AS v
+    SELECT CAST(pk AS BIGINT) AS pk,
+           CAST(to_json(array_agg(v ORDER BY o)) AS VARCHAR) AS v
     FROM m WHERE v IS NOT NULL GROUP BY pk
     """,
 )
@@ -509,7 +512,10 @@ def sink_provided_list_append(spark, sf_dir):
     )
     vschema = StructType([StructField("v", IntegerType())])
     routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
-    return replay_list_append(routed, schema, "v")
+    out = replay_list_append(routed, schema, "v")
+    # The driver's pandas canonicalizer can't sort/hash list cells — render
+    # the list as its JSON string (same text both engines).
+    return out.select("pk", F.to_json(F.col("v")).alias("v"))
 
 
 @register(
@@ -529,8 +535,8 @@ def sink_provided_list_append(spark, sf_dir):
       SELECT pk, mk, mv FROM w WHERE rn = 1 AND mv IS NOT NULL
     )
     SELECT CAST(pk AS BIGINT) AS pk,
-           array_agg(mk ORDER BY mk) AS mks,
-           array_agg(mv ORDER BY mk) AS mvs
+           CAST(to_json(array_agg(mk ORDER BY mk)) AS VARCHAR) AS mks,
+           CAST(to_json(array_agg(mv ORDER BY mk)) AS VARCHAR) AS mvs
     FROM f GROUP BY pk
     """,
 )
@@ -565,7 +571,13 @@ def sink_provided_map_entries(spark, sf_dir):
         [StructField("mk", StringType()), StructField("mv", IntegerType())]
     )
     routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
-    return replay_map_entries(routed, schema, "mk", "mv")
+    out = replay_map_entries(routed, schema, "mk", "mv")
+    # JSON-render the parallel arrays so the driver's pandas hash can sort them.
+    return out.select(
+        "pk",
+        F.to_json(F.col("mks")).alias("mks"),
+        F.to_json(F.col("mvs")).alias("mvs"),
+    )
 
 
 @register(

@@ -291,7 +291,7 @@ def sink_upsert_replay(spark, sf_dir):
     "sink_counter_accrual",
     oracle="""
     SELECT CAST(user_id AS BIGINT) AS user_pk,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total,
            COUNT(*) AS hits
     FROM events GROUP BY user_id
     """,
