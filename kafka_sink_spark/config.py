@@ -46,12 +46,19 @@ class ConfigError(ValueError):
 
 @dataclass
 class ColumnSpec:
-    """A target-table column: name, Spark SQL type string, role flags."""
+    """A target-table column: name, Spark SQL type string, role flags.
+
+    ``partition_key`` marks the Cassandra partition-key component(s) of the
+    primary key (W8 batches by ROUTING key = partition key, not the full
+    primary key). When no column is flagged, the first primary-key column is
+    the partition key — Cassandra's default for a non-composite PARTITION KEY.
+    """
 
     name: str
     spark_type: str
     primary_key: bool = False
     counter: bool = False
+    partition_key: bool = False
 
 
 @dataclass
@@ -74,6 +81,21 @@ class TableSchema:
         self.counters = [c.name for c in self.columns if c.counter]
         if not self.primary_key:
             raise ConfigError(f"table {self.name} has no primary key")
+        self.partition_key = [c.name for c in self.columns if c.partition_key]
+        for c in self.partition_key:
+            if c not in self.primary_key:
+                raise ConfigError(
+                    f"table {self.name}: partition-key column {c} is not part "
+                    f"of the primary key"
+                )
+        if not self.partition_key:
+            # Cassandra default: the first primary-key component is the
+            # partition key; the rest are clustering columns.
+            self.partition_key = self.primary_key[:1]
+
+    @property
+    def clustering_columns(self) -> list[str]:
+        return [c for c in self.primary_key if c not in self.partition_key]
 
     @property
     def regular_columns(self) -> list[str]:

@@ -11,6 +11,8 @@ mirroring the reference's ``codec.locale`` setting
 
 from __future__ import annotations
 
+from decimal import Decimal as PyDecimal
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -48,13 +50,18 @@ _LOCALE_SEPS = {
 def parse_number_locale(col: Column, locale: str = "en_US") -> Column:
     """String → double honoring the locale's grouping/decimal separators.
 
-    fr_FR also accepts a regular space/no-break-space as grouping. Stays as a
-    Column expression (translate + cast) — no UDF needed for the separator
-    swap, which is all java.text.DecimalFormat does for plain numbers.
+    Space-grouping locales (fr_FR) also accept a regular space / NBSP /
+    narrow-NBSP as grouping. Stays as a Column expression (translate + cast)
+    — no UDF needed for the separator swap, which is all
+    java.text.DecimalFormat does for plain numbers.
     """
     group, dec = _LOCALE_SEPS.get(locale, (",", "."))
-    cleaned = F.regexp_replace(col, r"[\s  ]", "" if group != "." else "")
-    cleaned = F.regexp_replace(cleaned, re_escape(group), "")
+    if group.isspace():
+        # Only space-grouping locales treat whitespace as a separator;
+        # stripping it for every locale would silently accept malformed input.
+        cleaned = F.regexp_replace(col, r"[\s  ]", "")
+    else:
+        cleaned = F.regexp_replace(col, re_escape(group), "")
     if dec != ".":
         cleaned = F.regexp_replace(cleaned, re_escape(dec), ".")
     return cleaned.cast("double")
@@ -215,24 +222,50 @@ def base64_to_decimal(col: Column, precision: int, scale: int) -> Column:
     """Connect Decimal logical type: BASE64 text of the unscaled big-endian
     two's-complement bytes → DecimalType(p, s).
 
-    Decodes via conv on hex; for values beyond 8 bytes falls back to a pandas
-    UDF (rare — most decimals fit in a long).
+    Arbitrary width up to the DecimalType(38) domain (16 bytes): the hex form
+    is sign-extended to whole 4-byte chunks and folded big-endian in exact
+    decimal(38,0) arithmetic — conv() alone wraps at unsigned 64 bits, which
+    would silently corrupt any unscaled value wider than 8 bytes. Negatives
+    fold the bitwise complement then negate (x = -(~x + 1)), so every fold
+    intermediate is bounded by the final magnitude and nothing overflows for
+    any value that fits the target decimal at all. Inputs wider than 16 bytes
+    exceed decimal(38) entirely and decode to null. Stays whole-stage codegen
+    — no UDF.
     """
     raw = F.unbase64(col)
-    hexed = F.hex(raw)
-    # Interpret as signed big-endian. conv() is unsigned; apply two's complement
-    # for negatives based on the top bit of the first byte.
-    unsigned = F.conv(hexed, 16, 10).cast("decimal(38,0)")
-    nbytes = F.length(raw)
-    top_bit_set = F.conv(F.substring(hexed, 1, 2), 16, 10).cast("int") >= 128
-    signed = F.when(
-        top_bit_set,
-        unsigned - F.pow(F.lit(2.0), nbytes * 8).cast("decimal(38,0)"),
-    ).otherwise(unsigned)
-    # Exact decimal division (double division would wobble the last digit).
-    return (signed / F.lit(10**scale).cast("decimal(19,0)")).cast(
-        f"decimal({precision},{scale})"
+    hexed = F.hex(raw)  # uppercase, 2 chars per byte
+    neg = F.conv(F.substring(hexed, 1, 2), 16, 10).cast("int") >= 128
+    # Sign-extension (0x00 / 0xFF prefix bytes) preserves the two's-complement
+    # value while making the length a multiple of 4 bytes.
+    target_len = (F.ceil(F.length(hexed) / 8) * 8).cast("int")
+    padded = F.call_function(
+        "lpad", hexed, target_len, F.when(neg, F.lit("F")).otherwise(F.lit("0"))
     )
+    chunks = F.regexp_extract_all(padded, F.lit("(.{8})"), 1)
+    two32 = F.lit(4294967296).cast("decimal(20,0)")
+
+    def fold(xform):
+        return F.aggregate(
+            chunks,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, c: acc * two32
+            + xform(F.conv(c, 16, 10).cast("decimal(38,0)")),
+        )
+
+    unsigned = fold(lambda v: v)
+    complement = fold(lambda v: F.lit(4294967295).cast("decimal(38,0)") - v)
+    # 0 - x, not unary minus: PySpark's negative() on decimal(38,0) rounds
+    # the 38th digit away (it plans as a precision-capped multiply).
+    magnitude = complement + F.lit(1).cast("decimal(1,0)")
+    signed = F.when(
+        neg, F.lit(0).cast("decimal(38,0)") - magnitude
+    ).otherwise(unsigned)
+    signed = F.when(F.length(raw) <= 16, signed)  # beyond decimal(38): null
+    # Shift the scale by an exact decimal multiply (10^-scale literal):
+    # decimal division would widen the result scale past precision 38 and
+    # overflow under ANSI; multiplication keeps scale = s exactly.
+    shifted = signed * F.lit(PyDecimal(1).scaleb(-scale))
+    return shifted.cast(f"decimal({precision},{scale})")
 
 
 # --- C17: defaults / missing optional fields ------------------------------

@@ -93,13 +93,17 @@ def _route_and_params(
         for c in schema.columns
     }
     wt = row.get(WRITETIME_COL)
+    ttl = row.get(TTL_COL)
     if wt is None:
-        # No writetime → the timestamp-free template (binding null to
-        # USING TIMESTAMP is a server error).
+        # No writetime → the timestamp-free templates (binding null to
+        # USING TIMESTAMP is a server error); a TTL must still apply.
+        if ttl is not None:
+            params["message_internal_ttl"] = ttl
+            return "insert_plain_ttl", params
         return "insert_plain", params
     params["message_internal_timestamp"] = wt
-    if row.get(TTL_COL) is not None:
-        params["message_internal_ttl"] = row[TTL_COL]
+    if ttl is not None:
+        params["message_internal_ttl"] = ttl
         return "insert_ttl", params
     return "insert", params
 
@@ -157,8 +161,17 @@ def write_routed(
     return an object with ``prepare(cql) -> stmt`` and
     ``execute_async(stmt, params) -> future`` (``future.result()`` awaited
     under the concurrency bound) — the cassandra-driver Session API.
+
+    Batch runs are detected on the PARTITION key (the Cassandra routing key):
+    rows sharing a partition but differing in clustering columns co-batch,
+    matching the reference's W8 routing-key batching. The sort adds the
+    clustering columns so runs are contiguous and writes within a partition
+    arrive in clustering order.
     """
-    pk = [c for c in schema.primary_key if c in routed.columns]
+    pk = [c for c in schema.partition_key if c in routed.columns]
+    sort_cols = pk + [
+        c for c in schema.primary_key if c not in pk and c in routed.columns
+    ]
     texts = statement_texts(table, schema)
     max_batch = config.max_number_of_records_in_batch
     max_inflight = config.max_concurrent_requests
@@ -224,7 +237,7 @@ def write_routed(
 
     parts = (
         routed.repartition(*[F.col(c) for c in pk])
-        .sortWithinPartitions(*[F.col(c) for c in pk])
+        .sortWithinPartitions(*[F.col(c) for c in sort_cols])
         .rdd.mapPartitions(write_partition)
         .collect()
     )

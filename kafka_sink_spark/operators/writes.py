@@ -104,9 +104,12 @@ def cql_templates(table: TableConfig, schema: TableSchema) -> dict[str, str]:
     writer's statement preparation, so the executed CQL can never drift from
     the verified shapes.
 
-    Keys: provided | insert | insert_ttl | insert_plain | delete | counter.
-    ``insert_plain`` omits USING TIMESTAMP for rows without a writetime
-    (binding null to a USING TIMESTAMP variable is a server error).
+    Keys: provided | insert | insert_ttl | insert_plain | insert_plain_ttl |
+    delete | counter. ``insert_plain`` omits USING TIMESTAMP for rows without
+    a writetime (binding null to a USING TIMESTAMP variable is a server
+    error); ``insert_plain_ttl`` covers the TTL-but-no-writetime row (e.g. a
+    static table TTL with no mapped __timestamp) — without it the TTL would
+    silently drop.
     """
     if table.query is not None:
         return {"provided": table.query}
@@ -121,6 +124,7 @@ def cql_templates(table: TableConfig, schema: TableSchema) -> dict[str, str]:
         "insert": insert,
         "insert_ttl": insert + " AND TTL :message_internal_ttl",
         "insert_plain": insert_plain,
+        "insert_plain_ttl": insert_plain + " USING TTL :message_internal_ttl",
         "delete": f"DELETE FROM {fq} WHERE "
         + " AND ".join(f"{c}=:{c}" for c in schema.primary_key),
     }
@@ -156,7 +160,11 @@ def cql_statement(table: TableConfig, schema: TableSchema) -> Column:
     if "counter" in t:
         chain = chain.when(F.col(ROUTE_COL) == ROUTE_COUNTER, F.lit(t["counter"]))
     return (
-        chain.when(F.col(WRITETIME_COL).isNull(), F.lit(t["insert_plain"]))
+        chain.when(
+            F.col(WRITETIME_COL).isNull() & F.col(TTL_COL).isNotNull(),
+            F.lit(t["insert_plain_ttl"]),
+        )
+        .when(F.col(WRITETIME_COL).isNull(), F.lit(t["insert_plain"]))
         .when(F.col(TTL_COL).isNotNull(), F.lit(t["insert_ttl"]))
         .otherwise(F.lit(t["insert"]))
     )
@@ -174,8 +182,12 @@ def partition_key_batches(
     frames that would hit the wire, and rows per frame. At scale this is the
     natural Spark aggregation — one shuffle on the partition key, exactly the
     co-location a Cassandra-partition-aware writer wants.
+
+    Groups on the PARTITION key (schema.partition_key), not the full primary
+    key: rows sharing a partition but differing in clustering columns DO
+    co-batch (the reference batches by routing key).
     """
-    pk = [F.col(c) for c in schema.primary_key if c in routed.columns]
+    pk = [F.col(c) for c in schema.partition_key if c in routed.columns]
     key = pk[0] if len(pk) == 1 else F.struct(*pk)
     return (
         routed.groupBy(key.alias("routing_key"))

@@ -114,7 +114,106 @@ def test_statement_texts_match_reference_shapes():
         "USING TIMESTAMP :message_internal_timestamp"
     )
     assert texts["insert_ttl"].endswith(" AND TTL :message_internal_ttl")
+    # TTL with no writetime must not lose the TTL (and must not bind a null
+    # USING TIMESTAMP): dedicated timestamp-free TTL template.
+    assert texts["insert_plain_ttl"] == (
+        "INSERT INTO ks.t(a,b) VALUES (:a,:b) USING TTL :message_internal_ttl"
+    )
     assert texts["delete"] == "DELETE FROM ks.t WHERE a=:a"
+
+
+def test_plain_ttl_route():
+    """A row with a TTL but no writetime routes to insert_plain_ttl and binds
+    the TTL (previously it fell to insert_plain and silently dropped it)."""
+    from kafka_sink_spark.operators.cassandra_writer import _route_and_params
+    from kafka_sink_spark.operators.writes import ROUTE_COL, TTL_COL, WRITETIME_COL
+
+    schema = TableSchema(
+        "ks", "t",
+        [ColumnSpec("a", "bigint", primary_key=True), ColumnSpec("b", "int")],
+    )
+    table = TableConfig("x", "ks", "t", parse_mapping("a=key, b=value.b"))
+    row = {ROUTE_COL: "INSERT", "a": 1, "b": 2, WRITETIME_COL: None, TTL_COL: 60}
+    kind, params = _route_and_params(row, table, schema)
+    assert kind == "insert_plain_ttl"
+    assert params["message_internal_ttl"] == 60
+    assert "message_internal_timestamp" not in params
+
+
+def test_partition_key_defaults_and_validation():
+    """Without explicit flags the FIRST primary-key column is the partition
+    key (Cassandra default); flagging a non-PK column is a config error."""
+    import pytest
+
+    from kafka_sink_spark.config import ConfigError
+
+    schema = TableSchema(
+        "ks", "t",
+        [
+            ColumnSpec("p", "bigint", primary_key=True),
+            ColumnSpec("c", "bigint", primary_key=True),
+            ColumnSpec("v", "int"),
+        ],
+    )
+    assert schema.partition_key == ["p"]
+    assert schema.clustering_columns == ["c"]
+    with pytest.raises(ConfigError):
+        TableSchema(
+            "ks", "t",
+            [
+                ColumnSpec("p", "bigint", primary_key=True),
+                ColumnSpec("v", "int", partition_key=True),
+            ],
+        )
+
+
+def test_batching_groups_on_partition_key(spark):
+    """W8: rows sharing a partition key but differing in clustering columns
+    co-batch (the reference batches by ROUTING key, not the full PK)."""
+    from kafka_sink_spark.operators.writes import partition_key_batches
+
+    schema = TableSchema(
+        "ks", "t",
+        [
+            ColumnSpec("p", "bigint", primary_key=True),
+            ColumnSpec("seq", "bigint", primary_key=True),
+            ColumnSpec("v", "int"),
+        ],
+    )
+    # 2 partitions x 40 clustering values
+    df = spark.range(80).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("seq"), F.lit(1).alias("v")
+    )
+    out = partition_key_batches(df, schema, max_batch=32).collect()
+    assert len(out) == 2  # one row per PARTITION, not per (p, seq)
+    assert all(r.n_statements == 40 and r.n_frames == 2 for r in out)
+
+
+def test_writer_cobatches_clustering_rows(spark, tmp_path):
+    """The physical writer's run detection also keys on the partition key:
+    40 rows of one partition -> ceil(40/32) = 2 frames, not 40 singles."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    schema = TableSchema(
+        "ks", "t",
+        [
+            ColumnSpec("p", "bigint", primary_key=True),
+            ColumnSpec("seq", "bigint", primary_key=True),
+            ColumnSpec("v", "int"),
+        ],
+    )
+    table = TableConfig("x", "ks", "t", parse_mapping("p=key, seq=value.s, v=value.v"))
+    from kafka_sink_spark.operators.writes import ROUTE_COL, TTL_COL, WRITETIME_COL
+
+    routed = spark.range(80).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("seq"), F.lit(1).alias("v"),
+        F.lit("INSERT").alias(ROUTE_COL), F.lit(1000).alias(WRITETIME_COL),
+        F.lit(None).cast("long").alias(TTL_COL), F.col("id").alias("_kafka_offset"),
+    )
+    cfg = SinkConfig(tables=[table], max_number_of_records_in_batch=32)
+    stats = write_routed(routed, table, schema, cfg, _factory_for(log_dir))
+    assert stats["rows"] == 80
+    assert stats["batches"] == 4 and stats["singles"] == 0  # 2 parts x 2 frames
 
 
 def test_write_batches_and_frames(spark, tmp_path):

@@ -111,6 +111,38 @@ def test_base64_decimal_signs(spark):
         assert got == expect, (unscaled, got)
 
 
+def test_base64_decimal_wide(spark):
+    """C16 beyond 8 bytes: Connect decimal(38,x) unscaled values are wider
+    than a long — conv() alone wraps at unsigned 64 bits (the reference uses
+    arbitrary-precision BigDecimal). Exercises 9..16-byte positives and
+    negatives, minimal-width encodings, and the >16-byte null gate."""
+    import base64
+    from decimal import Context, Decimal
+
+    ctx = Context(prec=50)  # default 28-digit context would round the expect
+    cases = [
+        # (unscaled, scale): chosen to need 9..16 bytes
+        (2**72 + 12345, 6),
+        (-(2**72) - 12345, 6),
+        (12345678901234567890123456789, 2),       # 29 digits, 12 bytes
+        (-12345678901234567890123456789, 2),
+        (10**37 - 1, 0),                           # near the decimal(38) cap
+        (-(10**37 - 1), 0),
+        (2**63, 0),                                # just past long range
+        (-(2**63) - 1, 0),
+    ]
+    for unscaled, scale in cases:
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        raw = unscaled.to_bytes(nbytes, "big", signed=True)
+        b64 = base64.b64encode(raw).decode()
+        got = _one(spark, codecs.base64_to_decimal(F.lit(b64), 38, scale))
+        expect = Decimal(unscaled).scaleb(-scale, context=ctx)
+        assert got == expect, (unscaled, scale, got)
+    # Wider than 16 bytes exceeds the decimal(38) domain entirely -> null.
+    too_wide = base64.b64encode((10**40).to_bytes(17, "big", signed=True)).decode()
+    assert _one(spark, codecs.base64_to_decimal(F.lit(too_wide), 38, 0)) is None
+
+
 def test_with_default(spark):
     """C17 (StructEndToEndCCMIT.java:441-462): default 42 fills nulls only."""
     assert _one(spark, codecs.with_default(F.lit(None).cast("int"), 42)) == 42
