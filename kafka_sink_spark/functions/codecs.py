@@ -268,6 +268,42 @@ def base64_to_decimal(col: Column, precision: int, scale: int) -> Column:
     return shifted.cast(f"decimal({precision},{scale})")
 
 
+# --- C15: DSE geo WKT / DateRange (validated string passthrough) -----------
+
+# The DSE geo types (Point/LineString/Polygon) and DateRange arrive as WKT /
+# range text and are stored as-is by the reference (dsbulk codecs validate
+# then parse; reference: StructEndToEndCCMIT.java:206-209, 262-280). Without
+# a DSE target type system, the faithful OSS behavior is VALIDATED
+# passthrough: well-formed text flows through trimmed, malformed text becomes
+# null (the mapping layer's null handling then applies). All regex, all JVM.
+_NUM = r"-?[0-9]+(\.[0-9]+)?"
+_COORD = rf"{_NUM}\s+{_NUM}"
+_COORD_LIST = rf"{_COORD}(\s*,\s*{_COORD})*"
+WKT_PATTERNS = {
+    "point": rf"^POINT\s*\(\s*{_COORD}\s*\)$",
+    "linestring": rf"^LINESTRING\s*\(\s*{_COORD_LIST}\s*\)$",
+    "polygon": rf"^POLYGON\s*\(\s*\(\s*{_COORD_LIST}\s*\)"
+    rf"(\s*,\s*\(\s*{_COORD_LIST}\s*\))*\s*\)$",
+}
+_DR_BOUND = r"([0-9]{4}(-[0-9]{2}(-[0-9]{2})?)?|\*)"
+DATERANGE_PATTERN = rf"^(\[{_DR_BOUND} TO {_DR_BOUND}\]|{_DR_BOUND})$"
+
+
+def wkt_passthrough(col: Column, geo_type: str) -> Column:
+    """C15 geo: keep syntactically valid WKT of the given type, null out the
+    rest. ``geo_type`` ∈ point | linestring | polygon."""
+    pattern = WKT_PATTERNS[geo_type]
+    trimmed = F.trim(col)
+    return F.when(F.upper(trimmed).rlike(pattern), trimmed)
+
+
+def daterange_passthrough(col: Column) -> Column:
+    """C15 DateRange: ``[lower TO upper]`` with year/month/day precision
+    bounds or ``*`` (open), or a single bound — validated passthrough."""
+    trimmed = F.trim(col)
+    return F.when(trimmed.rlike(DATERANGE_PATTERN), trimmed)
+
+
 # --- C17: defaults / missing optional fields ------------------------------
 
 

@@ -106,10 +106,23 @@ def compile_mapping(
             continue
         if schema is not None:
             col_spec = schema.by_name.get(entry.column)
-            if col_spec is not None and not _is_struct_target(col_spec.spark_type):
-                expr = expr.cast(col_spec.spark_type)
-            elif col_spec is not None and _is_struct_target(col_spec.spark_type):
-                expr = _struct_cast(expr, col_spec.spark_type)
+            if col_spec is not None:
+                target = col_spec.spark_type.strip().lower()
+                if target in _GEO_TARGETS:
+                    # C15 DSE geo/daterange: validated WKT / range-text
+                    # passthrough (StructEndToEndCCMIT.java:206-209, 262-280).
+                    from kafka_sink_spark.functions import codecs as _codecs
+
+                    if target == "daterange":
+                        expr = _codecs.daterange_passthrough(expr.cast("string"))
+                    else:
+                        expr = _codecs.wkt_passthrough(
+                            expr.cast("string"), _GEO_TARGETS[target]
+                        )
+                elif _is_struct_target(col_spec.spark_type):
+                    expr = _struct_cast(expr, col_spec.spark_type)
+                else:
+                    expr = expr.cast(col_spec.spark_type)
         select.append(expr.alias(entry.column))
 
     if keep_metadata:
@@ -117,6 +130,16 @@ def compile_mapping(
             if meta in df.columns:
                 select.append(F.col(meta).alias(f"_kafka_{meta}"))
     return df.select(*select)
+
+
+# C15 pseudo-types: declared in ColumnSpec.spark_type, stored as validated
+# strings (see functions.codecs.wkt_passthrough / daterange_passthrough).
+_GEO_TARGETS = {
+    "geo_point": "point",
+    "geo_linestring": "linestring",
+    "geo_polygon": "polygon",
+    "daterange": "daterange",
+}
 
 
 def _is_struct_target(spark_type: str) -> bool:

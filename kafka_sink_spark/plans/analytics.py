@@ -573,6 +573,53 @@ def embedding_lsh_buckets(spark, sf_dir):
     return similarity.embedding_buckets(emb, n_planes=8, dim=64)
 
 
+def _knn_lsh_oracle(
+    k: int = 5, n_queries: int = 10, n_planes: int = 8, dim: int = 64
+) -> str:
+    planes = similarity.hyperplanes(dim, n_planes)
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for p_idx, plane in enumerate(planes):
+            d = " + ".join(f"{col}[{i+1}]::DOUBLE * ({plane[i]!r})" for i in range(dim))
+            terms.append(f"(CASE WHEN ({d}) > 0 THEN {2**p_idx} ELSE 0 END)")
+        return "\n           + ".join(terms)
+
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket_expr('embedding')} AS BIGINT) AS bucket
+      FROM embeddings
+    ), cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qe, c.embedding AS ce
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {n_queries}
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             round(({_dot_sql('qe', 'ce', dim)})
+                   / ({_norm_sql('qe', dim)} * {_norm_sql('ce', dim)}), 6) AS cos_sim
+      FROM cand
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("knn_lsh", oracle=_knn_lsh_oracle(5, 10, 8, 64))
+def knn_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: candidates share the query's sign-random-projection
+    bucket (8 deterministic hyperplanes), exact cosine rank within the
+    bucket. The scale path between brute force (exact, |q|×|corpus|) and IVF:
+    per query only its bucket's slice of the corpus is scored, and the bucket
+    id is the shuffle key."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_lsh(emb, queries, k=5, n_planes=8, dim=64)
+
+
 def _cosine_neardup_oracle(
     threshold: float = 0.3, n_planes: int = 8, dim: int = 64
 ) -> str:

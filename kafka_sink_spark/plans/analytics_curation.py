@@ -171,16 +171,19 @@ _KMV_K = 256
            CAST(CASE WHEN MAX(CASE WHEN rn = {_KMV_K} THEN h END) IS NOT NULL
                 THEN FLOOR({_KMV_K - 1}.0 * 1152921504606846976.0
                            / CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS DOUBLE))
-                ELSE MAX(rn) END AS BIGINT) AS n_est,
-           CAST(MAX(rn) AS BIGINT) AS n_exact
+                ELSE MAX(rn) END AS BIGINT) AS n_est
     FROM r GROUP BY lang
     """,
 )
 def shingle_kmv_estimate(spark, sf_dir):
-    """Distinct 8-char-shingle count per language, estimated with the KMV
-    bottom-k sketch (k=256) AND exactly — the estimate itself is
+    """Distinct 8-char-shingle count per language via the KMV bottom-k sketch
+    (k=256), PRODUCTION path: the rank filter compiles to WindowGroupLimit so
+    each map task keeps only its local k smallest hashes — O(k) state per
+    group at any scale (pinned in test_plan_invariants). The estimate is
     cross-engine deterministic because the hash is md5-derived, not an
-    engine-internal HLL (extensions/sketch.py explains the trade)."""
+    engine-internal HLL (extensions/sketch.py explains the trade); the
+    estimate-vs-exact accuracy comparison lives in
+    tests/test_temporal_ranges.py::test_kmv_estimate_within_tolerance."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     shingles = docs.select(F.col("lang"), nm.alias("_nm")).select(
@@ -193,8 +196,8 @@ def shingle_kmv_estimate(spark, sf_dir):
         ).alias("shingle"),
     )
     return sketch.kmv_distinct(
-        shingles, ["lang"], F.col("shingle"), k=_KMV_K, with_exact=True
-    ).select("lang", "n_est", "n_exact")
+        shingles, ["lang"], F.col("shingle"), k=_KMV_K, with_exact=False
+    ).select("lang", "n_est")
 
 
 # --------------------------------------------------------------------------

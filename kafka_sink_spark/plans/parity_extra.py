@@ -300,6 +300,77 @@ def sink_decimal_base64(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# C15 — DSE geo WKT / DateRange (validated string passthrough)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_geo_wkt",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE 'POINT (' || CAST(user_id AS VARCHAR) || ' '
+                     || CAST(event_id % 100 AS VARCHAR) || ')' END AS pt,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE 'LINESTRING (0 0, ' || CAST(user_id AS VARCHAR) || ' 2)'
+           END AS ls,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE '[1997-01 TO 1997-12]' END AS dr
+    FROM events
+    """,
+)
+def sink_geo_wkt(spark, sf_dir):
+    """C15 (reference: StructEndToEndCCMIT.java:206-209, 262-280): DSE
+    Point/LineString WKT and DateRange text land as VALIDATED passthrough
+    strings — well-formed text flows through, malformed text (every 7th
+    point unclosed, every 11th linestring empty, every 5th daterange
+    garbage) nulls out. The validation is pure rlike inside the one mapping
+    projection."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    uid = F.col("user_id").cast("string")
+    pt = F.when(
+        F.col("event_id") % 7 == 0, F.lit("POINT (1 2")  # unclosed -> invalid
+    ).otherwise(
+        F.concat(F.lit("POINT ("), uid, F.lit(" "),
+                 (F.col("event_id") % 100).cast("string"), F.lit(")"))
+    )
+    ls = F.when(
+        F.col("event_id") % 11 == 0, F.lit("LINESTRING ()")  # empty -> invalid
+    ).otherwise(F.concat(F.lit("LINESTRING (0 0, "), uid, F.lit(" 2)")))
+    dr = F.when(F.col("event_id") % 5 == 0, F.lit("not a range")).otherwise(
+        F.lit("[1997-01 TO 1997-12]")
+    )
+    value = F.concat(
+        F.lit('{"pt": "'), pt, F.lit('", "ls": "'), ls,
+        F.lit('", "dr": "'), dr, F.lit('"}'),
+    )
+    records = _records(events, key=F.col("event_id").cast("string"), value=value)
+    schema = TableSchema(
+        "ks", "geo_table",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("pt", "geo_point"),
+            ColumnSpec("ls", "geo_linestring"),
+            ColumnSpec("dr", "daterange"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "geo_table",
+        parse_mapping("pk=key, pt=value.pt, ls=value.ls, dr=value.dr"),
+        deletes_enabled=False,
+    )
+    vschema = StructType(
+        [
+            StructField("pt", StringType()),
+            StructField("ls", StringType()),
+            StructField("dr", StringType()),
+        ]
+    )
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    return routed.select("pk", "pt", "ls", "dr")
+
+
+# --------------------------------------------------------------------------
 # C17 — Connect schema defaults / missing optional fields
 # --------------------------------------------------------------------------
 

@@ -593,6 +593,44 @@ def sink_now_timeuuid(spark, sf_dir):
 
 
 @register(
+    "sink_now_timeuuid_invariants",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_valid_v1,
+           COUNT(*) AS n_fresh_per_column,
+           2 * COUNT(*) AS n_unique_total
+    FROM events
+    """,
+)
+def sink_now_timeuuid_invariants(spark, sf_dir):
+    """F1 now() invariants, hash-verifiable: the VALUES of v1 timeuuids are
+    nondeterministic (sink_now_timeuuid stays rows-only by physics), but the
+    reference-pinned PROPERTIES are exact predictions (NowFunctionCCMIT.java:
+    61-80): every generated value parses as RFC-4122 v1, the two now()
+    columns of one row always differ (fresh per column per row), and all
+    2·n generated values are globally unique. The oracle predicts each
+    counter as the row count."""
+    from kafka_sink_spark.functions.timeuuid import is_timeuuid
+
+    out = QUERIES["sink_now_timeuuid"](spark, sf_dir)
+    both_v1 = is_timeuuid(F.col("loaded_at")) & is_timeuuid(F.col("loaded_at2"))
+    per_row = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(both_v1, 1).otherwise(0)).cast("bigint").alias("n_valid_v1"),
+        F.sum(F.when(F.col("loaded_at") != F.col("loaded_at2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fresh_per_column"),
+    )
+    # Global uniqueness across BOTH columns (a per-column distinct count
+    # would miss a cross-column, cross-row collision).
+    uniq = (
+        out.select(F.explode(F.array("loaded_at", "loaded_at2")).alias("u"))
+        .agg(F.count_distinct("u").cast("bigint").alias("n_unique_total"))
+    )
+    return per_row.crossJoin(uniq)
+
+
+@register(
     "sink_codec_temporals",
     oracle="""
     WITH k AS (

@@ -143,6 +143,53 @@ def test_base64_decimal_wide(spark):
     assert _one(spark, codecs.base64_to_decimal(F.lit(too_wide), 38, 0)) is None
 
 
+def test_geo_wkt_passthrough(spark):
+    """C15 (StructEndToEndCCMIT.java:206-209): valid WKT flows through
+    trimmed; malformed text nulls out. Case-insensitive keyword, negative
+    and fractional coordinates, polygon holes."""
+    cases = {
+        "point": [
+            ("POINT (1 2)", True), ("  POINT (-1.5 2.25)  ", True),
+            ("point (3 4)", True), ("POINT (1 2", False),
+            ("POINT (1)", False), ("POINT (a b)", False), ("", False),
+        ],
+        "linestring": [
+            ("LINESTRING (0 0, 1 1)", True),
+            ("LINESTRING (0 0, 1 1, 2.5 -3)", True),
+            ("LINESTRING ()", False), ("LINESTRING (0 0,)", False),
+        ],
+        "polygon": [
+            ("POLYGON ((0 0, 4 0, 4 4, 0 0))", True),
+            ("POLYGON ((0 0, 9 0, 9 9, 0 0), (1 1, 2 1, 2 2, 1 1))", True),
+            ("POLYGON (0 0, 1 1)", False),
+        ],
+    }
+    for geo_type, pairs in cases.items():
+        for text, ok in pairs:
+            got = _one(spark, codecs.wkt_passthrough(F.lit(text), geo_type))
+            if ok:
+                assert got == text.strip(), (geo_type, text, got)
+            else:
+                assert got is None, (geo_type, text, got)
+
+
+def test_daterange_passthrough(spark):
+    """C15 DateRange (StructEndToEndCCMIT.java:262-280): bounded ranges with
+    year/month/day precision or open bounds, and single-bound form."""
+    for text, ok in [
+        ("[2020-01-01 TO 2020-12-31]", True),
+        ("[2020-01 TO 2020-12]", True),
+        ("[2020 TO *]", True),
+        ("[* TO 2020-06]", True),
+        ("2020-06-15", True),
+        ("not a range", False),
+        ("[2020-01-01 TO]", False),
+        ("[TO 2020]", False),
+    ]:
+        got = _one(spark, codecs.daterange_passthrough(F.lit(text)))
+        assert (got == text) if ok else (got is None), (text, got)
+
+
 def test_with_default(spark):
     """C17 (StructEndToEndCCMIT.java:441-462): default 42 fills nulls only."""
     assert _one(spark, codecs.with_default(F.lit(None).cast("int"), 42)) == 42

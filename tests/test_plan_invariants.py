@@ -185,6 +185,47 @@ def test_kmv_production_path_uses_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmv_headline_is_sketch_path(spark):
+    """The REGISTERED shingle_kmv_estimate query must run the production
+    sketch path: WindowGroupLimit in the plan (O(k) per-task state), and no
+    full-distinct-set retention."""
+    plan = _plan(spark, "shingle_kmv_estimate")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark):
+    """Both nested IN subqueries must decorrelate to left-semi joins (the
+    inner part filter and the outer aggregate-HAVING set)."""
+    plan = _plan(spark, "q20_part_suppliers")
+    assert plan.count("LeftSemi") >= 2, plan.count("LeftSemi")
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_with_broadcast_scalar(spark):
+    """NOT EXISTS plans as a left-anti join; the global positive-balance
+    aggregate joins as a broadcast single row (the only nested-loop allowed
+    is that one-row cross join)."""
+    plan = _plan(spark, "q22_global_sales")
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_knn_lsh_is_equi_bucket_join(spark):
+    """LSH ANN must join on the bucket id (equi), never score the full
+    query × corpus cross product."""
+    plan = _plan(spark, "knn_lsh")
+    assert "CartesianProduct" not in plan
+    assert any(n in plan for n in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_geo_wkt_single_projection_no_shuffle(spark):
+    """C15 validated passthrough is part of the one mapping projection —
+    scan → project, no Exchange."""
+    plan = _plan(spark, "sink_geo_wkt")
+    assert "Exchange" not in plan
+
+
 def test_top_terms_broadcasts_df_side(spark):
     """tf/df ranking joins the small document-frequency aggregate via
     broadcast — no shuffle of the tf side for the join."""

@@ -420,6 +420,38 @@ def test_now_function_distinct_per_column(spark):
     assert row["loaded_at"] != row["loaded_at2"]
 
 
+def test_now_function_timestamps_in_window(spark):
+    """F1 (NowFunctionCCMIT.java:61-80): the embedded v1 timestamps are real
+    clock readings — every generated uuid's 60-bit timestamp falls inside the
+    generation window, and all 2·n values across rows AND columns are
+    globally unique."""
+    import uuid as uuid_mod
+
+    schema = TableSchema(
+        keyspace="ks",
+        name="pk_value_with_timeuuid",
+        columns=[
+            ColumnSpec("my_pk", "bigint", primary_key=True),
+            ColumnSpec("loaded_at", "string"),
+            ColumnSpec("loaded_at2", "string"),
+        ],
+    )
+    table = TableConfig(
+        topic="t", keyspace="ks", table="pk_value_with_timeuuid",
+        mapping=parse_mapping("my_pk=key, loaded_at=now(), loaded_at2=now()"),
+    )
+    df = records_df(spark, [("t", 0, i, TS, str(i), "x") for i in range(50)])
+    t0 = uuid_mod.uuid1().time
+    rows = run_sink_pipeline(df, table, schema).collect()
+    t1 = uuid_mod.uuid1().time
+    vals = [r["loaded_at"] for r in rows] + [r["loaded_at2"] for r in rows]
+    assert len(set(vals)) == 2 * len(rows)
+    for v in vals:
+        u = uuid_mod.UUID(v)
+        assert u.version == 1
+        assert t0 <= u.time <= t1, (v, u.time, t0, t1)
+
+
 def test_config_parse_roundtrip():
     cfg = parse_sink_config(
         {

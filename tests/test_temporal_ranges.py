@@ -78,6 +78,26 @@ def test_kmv_estimate_within_tolerance(spark):
     assert abs(r.n_est - 5000) / 5000 < 0.2, r.n_est
 
 
+def test_kmv_sketch_path_matches_exact_path(spark):
+    """The production path (with_exact=False, WindowGroupLimit, O(k) state)
+    must produce the SAME estimate as the exact-verification path — both
+    above and below the k threshold."""
+    df = spark.createDataFrame(
+        [("big", str(i)) for i in range(5000)]
+        + [("small", str(i % 10)) for i in range(100)],
+        "g string, x string",
+    )
+    exact = {
+        r.g: r.n_est
+        for r in kmv_distinct(df, ["g"], F.col("x"), k=256, with_exact=True).collect()
+    }
+    sketch_only = {
+        r.g: r.n_est
+        for r in kmv_distinct(df, ["g"], F.col("x"), k=256, with_exact=False).collect()
+    }
+    assert sketch_only == exact
+
+
 def test_pack_sequences_straddles_cuts(spark):
     df = spark.createDataFrame(
         [("a", 1, 6), ("a", 2, 6), ("a", 3, 2)], "g string, i int, n int"
