@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "sink_upsert_replay",
     "sink_counter_accrual",
     "sink_batching",
+    "sink_geo_wkt",
     # analytics
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -51,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_lsh",
     "embedding_lsh_buckets",
     "multimodal_features",
     "pipeline_training_data",

@@ -40,16 +40,20 @@ def kmv_distinct(
     item_col,
     k: int = 256,
     with_exact: bool = True,
+    items_are_hashes: bool = False,
 ) -> DataFrame:
     """Per-group distinct-count estimate via the KMV bottom-k sketch.
 
-    ``item_col`` is a string Column (hashed with md5 internally). Output:
-    group cols + ``n_est`` (bigint) and, when ``with_exact``, ``n_exact``.
-    Groups with fewer than k distinct items report their exact count (the
-    sketch is then the full set).
+    ``item_col`` is a string Column (hashed with md5 internally), or an
+    already-hashed bigint Column when ``items_are_hashes`` (the
+    ``kmv_bottom_k_array`` pre-reduction path). Output: group cols +
+    ``n_est`` (bigint) and, when ``with_exact``, ``n_exact``. Groups with
+    fewer than k distinct items report their exact count (the sketch is then
+    the full set).
     """
     group = list(group_cols)
-    d = df.select(*group, md5_long(item_col).alias("__h")).distinct()
+    h = item_col if items_are_hashes else md5_long(item_col)
+    d = df.select(*group, h.alias("__h")).distinct()
     w = Window.partitionBy(*group).orderBy(F.col("__h").asc())
     ranked = d.withColumn("__rn", F.row_number().over(w))
     if not with_exact:
@@ -66,3 +70,20 @@ def kmv_distinct(
     if with_exact:
         aggs.append(n_seen.cast("bigint").alias("n_exact"))
     return ranked.groupBy(*group).agg(*aggs)
+
+
+def kmv_bottom_k_array(items: "Column", k: int = 256) -> "Column":
+    """Per-ROW bottom-k distinct md5 hashes of a string array, entirely
+    inside codegen (transform → array_distinct → array_sort → slice).
+
+    The scale lever for sketching exploded token/shingle streams: the global
+    bottom-k of the UNION of per-row bottom-k sets equals the global bottom-k
+    of all items (if a hash is outside some row's bottom-k, that row alone
+    already holds k smaller distinct hashes, so it cannot be in the global
+    bottom-k either; and any group with < k distinct items keeps every hash,
+    so the exact-count fallback is preserved). A 50 KB document therefore
+    explodes k rows instead of ~50 000 — the explode+distinct volume is
+    capped at k per row BEFORE any shuffle.
+    """
+    hashed = F.transform(items, lambda x: md5_long(x))
+    return F.slice(F.array_sort(F.array_distinct(hashed)), 1, k)

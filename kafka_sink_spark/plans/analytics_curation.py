@@ -183,7 +183,14 @@ def shingle_kmv_estimate(spark, sf_dir):
     cross-engine deterministic because the hash is md5-derived, not an
     engine-internal HLL (extensions/sketch.py explains the trade); the
     estimate-vs-exact accuracy comparison lives in
-    tests/test_temporal_ranges.py::test_kmv_estimate_within_tolerance."""
+    tests/test_temporal_ranges.py::test_kmv_estimate_within_tolerance.
+
+    Doc-size note: for LARGE documents (≥ a few KB) swap the flat explode
+    for sketch.kmv_bottom_k_array — per-doc bottom-k pre-reduction caps the
+    explode at k rows/doc (provably the same sketch; equivalence pinned in
+    tests). At this corpus's ~500-char docs the flat explode + map-side
+    distinct is faster (the per-doc array_sort overhead only pays for itself
+    once windows/doc ≫ k)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     shingles = docs.select(F.col("lang"), nm.alias("_nm")).select(

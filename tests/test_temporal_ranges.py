@@ -98,6 +98,32 @@ def test_kmv_sketch_path_matches_exact_path(spark):
     assert sketch_only == exact
 
 
+def test_kmv_per_row_prereduction_matches_flat_path(spark):
+    """Bottom-k of the union of per-row bottom-k distinct hashes == bottom-k
+    of all items: the pre-reduced estimate must equal the flat-explode
+    estimate, both when group distinct >> k and when it is below k."""
+    from kafka_sink_spark.extensions.sketch import kmv_bottom_k_array
+
+    rows = [("big", [f"w{i}-{j}" for j in range(60)]) for i in range(40)]
+    rows += [("small", [f"s{i % 4}" for i in range(10)]) for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, items array<string>")
+    flat = df.select("g", F.explode("items").alias("x"))
+    expected = {
+        r.g: r.n_est
+        for r in kmv_distinct(flat, ["g"], F.col("x"), k=64, with_exact=False).collect()
+    }
+    reduced = df.select(
+        "g", F.explode(kmv_bottom_k_array(F.col("items"), k=64)).alias("h")
+    )
+    got = {
+        r.g: r.n_est
+        for r in kmv_distinct(
+            reduced, ["g"], F.col("h"), k=64, with_exact=False, items_are_hashes=True
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_pack_sequences_straddles_cuts(spark):
     df = spark.createDataFrame(
         [("a", 1, 6), ("a", 2, 6), ("a", 3, 2)], "g string, i int, n int"
