@@ -10,6 +10,7 @@ DuckDB oracle over the identical parquet inputs, with bit-identical outputs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
@@ -297,6 +298,94 @@ def sink_decimal_base64(spark, sf_dir):
         # the driver's pandas hash sees the same dtype as the DuckDB oracle.
         codecs.base64_to_decimal(b64, 12, 2).cast("double").alias("dec_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# S1/§1.2 — Struct mode over REAL Avro wire bytes (python codec fallback)
+# --------------------------------------------------------------------------
+
+_AVRO_VALUE_SCHEMA = (
+    '{"type":"record","name":"ev","fields":['
+    '{"name":"k","type":["null","long"]},'
+    '{"name":"etype","type":"string"},'
+    '{"name":"score","type":"double"}]}'
+)
+
+
+@register(
+    "sink_avro_struct_decode",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS kcol,
+           event_type AS etype,
+           value AS score
+    FROM events
+    """,
+)
+def sink_avro_struct_decode(spark, sf_dir):
+    """Struct/Avro decode mode over REAL wire bytes (SURVEY §1.2, reference:
+    MetadataCreatorTest.java:45-66): each record's value is Avro-binary
+    encoded executor-side (zigzag varints, union null index, IEEE doubles),
+    then decoded back through ``decode_avro_records`` — from_avro when the
+    spark-avro jar exists, else the pure-Python Arrow-batched wire codec —
+    and mapped/routed by the standard pipeline. The oracle reads the same
+    fields straight from the parquet."""
+    from pyspark.sql.types import BinaryType
+
+    from kafka_sink_spark.mapping.compiler import compile_mapping
+    from kafka_sink_spark.operators.writes import add_ttl_writetime, route_writes
+    from kafka_sink_spark.sources.avro import decode_avro_records
+    from kafka_sink_spark.sources.avro_python import encode
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    schema_json = _AVRO_VALUE_SCHEMA
+
+    @F.pandas_udf(BinaryType())
+    def avro_encode(k: pd.Series, etype: pd.Series, score: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode(
+                    schema_json,
+                    {
+                        "k": None if pd.isna(kv) else int(kv),
+                        "etype": e,
+                        "score": float(s),
+                    },
+                )
+                for kv, e, s in zip(k, etype, score)
+            ]
+        )
+
+    k = F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("long")).otherwise(
+        _k().cast("long")
+    )
+    records = events.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").cast("string").alias("key"),
+        avro_encode(k, F.col("event_type"), F.col("value")).alias("value"),
+    )
+    schema = TableSchema(
+        "ks", "avro_events",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("kcol", "int"),
+            ColumnSpec("etype", "string"),
+            ColumnSpec("score", "double"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "avro_events",
+        parse_mapping("pk=key, kcol=value.k, etype=value.etype, score=value.score"),
+        deletes_enabled=False,
+    )
+    decoded = decode_avro_records(records, schema_json)
+    mapped = compile_mapping(decoded, table, schema)
+    routed = route_writes(add_ttl_writetime(mapped, table), table, schema)
+    return routed.select("pk", "kcol", "etype", "score")
 
 
 # --------------------------------------------------------------------------

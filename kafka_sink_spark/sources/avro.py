@@ -8,11 +8,12 @@ payload into a typed struct column, and ``decode_records`` then treats it as
 the parsed namespace unchanged (mode-1 branch in operators/records.py).
 
 The spark-avro data source is a separate jar (``org.apache.spark:spark-avro``)
-that is NOT bundled in this container — decoding is gated behind
-``avro_available``; ``decode_avro_records`` raises a clear error when the jar
-is missing. The rest of the pipeline (mapping, codecs, routing, writers) is
-schema-typed and identical for JSON-parsed and Avro-parsed structs, which the
-struct-mode tests in tests/test_sink_pipeline.py exercise without the jar.
+that is NOT bundled in this container — ``decode_avro_records`` prefers
+``from_avro`` (JVM, vectorized) and, when the jar is absent, falls back to
+the pure-Python wire codec in ``sources/avro_python.py`` (Arrow-batched
+``mapInPandas``; ~UDF speed, real Avro binary). The rest of the pipeline
+(mapping, codecs, routing, writers) is schema-typed and identical for
+JSON-parsed and Avro-parsed structs.
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ def decode_avro_records(
     value_avro_schema: str,
     key_avro_schema: str | None = None,
     options: dict[str, str] | None = None,
+    allow_python_fallback: bool = True,
 ) -> DataFrame:
     """Replace binary key/value columns with Avro-decoded structs, then run
     the standard record decode (struct mode).
@@ -51,29 +53,42 @@ def decode_avro_records(
     ``value_avro_schema`` / ``key_avro_schema`` are Avro schema JSON strings
     (what the reference gets from Schema Registry). ``options`` passes
     through to ``from_avro`` (e.g. {"mode": "PERMISSIVE"}).
-    """
-    try:
-        from pyspark.sql.avro.functions import from_avro
-    except ImportError as exc:  # pragma: no cover
-        raise AvroNotAvailable(
-            "pyspark.sql.avro is not importable in this environment"
-        ) from exc
 
+    Decode path: ``from_avro`` when the spark-avro jar is loaded (JVM,
+    vectorized — the 100 TB path); otherwise the pure-Python wire codec
+    (sources/avro_python.py, Arrow-batched) unless ``allow_python_fallback``
+    is False, in which case AvroNotAvailable is raised.
+    """
     from kafka_sink_spark.operators.records import decode_records
 
     try:
-        out = records.withColumn(
-            "value", from_avro(F.col("value"), value_avro_schema, options or {})
-        )
-        if key_avro_schema is not None:
-            out = out.withColumn(
-                "key", from_avro(F.col("key"), key_avro_schema, options or {})
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError:  # pragma: no cover
+        from_avro = None
+
+    if from_avro is not None:
+        try:
+            out = records.withColumn(
+                "value", from_avro(F.col("value"), value_avro_schema, options or {})
             )
-        out.schema  # force analysis so a missing jar fails HERE, clearly
-    except Exception as exc:
+            if key_avro_schema is not None:
+                out = out.withColumn(
+                    "key", from_avro(F.col("key"), key_avro_schema, options or {})
+                )
+            out.schema  # force analysis so a missing jar fails HERE
+            return decode_records(out)
+        except Exception:
+            pass  # fall through to the python wire codec
+
+    if not allow_python_fallback:
         raise AvroNotAvailable(
             "the spark-avro data source is not loaded; add the "
             "org.apache.spark:spark-avro jar matching your Spark version "
-            "(spark.jars.packages) to enable Struct/Avro decode"
-        ) from exc
+            "(spark.jars.packages) to enable JVM Struct/Avro decode"
+        )
+    from kafka_sink_spark.sources.avro_python import decode_avro_column
+
+    out = decode_avro_column(records, "value", value_avro_schema)
+    if key_avro_schema is not None:
+        out = decode_avro_column(out, "key", key_avro_schema)
     return decode_records(out)

@@ -48,14 +48,123 @@ def test_normalize_kafka_records(spark):
     assert rec["headers"] == {"h1": "v1"}
 
 
-def test_avro_gated_with_clear_error(spark):
+def test_avro_jvm_path_gated_with_clear_error(spark):
     assert avro_available(spark) is False  # jar not bundled here
     rec = spark.createDataFrame([(b"x", b"y")], "key binary, value binary")
     with pytest.raises(AvroNotAvailable, match="spark-avro"):
         decode_avro_records(
             rec,
             '{"type":"record","name":"r","fields":[{"name":"a","type":"int"}]}',
+            allow_python_fallback=False,
         )
+
+
+def test_avro_python_fallback_decodes_wire_bytes(spark):
+    """Without the jar, decode_avro_records must still decode REAL Avro
+    binary via the pure-Python Arrow-batched codec — key and value."""
+    from kafka_sink_spark.operators.records import KEY_PARSED, VALUE_PARSED
+    from kafka_sink_spark.sources.avro_python import encode
+
+    vschema = (
+        '{"type":"record","name":"v","fields":['
+        '{"name":"a","type":["null","int"]},{"name":"b","type":"string"}]}'
+    )
+    kschema = '{"type":"record","name":"k","fields":[{"name":"id","type":"long"}]}'
+    rows = [
+        (encode(kschema, {"id": 1}), encode(vschema, {"a": 5, "b": "x"})),
+        (encode(kschema, {"id": 2}), encode(vschema, {"a": None, "b": "y"})),
+    ]
+    rec = spark.createDataFrame(rows, "key binary, value binary")
+    out = decode_avro_records(rec, vschema, key_avro_schema=kschema)
+    got = {
+        r[KEY_PARSED]["id"]: (r[VALUE_PARSED]["a"], r[VALUE_PARSED]["b"])
+        for r in out.collect()
+    }
+    assert got == {1: (5, "x"), 2: (None, "y")}
+
+
+def test_avro_python_codec_roundtrip():
+    """Wire-format round-trip across the full supported type surface."""
+    import datetime
+    from decimal import Decimal
+
+    from kafka_sink_spark.sources.avro_python import decode, encode
+
+    schema = {
+        "type": "record", "name": "all", "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+            {"name": "e", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["RED", "GREEN"]}},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "u", "type": ["null", "string"]},
+            {"name": "nested", "type": {"type": "record", "name": "inner",
+                                        "fields": [{"name": "x", "type": "int"}]}},
+            {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal",
+                                     "precision": 20, "scale": 2}},
+            {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+        ],
+    }
+    value = {
+        "b": True, "i": -42, "l": 2**40 + 7, "f": 1.5, "d": -2.25,
+        "s": "héllo", "raw": b"\x00\xff", "fx": b"abcd", "e": "GREEN",
+        "arr": [1, -2, 3], "m": {"k1": "v1", "k2": "v2"}, "u": None,
+        "nested": {"x": 9}, "dec": Decimal("12345678.90"),
+        "dt": datetime.date(2020, 6, 15),
+        "ts": datetime.datetime(2020, 6, 15, 12, 30, 45, 123456),
+    }
+    buf = encode(schema, value)
+    got, pos = decode(schema, buf)
+    assert pos == len(buf)
+    assert got == value
+    # negative ints / zigzag edges
+    for n in (0, -1, 1, 63, -64, 64, 2**31 - 1, -(2**31), 2**62, -(2**62)):
+        g, p = decode("long", encode("long", n))
+        assert (g, p) == (n, len(encode("long", n)))
+
+
+def test_avro_python_decodes_negative_count_blocks():
+    """Avro writers may emit blocks with NEGATIVE counts followed by a byte
+    size (for skipping); our encoder never does, but the decoder must."""
+    from kafka_sink_spark.sources.avro_python import (
+        _zigzag_encode,
+        decode,
+        encode,
+    )
+
+    items = [10, 20, 30]
+    body = b"".join(encode("long", v) for v in items)
+    buf = _zigzag_encode(-3) + _zigzag_encode(len(body)) + body + _zigzag_encode(0)
+    got, pos = decode({"type": "array", "items": "long"}, buf)
+    assert got == items and pos == len(buf)
+
+
+def test_avro_schema_to_spark_types():
+    from pyspark.sql import types as T
+
+    from kafka_sink_spark.sources.avro_python import avro_schema_to_spark
+
+    t = avro_schema_to_spark(
+        '{"type":"record","name":"r","fields":['
+        '{"name":"a","type":["null","long"]},'
+        '{"name":"b","type":{"type":"array","items":"double"}},'
+        '{"name":"c","type":{"type":"bytes","logicalType":"decimal",'
+        '"precision":12,"scale":2}}]}'
+    )
+    assert t == T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.ArrayType(T.DoubleType())),
+        T.StructField("c", T.DecimalType(12, 2)),
+    ])
 
 
 def test_struct_mode_decode(spark):
