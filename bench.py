@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "text_profile",
     "text_token_stats",
     "text_rolling_fingerprint",
+    "text_repetition_stats",
+    "text_scrub_pii",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_simhash",

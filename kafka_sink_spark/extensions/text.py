@@ -218,3 +218,101 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         best_lang.alias("lang_pred"),
         F.col("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition statistics (Gopher/RefinedWeb-style quality signals)
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals used by training-data quality filters
+    (Gopher rules / RefinedWeb): duplicate-word fraction and the share of the
+    most frequent word bigram.
+
+    Plan: one scan; word stats are pure codegen (size / array_distinct); the
+    bigram mode needs a per-(doc, bigram) count → two hash aggregations with
+    map-side partial combine, then a co-partitioned join back on doc_id.
+    Shuffle volume is one row per distinct (doc, bigram) — bounded by
+    document length, never corpus-quadratic. Docs with fewer than 2 words
+    report zero bigram stats (left join + coalesce)."""
+    toks = docs.select(F.col("doc_id"), tokens(F.col(text_col)).alias("_t"))
+    n = F.size(F.col("_t"))
+    word_stats = toks.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        F.size(F.array_distinct(F.col("_t"))).cast("int").alias("n_distinct_words"),
+    )
+    bigrams = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("_t"), i), F.element_at(F.col("_t"), i + 1)
+                ),
+            )
+        ).alias("_bg"),
+    )
+    per_bigram = bigrams.groupBy("doc_id", "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("_c").cast("int").alias("top_bigram_count"),
+        F.sum("_c").cast("int").alias("n_bigrams"),
+    )
+    joined = word_stats.join(per_doc, "doc_id", "left_outer")
+    top = F.coalesce(F.col("top_bigram_count"), F.lit(0))
+    nbg = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_words").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_fraction"),
+        top.alias("top_bigram_count"),
+        nbg.alias("n_bigrams"),
+        F.round(
+            top.cast("double") / F.greatest(nbg, F.lit(1)).cast("double"), 6
+        ).alias("top_bigram_fraction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII / URL scrubbing (training-data redaction pass)
+# --------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark rlike/regexp_replace)
+# and RE2 (DuckDB): no backreferences, no lookaround.
+SCRUB_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "digits": (r"[0-9]{6,}", "<NUM>"),
+}
+
+_SCRUB_ORDER = ("email", "url", "digits")  # email before digits: emails may
+# contain digit runs; URL before digits likewise.
+
+
+def scrub_text(col: Column) -> Column:
+    """Redact emails, URLs, and long digit runs with typed sentinels —
+    chained regexp_replace, entirely inside codegen."""
+    out = col
+    for kind in _SCRUB_ORDER:
+        pattern, sentinel = SCRUB_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, sentinel)
+    return out
+
+
+def scrub_counts(col: Column) -> dict[str, Column]:
+    """Per-kind redaction counts (computed on the ORIGINAL text, in the same
+    order the scrubber applies, so counts match what scrub_text replaced)."""
+    remaining = col
+    counts: dict[str, Column] = {}
+    for kind in _SCRUB_ORDER:
+        pattern, sentinel = SCRUB_PATTERNS[kind]
+        counts[kind] = F.size(F.regexp_extract_all(remaining, F.lit(pattern), 0))
+        remaining = F.regexp_replace(remaining, pattern, sentinel)
+    return counts

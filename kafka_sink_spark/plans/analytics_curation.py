@@ -606,3 +606,115 @@ def embedding_label_centroids(spark, sf_dir):
             F.col("sum_millionths").cast("double") / F.col("n_vecs")
         ).cast("bigint").alias("mean_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition statistics (Gopher/RefinedWeb-style quality signals)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), ws AS (
+      SELECT doc_id, CAST(len(t) AS INTEGER) AS n_words,
+             CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_words
+      FROM toks
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(t) - 1),
+                                   i -> t[i+1] || ' ' || t[i+2])) AS b
+      FROM toks WHERE len(t) >= 2
+    ), bc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    ), ba AS (
+      SELECT doc_id, CAST(MAX(c) AS INTEGER) AS top_c,
+             CAST(SUM(c) AS INTEGER) AS nbg
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, ws.n_words, ws.n_distinct_words,
+           round(1.0 - CAST(ws.n_distinct_words AS DOUBLE)
+                       / GREATEST(ws.n_words, 1), 6) AS dup_word_fraction,
+           COALESCE(ba.top_c, 0) AS top_bigram_count,
+           COALESCE(ba.nbg, 0) AS n_bigrams,
+           round(CAST(COALESCE(ba.top_c, 0) AS DOUBLE)
+                 / GREATEST(COALESCE(ba.nbg, 0), 1), 6) AS top_bigram_fraction
+    FROM ws LEFT JOIN ba ON ws.doc_id = ba.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher/RefinedWeb repetition signals per document: duplicate-word
+    fraction (1 - distinct/total, pure codegen) and the most-frequent-bigram
+    share (per-(doc,bigram) hash count -> per-doc max, both with map-side
+    partial combine). The standard pre-filters before expensive dedup: a doc
+    that is one phrase repeated 50x never reaches MinHash."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.repetition_stats(docs)
+
+
+# --------------------------------------------------------------------------
+# PII / URL scrubbing (training-data redaction pass)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_scrub_pii",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at https://ex.com/p'
+                       || CAST(doc_id AS VARCHAR) || ' ref 12345678'
+                  ELSE text END AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, t,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, 'https?://[^\s]+')) AS n_url,
+             regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_email, n_url,
+             len(regexp_extract_all(t2, '[0-9]{6,}')) AS n_num,
+             regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, CAST(n_email AS INTEGER) AS n_email,
+           CAST(n_url AS INTEGER) AS n_url, CAST(n_num AS INTEGER) AS n_num,
+           md5(t3) AS scrubbed_fingerprint
+    FROM s3
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """PII/URL redaction pass: emails, URLs, then long digit runs replaced by
+    typed sentinels (order matters — an email contains digit runs). Every 3rd
+    document gets deterministic synthetic PII appended so the check is
+    non-vacuous on this clean corpus. One scan, one projection, chained
+    regexp_replace inside codegen; counts are computed on the same
+    progressively-scrubbed text in both engines."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at https://ex.com/p"),
+            F.col("doc_id").cast("string"), F.lit(" ref 12345678"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select(F.col("doc_id"), aug.alias("_t"))
+    counts = text.scrub_counts(F.col("_t"))
+    return staged.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["url"].cast("int").alias("n_url"),
+        counts["digits"].cast("int").alias("n_num"),
+        F.md5(text.scrub_text(F.col("_t"))).alias("scrubbed_fingerprint"),
+    )

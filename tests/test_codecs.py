@@ -243,3 +243,22 @@ def test_cloud_mode_rules():
         }
     )
     assert cfg.tables[0].consistency_level == "LOCAL_QUORUM"
+
+
+def test_scrub_order_and_sentinels(spark):
+    """Redaction order is load-bearing: an email's digit run must be consumed
+    by <EMAIL> (counted once, as an email), URLs with digits likewise; only
+    free-standing runs >= 6 digits become <NUM>."""
+    from kafka_sink_spark.extensions.text import scrub_counts, scrub_text
+
+    s = ("write to bob123456@corp.example.org or visit "
+         "https://ex.com/a123456789 order 987654321 code 12345")
+    col = F.lit(s)
+    counts = scrub_counts(col)
+    row = spark.range(1).select(
+        scrub_text(col).alias("t"),
+        counts["email"].alias("e"), counts["url"].alias("u"),
+        counts["digits"].alias("d"),
+    ).collect()[0]
+    assert (row.e, row.u, row.d) == (1, 1, 1), row
+    assert row.t == "write to <EMAIL> or visit <URL> order <NUM> code 12345"

@@ -226,6 +226,22 @@ def test_geo_wkt_single_projection_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_scrub_is_single_projection(spark):
+    """PII scrubbing is scan → project (chained regexp_replace in codegen) —
+    no Exchange, no UDF."""
+    plan = _plan(spark, "text_scrub_pii")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no fallback to python UDF eval
+
+
+def test_repetition_stats_partial_aggs(spark):
+    """Bigram mode: both aggregations combine map-side; the join back to word
+    stats must not be a cartesian product."""
+    plan = _plan(spark, "text_repetition_stats")
+    assert "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_top_terms_broadcasts_df_side(spark):
     """tf/df ranking joins the small document-frequency aggregate via
     broadcast — no shuffle of the tf side for the join."""
