@@ -285,7 +285,13 @@ WKT_PATTERNS = {
     "polygon": rf"^POLYGON\s*\(\s*\(\s*{_COORD_LIST}\s*\)"
     rf"(\s*,\s*\(\s*{_COORD_LIST}\s*\))*\s*\)$",
 }
-_DR_BOUND = r"([0-9]{4}(-[0-9]{2}(-[0-9]{2})?)?|\*)"
+# DSE DateRange bounds go down to millisecond precision (reference
+# StructEndToEndCCMIT accepts e.g. '[2020-01-01T10:15 TO *]'), each finer
+# unit optional: year[-month[-day[Thour[:min[:sec[.millis]]]]]] or '*'.
+_DR_BOUND = (
+    r"([0-9]{4}(-[0-9]{2}(-[0-9]{2}"
+    r"(T[0-9]{2}(:[0-9]{2}(:[0-9]{2}(\.[0-9]{1,3})?)?)?)?)?)?|\*)"
+)
 DATERANGE_PATTERN = rf"^(\[{_DR_BOUND} TO {_DR_BOUND}\]|{_DR_BOUND})$"
 
 
@@ -298,8 +304,9 @@ def wkt_passthrough(col: Column, geo_type: str) -> Column:
 
 
 def daterange_passthrough(col: Column) -> Column:
-    """C15 DateRange: ``[lower TO upper]`` with year/month/day precision
-    bounds or ``*`` (open), or a single bound — validated passthrough."""
+    """C15 DateRange: ``[lower TO upper]`` with year-through-millisecond
+    precision bounds or ``*`` (open), or a single bound — validated
+    passthrough."""
     trimmed = F.trim(col)
     return F.when(trimmed.rlike(DATERANGE_PATTERN), trimmed)
 

@@ -801,3 +801,153 @@ def sink_provided_udt_partial(spark, sf_dir):
     )
     routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
     return apply_null_to_unset(routed, table, schema)
+
+
+# --------------------------------------------------------------------------
+# S1/§1.2 — Struct mode over union-of-record + nested logical types
+# --------------------------------------------------------------------------
+
+_AVRO_UNION_SCHEMA = (
+    '{"type":"record","name":"ev2","fields":['
+    '{"name":"pk","type":"long"},'
+    '{"name":"meta","type":["null",{"type":"record","name":"meta_t","fields":['
+    '{"name":"amount","type":{"type":"bytes","logicalType":"decimal",'
+    '"precision":12,"scale":2}},'
+    '{"name":"day","type":{"type":"int","logicalType":"date"}},'
+    '{"name":"at","type":{"type":"long","logicalType":"timestamp-micros"}},'
+    '{"name":"tmillis","type":{"type":"int","logicalType":"time-millis"}}'
+    "]}]}]}"
+)
+
+
+@register(
+    "sink_avro_union_decode",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE CAST(CAST(user_id * 100 + 7 AS DOUBLE) / 100 AS DOUBLE)
+           END AS amount,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE CAST(user_id AS INTEGER) END AS day_num,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE CAST(event_id * 1000000 + 123456 AS BIGINT) END AS at_micros,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE CAST(event_id % 86400000 AS BIGINT) END AS t_millis
+    FROM events
+    """,
+)
+def sink_avro_union_decode(spark, sf_dir):
+    """Struct/Avro decode of a [null, record] union carrying nested logical
+    types — decimal-on-bytes, date, timestamp-micros, time-millis — through
+    the same ``decode_avro_records`` dispatch as the flat query (reference:
+    AvroJsonConvertersTest.java:82-159; StructEndToEndCCMIT nested-struct
+    cases). Every 4th record takes the null union branch. time-millis is the
+    regression pin for the raw-int decode rule (a datetime.time here would be
+    Arrow-rescaled 1000x); timestamp encode uses exact integer arithmetic."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    from pyspark.sql.types import BinaryType
+
+    from kafka_sink_spark.sources.avro import decode_avro_records
+    from kafka_sink_spark.sources.avro_python import encode
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    schema_json = _AVRO_UNION_SCHEMA
+
+    @F.pandas_udf(BinaryType())
+    def avro_encode(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
+        epoch = _dt.date(1970, 1, 1)
+        out = []
+        for eid, uid in zip(event_id, user_id):
+            eid, uid = int(eid), int(uid)
+            meta = (
+                None
+                if eid % 4 == 0
+                else {
+                    "amount": Decimal(uid * 100 + 7).scaleb(-2),
+                    "day": epoch + _dt.timedelta(days=uid),
+                    "at": _dt.datetime(1970, 1, 1)
+                    + _dt.timedelta(microseconds=eid * 1_000_000 + 123456),
+                    "tmillis": eid % 86_400_000,
+                }
+            )
+            out.append(encode(schema_json, {"pk": eid, "meta": meta}))
+        return pd.Series(out)
+
+    records = events.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").cast("string").alias("key"),
+        avro_encode(F.col("event_id"), F.col("user_id")).alias("value"),
+    )
+    decoded = decode_avro_records(records, schema_json)
+    return decoded.select(
+        F.col("value.pk").alias("pk"),
+        F.col("value.meta.amount").cast("double").alias("amount"),
+        F.datediff(
+            F.col("value.meta.day"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num"),
+        F.unix_micros(F.col("value.meta.at")).alias("at_micros"),
+        F.col("value.meta.tmillis").alias("t_millis"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C15 — DateRange sub-day precision bounds (validated passthrough)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_daterange_precision",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS pk,
+           CASE event_id % 6
+             WHEN 0 THEN '[2020-01-01T10:15 TO *]'
+             WHEN 1 THEN '[2020-01-01T10:15:30.123 TO 2020-01-02]'
+             WHEN 2 THEN '2020-06-15T23:59:59'
+             WHEN 3 THEN NULL
+             WHEN 4 THEN '*'
+             WHEN 5 THEN NULL
+           END AS dr
+    FROM events
+    """,
+)
+def sink_daterange_precision(spark, sf_dir):
+    """C15 DateRange with sub-day precision (reference: StructEndToEndCCMIT
+    DateRange cases accept hour/minute/second/millisecond bounds, e.g.
+    '[2020-01-01T10:15 TO *]'): bounds at every precision level pass through;
+    an unterminated range (case 3) and a 4-digit fractional second (case 5 —
+    past the millisecond limit) null out. Validation is one rlike in the
+    mapping projection."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    dr = (
+        F.when(F.col("event_id") % 6 == 0, F.lit("[2020-01-01T10:15 TO *]"))
+        .when(
+            F.col("event_id") % 6 == 1,
+            F.lit("[2020-01-01T10:15:30.123 TO 2020-01-02]"),
+        )
+        .when(F.col("event_id") % 6 == 2, F.lit("2020-06-15T23:59:59"))
+        .when(F.col("event_id") % 6 == 3, F.lit("[2020-01-01T10 TO"))
+        .when(F.col("event_id") % 6 == 4, F.lit("*"))
+        .otherwise(F.lit("2020-01-01T10:15:30.1234"))
+    )
+    value = F.concat(F.lit('{"dr": "'), dr, F.lit('"}'))
+    records = _records(events, key=F.col("event_id").cast("string"), value=value)
+    schema = TableSchema(
+        "ks", "dr_table",
+        [
+            ColumnSpec("pk", "bigint", primary_key=True),
+            ColumnSpec("dr", "daterange"),
+        ],
+    )
+    table = TableConfig(
+        "events", "ks", "dr_table",
+        parse_mapping("pk=key, dr=value.dr"),
+        deletes_enabled=False,
+    )
+    vschema = StructType([StructField("dr", StringType())])
+    routed = run_sink_pipeline(records, table, schema, value_schema=vschema)
+    return routed.select("pk", "dr")

@@ -18,8 +18,24 @@ JSON-parsed and Avro-parsed structs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def _is_missing_avro_source(exc: Exception) -> bool:
+    """True only for the 'spark-avro jar absent' analysis failure; genuine
+    schema/column errors must propagate rather than silently demote the job
+    to the ~100x-slower Python wire codec."""
+    msg = str(exc)
+    return (
+        "AVRO_NOT_LOADED" in msg  # Spark 4.x error class
+        or "FAILED_FIND_DATA_SOURCE" in msg
+        or "Failed to find data source" in msg  # Spark 3.x wording
+    )
 
 
 class AvroNotAvailable(RuntimeError):
@@ -77,8 +93,15 @@ def decode_avro_records(
                 )
             out.schema  # force analysis so a missing jar fails HERE
             return decode_records(out)
-        except Exception:
-            pass  # fall through to the python wire codec
+        except Exception as exc:
+            if not _is_missing_avro_source(exc):
+                raise  # real schema/column error — do not mask it
+            logger.warning(
+                "spark-avro data source not loaded (%s); falling back to the "
+                "pure-Python Avro wire codec (Arrow-batched, ~100x slower — "
+                "add org.apache.spark:spark-avro for the JVM path)",
+                type(exc).__name__,
+            )
 
     if not allow_python_fallback:
         raise AvroNotAvailable(

@@ -255,10 +255,12 @@ def _apply_logical(schema: Any, base: Any) -> Any:
         return Decimal(unscaled).scaleb(-schema.get("scale", 0))
     if logical == "date":
         return _EPOCH_DATE + _dt.timedelta(days=base)
-    if logical == "time-millis":
-        return (_dt.datetime.min + _dt.timedelta(milliseconds=base)).time()
-    if logical == "time-micros":
-        return (_dt.datetime.min + _dt.timedelta(microseconds=base)).time()
+    if logical in ("time-millis", "time-micros"):
+        # Keep the raw wire int: avro_schema_to_spark declares LongType for
+        # both (Spark's from_avro likewise surfaces the underlying int/long —
+        # it has no time type), and a datetime.time here would be re-scaled
+        # to microseconds by Arrow, corrupting time-millis values 1000x.
+        return base
     if logical == "timestamp-millis":
         return _dt.datetime.fromtimestamp(base / 1e3, tz=_dt.timezone.utc).replace(
             tzinfo=None
@@ -284,15 +286,26 @@ def _unapply_logical(schema: Any, value: Any) -> Any:
     if logical == "date":
         return (value - _EPOCH_DATE).days
     if logical == "time-millis":
+        if isinstance(value, int):  # decode twin now yields raw wire ints
+            return value
         td = _dt.datetime.combine(_dt.date.min, value) - _dt.datetime.min
         return td // _dt.timedelta(milliseconds=1)
     if logical == "time-micros":
+        if isinstance(value, int):
+            return value
         td = _dt.datetime.combine(_dt.date.min, value) - _dt.datetime.min
         return td // _dt.timedelta(microseconds=1)
+    # Exact integer arithmetic: float .timestamp()*1e6 rounds, then int()
+    # truncates, putting ~1% of values off by one unit; timedelta floor
+    # division is exact over the full datetime range.
     if logical == "timestamp-millis":
-        return int(value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e3)
+        return (value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            milliseconds=1
+        )
     if logical == "timestamp-micros":
-        return int(value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+        return (value.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            microseconds=1
+        )
     return value
 
 

@@ -185,6 +185,17 @@ def test_daterange_passthrough(spark):
         ("not a range", False),
         ("[2020-01-01 TO]", False),
         ("[TO 2020]", False),
+        # sub-day precision bounds (ADVICE r2: StructEndToEndCCMIT also
+        # accepts hour/minute/second/millisecond precision)
+        ("[2020-01-01T10 TO *]", True),
+        ("[2020-01-01T10:15 TO *]", True),
+        ("[2020-01-01T10:15:30 TO 2020-01-02]", True),
+        ("[2020-01-01T10:15:30.123 TO *]", True),
+        ("2020-06-15T23:59:59.9", True),
+        ("[* TO 2020-01-01T10:15]", True),
+        ("2020-01-01T10:15:30.1234", False),  # >ms precision
+        ("[2020-01-01T TO *]", False),  # dangling T
+        ("[2020-01T10 TO *]", False),  # time requires a full date
     ]:
         got = _one(spark, codecs.daterange_passthrough(F.lit(text)))
         assert (got == text) if ok else (got is None), (text, got)

@@ -177,3 +177,105 @@ def test_struct_mode_decode(spark):
     row = d.select(VALUE_PARSED, VALUE_LITERAL).collect()[0]
     assert (row[0]["a"], row[0]["b"]) == (5, "x")
     assert row[1] is None
+
+
+def test_avro_time_logical_types_stay_raw_ints():
+    """ADVICE r2 (medium): time-millis/micros must decode to the RAW wire
+    int (matching the declared LongType and from_avro) — a datetime.time
+    would be Arrow-rescaled to microseconds, corrupting time-millis 1000x."""
+    from kafka_sink_spark.sources.avro_python import decode, encode
+
+    schema = {
+        "type": "record", "name": "t", "fields": [
+            {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+        ],
+    }
+    # 01:02:03 = 3723000 ms = 3723000000 us
+    buf = encode(schema, {"tm": 3_723_000, "tu": 3_723_000_000})
+    got, _ = decode(schema, buf)
+    assert got == {"tm": 3_723_000, "tu": 3_723_000_000}
+    # datetime.time fixture values still encode to the same wire ints
+    import datetime
+
+    buf2 = encode(schema, {
+        "tm": datetime.time(1, 2, 3),
+        "tu": datetime.time(1, 2, 3),
+    })
+    assert buf2 == buf
+
+
+def test_avro_time_millis_through_dataframe_decode(spark):
+    """End-to-end: a time-millis field survives the Arrow-batched DataFrame
+    decode as the wire value, not 1000x it."""
+    from kafka_sink_spark.sources.avro_python import decode_avro_column, encode
+
+    schema = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"tm","type":{"type":"int","logicalType":"time-millis"}}]}'
+    )
+    df = spark.createDataFrame(
+        [(encode(schema, {"tm": 3_723_000}),)], "value binary"
+    )
+    row = decode_avro_column(df, "value", schema).collect()[0]
+    assert row["value"]["tm"] == 3_723_000
+
+
+def test_avro_timestamp_encode_exact_integer_arithmetic():
+    """ADVICE r2 (low): float .timestamp()*1e6 put ~1% of encodes off by one
+    unit; sweep a dense microsecond range and a sample of epoch seconds to
+    pin the exact-integer path."""
+    import datetime
+
+    from kafka_sink_spark.sources.avro_python import decode, encode
+
+    ts_us = {"type": "long", "logicalType": "timestamp-micros"}
+    ts_ms = {"type": "long", "logicalType": "timestamp-millis"}
+    epoch = datetime.datetime(1970, 1, 1)
+    for base in (0, 1_600_000_000, 4_102_444_800):  # 1970 / 2020 / 2100
+        for us in range(0, 1000, 7):
+            micros = base * 1_000_000 + us * 1001
+            value = epoch + datetime.timedelta(microseconds=micros)
+            got, _ = decode(ts_us, encode(ts_us, value))
+            assert got == value, micros
+            millis = micros // 1000 * 1000  # whole-millisecond instant
+            mval = epoch + datetime.timedelta(microseconds=millis)
+            gotm, _ = decode(ts_ms, encode(ts_ms, mval))
+            assert gotm == mval, millis
+
+
+def test_avro_fallback_matcher_only_catches_missing_source():
+    """ADVICE r2 (low): only the missing-jar analysis error may demote the
+    job to the Python codec; genuine schema/column errors propagate."""
+    from kafka_sink_spark.sources.avro import _is_missing_avro_source
+
+    assert _is_missing_avro_source(Exception(
+        "[AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE] Cannot call the FROM_AVRO "
+        "SQL function because the Avro data source is not loaded."
+    ))
+    assert _is_missing_avro_source(Exception(
+        "Failed to find data source: avro."
+    ))
+    assert not _is_missing_avro_source(Exception(
+        "[UNRESOLVED_COLUMN.WITH_SUGGESTION] A column or function parameter "
+        "with name `value2` cannot be resolved."
+    ))
+    assert not _is_missing_avro_source(Exception(
+        "Unrecognized token 'notjson': was expecting JSON"
+    ))
+
+
+def test_avro_genuine_error_propagates_not_fallback(spark):
+    """A bad column reference inside the from_avro branch must raise, not
+    silently fall back (here the jar IS absent, so the fallback branch is
+    reached — the propagation test targets the matcher + a python-path
+    schema error instead)."""
+    import pytest as _pytest
+
+    from kafka_sink_spark.sources.avro import decode_avro_records
+
+    rec = spark.createDataFrame([(b"k", b"\x02")], "key binary, value binary")
+    # Unsupported multi-branch union: the python path must surface the error.
+    bad = '{"type":"record","name":"r","fields":[{"name":"a","type":["int","string"]}]}'
+    with _pytest.raises(Exception, match="union"):
+        decode_avro_records(rec, bad).collect()
