@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step (actual image/audio libraries) is STUBBED — the container has
-no codecs — but the Spark-side plumbing is real and tested: schema contracts,
-binary column handling, batch iteration shape, and deterministic feature
-extraction (byte length, sha256, a fake "decode" that derives stable
-pseudo-dimensions from the hash). Swapping in a real decoder is a one-function
-change with the same signature.
+Decode strategy (probed at runtime, executor-side):
+
+1. **PIL**, when importable — full decode, any format PIL supports.
+2. **Header parse** (always available, no dependencies) — real dimensions
+   read from PNG IHDR / GIF screen descriptor / BMP info header / JPEG SOF
+   markers, straight from the public format specs.
+3. **Deterministic stand-in** — payloads that neither path can read (or
+   non-image media types) get stable pseudo-dimensions derived from the
+   content hash, so tests and oracles are reproducible everywhere.
 
 Scale design: mapInPandas streams Arrow record batches — constant memory per
 task regardless of corpus size; binary payloads never pass through the driver.
@@ -16,6 +19,7 @@ Partitioning by source file/asset id keeps decode locality.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,13 +48,55 @@ MEDIA_FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real decoder hook — image libs are not in this container.
+try:  # optional full decoder — not bundled in this container
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - depends on environment
+    _PILImage = None
 
-    Replace with PIL/opencv in production. The pipeline never calls this
-    directly; see ``_fake_decode_dims``.
+
+def _parse_image_header(payload: bytes) -> tuple[int, int]:
+    """Read (width, height) from the format header — no libraries needed.
+
+    Covers PNG (IHDR chunk), GIF87a/89a (logical screen descriptor), BMP
+    (BITMAPINFOHEADER), and JPEG (first SOFn marker). Raises ValueError for
+    anything else; callers fall back to the deterministic stand-in.
     """
-    raise NotImplementedError("image codecs not available in this environment")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return w, abs(h)  # negative height = top-down DIB
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOFn
+        pos = 2
+        while pos + 9 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return w, h
+            seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            pos += 2 + seg_len
+    raise ValueError("unrecognized image format")
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode real image dimensions: PIL when available (full decode), else
+    the dependency-free header parser. Raises ValueError when the payload is
+    not a recognizable image."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                return img.width, img.height
+        except Exception:
+            pass  # fall through to the header parser
+    return _parse_image_header(payload)
 
 
 def _fake_decode_dims(digest: bytes) -> tuple[int, int, int]:
@@ -76,12 +122,24 @@ def extract_media_features(
     """
     in_cols = [id_col, type_col, payload_col]
 
+    def dims_for(payload, media_type, digest) -> tuple[int, int, int]:
+        if media_type is not None and media_type.startswith("image/"):
+            try:
+                w, h = decode_image(bytes(payload) if payload is not None else b"")
+                return w, h, 1  # still image
+            except ValueError:
+                pass  # unreadable payload — deterministic stand-in below
+        return _fake_decode_dims(digest)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             digests = pdf[payload_col].map(
                 lambda b: hashlib.sha256(bytes(b) if b is not None else b"").digest()
             )
-            dims = digests.map(_fake_decode_dims)
+            dims = [
+                dims_for(p, t, d)
+                for p, t, d in zip(pdf[payload_col], pdf[type_col], digests)
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],
@@ -90,9 +148,9 @@ def extract_media_features(
                         lambda b: len(b) if b is not None else 0
                     ),
                     "sha256": digests.map(lambda d: d.hex()),
-                    "width": dims.map(lambda t: t[0]),
-                    "height": dims.map(lambda t: t[1]),
-                    "n_frames": dims.map(lambda t: t[2]),
+                    "width": [t[0] for t in dims],
+                    "height": [t[1] for t in dims],
+                    "n_frames": [t[2] for t in dims],
                 }
             )
 

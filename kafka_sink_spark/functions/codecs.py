@@ -229,8 +229,11 @@ def base64_to_decimal(col: Column, precision: int, scale: int) -> Column:
     fold the bitwise complement then negate (x = -(~x + 1)), so every fold
     intermediate is bounded by the final magnitude and nothing overflows for
     any value that fits the target decimal at all. Inputs wider than 16 bytes
-    exceed decimal(38) entirely and decode to null. Stays whole-stage codegen
-    — no UDF.
+    exceed decimal(38) entirely and decode to null — and the whole ladder
+    uses try_add/try_multiply/try_cast so a 16-byte value with a 39-digit
+    magnitude (2^127 > 10^38-1) ALSO degrades to null instead of aborting
+    the job under ANSI mode (Spark 4 default). Stays whole-stage codegen —
+    no UDF.
     """
     raw = F.unbase64(col)
     hexed = F.hex(raw)  # uppercase, 2 chars per byte
@@ -248,24 +251,28 @@ def base64_to_decimal(col: Column, precision: int, scale: int) -> Column:
         return F.aggregate(
             chunks,
             F.lit(0).cast("decimal(38,0)"),
-            lambda acc, c: acc * two32
-            + xform(F.conv(c, 16, 10).cast("decimal(38,0)")),
+            lambda acc, c: F.try_add(
+                F.try_multiply(acc, two32),
+                xform(F.conv(c, 16, 10).cast("decimal(38,0)")),
+            ),
         )
 
     unsigned = fold(lambda v: v)
     complement = fold(lambda v: F.lit(4294967295).cast("decimal(38,0)") - v)
     # 0 - x, not unary minus: PySpark's negative() on decimal(38,0) rounds
     # the 38th digit away (it plans as a precision-capped multiply).
-    magnitude = complement + F.lit(1).cast("decimal(1,0)")
+    magnitude = F.try_add(complement, F.lit(1).cast("decimal(1,0)"))
     signed = F.when(
-        neg, F.lit(0).cast("decimal(38,0)") - magnitude
+        neg, F.try_subtract(F.lit(0).cast("decimal(38,0)"), magnitude)
     ).otherwise(unsigned)
     signed = F.when(F.length(raw) <= 16, signed)  # beyond decimal(38): null
     # Shift the scale by an exact decimal multiply (10^-scale literal):
     # decimal division would widen the result scale past precision 38 and
     # overflow under ANSI; multiplication keeps scale = s exactly.
-    shifted = signed * F.lit(PyDecimal(1).scaleb(-scale))
-    return shifted.cast(f"decimal({precision},{scale})")
+    shifted = F.try_multiply(signed, F.lit(PyDecimal(1).scaleb(-scale)))
+    # try_cast: a value too wide for the TARGET precision nulls out rather
+    # than raising under ANSI (malformed-input rule, same as >16 bytes).
+    return shifted.try_cast(f"decimal({precision},{scale})")
 
 
 # --- C15: DSE geo WKT / DateRange (validated string passthrough) -----------

@@ -59,6 +59,9 @@ DRIVER_PRIORITY: list[str] = [
     # -- new queries this round (also need a first driver row) --
     "sink_avro_union_decode",
     "sink_daterange_precision",
+    "docs_temperature_resample",
+    "dedup_incremental",
+    "dedup_df_pruned_pairs",
     # -- only checked in round 1, never in round 2 --
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -72,9 +75,6 @@ DRIVER_PRIORITY: list[str] = [
     "q1_pricing_summary",
     "dedup_minhash_pairs",
     "knn_lsh",
-    "multimodal_features",
-    "sink_geo_wkt",
-    "sink_ttl_writetime",
 ]
 
 

@@ -453,7 +453,10 @@ def lineitem_quantile_profile(spark, sf_dir):
         F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
         F.col("l_linenumber").asc(),
     )
-    wn = Window.partitionBy("l_returnflag")
+    # Partition count over the SAME ordered spec with an explicit unbounded
+    # frame: row_number and the count then share one Window exec node (an
+    # unordered Window.partitionBy spec would plan a second Window pass).
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     r = li.select(
         "l_returnflag",
         "l_extendedprice",
@@ -717,4 +720,176 @@ def text_scrub_pii(spark, sf_dir):
         counts["url"].cast("int").alias("n_url"),
         counts["digits"].cast("int").alias("n_num"),
         F.md5(text.scrub_text(F.col("_t"))).alias("scrubbed_fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing (multilingual corpus curation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_temperature_resample",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_lang,
+             LEAST(COUNT(*),
+                   CAST(FLOOR(4 * sqrt(COUNT(*))) AS BIGINT)) AS cap_lang
+      FROM documents GROUP BY lang
+    ), r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC
+             ) AS INTEGER) AS t_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, c.n_lang, c.cap_lang, r.t_rank
+    FROM r JOIN c USING (lang) WHERE r.t_rank <= c.cap_lang
+    """,
+)
+def docs_temperature_resample(spark, sf_dir):
+    """Temperature sampling (alpha = 0.5) for multilingual rebalancing: each
+    language keeps min(n, floor(4 * sqrt(n))) documents, so head languages
+    are downsampled toward the sqrt curve while tail languages survive
+    intact — the standard alpha-temperature scheme for pretraining mixes,
+    made deterministic by ranking docs on md5(doc_id) instead of rand().
+    sqrt is IEEE-correctly-rounded in both engines (unlike log/exp), so the
+    per-language cap is bit-identical cross-engine.
+
+    Scale: the per-language count aggregate is |langs| rows (broadcast back);
+    the rank is one window per language partition. The dynamic per-group cap
+    means no WindowGroupLimit pushdown — at 100 TB, precompute caps and pass
+    a static per-stratum limit when map-side truncation matters."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    caps = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .select(
+            "lang",
+            "n_lang",
+            F.least(
+                F.col("n_lang"),
+                F.floor(F.lit(4) * F.sqrt(F.col("n_lang"))).cast("bigint"),
+            ).alias("cap_lang"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc()
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("t_rank")
+    )
+    return (
+        ranked.join(F.broadcast(caps), "lang")
+        .filter(F.col("t_rank") <= F.col("cap_lang"))
+        .select("doc_id", "lang", "n_lang", "cap_lang", "t_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a prior corpus snapshot
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH snap AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+    ), incoming AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT i.doc_id, i.fp
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.fp = i.fp)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: new documents (doc_id % 5 != 0) survive only
+    if their content fingerprint is absent from the prior snapshot's
+    fingerprint set (doc_id % 5 = 0) — the standard crawl-over-crawl dedup
+    step (dedup WITHIN the new batch is a separate op: dedup_exact).
+
+    Scale: a left-anti equi-join on the 128-bit fingerprint — one shuffle
+    co-partitioned on fp for both sides; the snapshot side is a stored
+    fingerprint table at 100 TB, never the full text."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = F.md5(F.col("text")).alias("fp")
+    snap = docs.filter(F.col("doc_id") % 5 == 0).select(fp).distinct()
+    incoming = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", fp)
+    return incoming.join(snap, "fp", "left_anti").select("doc_id", "fp")
+
+
+# --------------------------------------------------------------------------
+# Document-frequency-pruned near-dup candidate pairs
+# --------------------------------------------------------------------------
+
+_DFP_MAX_DF_RECIP = 5   # keep shingles with df <= n_docs / 5 (20%)
+_DFP_MIN_SHARED = 2     # candidate pairs must share >= 2 surviving shingles
+
+
+@register(
+    "dedup_df_pruned_pairs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks
+    ), hs AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfh AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h),
+    kept AS (
+      SELECT h FROM dfh, n
+      WHERE df >= 2 AND df * {_DFP_MAX_DF_RECIP} <= n_docs
+    ), hk AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM hk a JOIN hk b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_DFP_MIN_SHARED}
+    """,
+)
+def dedup_df_pruned_pairs(spark, sf_dir):
+    """Near-dup candidate generation via an inverted shingle index with
+    document-frequency pruning: 3-gram shingles appearing in more than
+    1/{recip} of the corpus are stopword-like and generate quadratic
+    candidate noise, so they are dropped BEFORE the self-join; pairs must
+    share >= {min_shared} surviving shingles. This is the classic df-pruned
+    candidate stage (cf. MinHash banding) with an exact oracle.
+
+    Scale: df pruning caps the per-shingle posting list at n_docs/{recip},
+    bounding self-join fan-out per key; the pair aggregate combines
+    map-side. The scalar corpus count joins via a single-row broadcast."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from kafka_sink_spark.extensions import dedup
+
+    hs = dedup.shingle_hashes(docs, n=3).distinct()
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_h = hs.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        df_h.join(F.broadcast(total))
+        .filter(
+            (F.col("df") >= 2)
+            & (F.col("df") * _DFP_MAX_DF_RECIP <= F.col("n_docs"))
+        )
+        .select("h")
+    )
+    hk = hs.join(kept, "h")
+    a, b = hk.alias("a"), hk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DFP_MIN_SHARED)
     )

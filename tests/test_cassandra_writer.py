@@ -258,3 +258,93 @@ def test_null_to_unset_binding(spark, tmp_path):
     n_null = routed.filter(F.col("kcol").isNull()).count()
     assert n_null > 0
     assert len(with_unset) == n_null
+
+
+def test_writer_coalesces_presplit_partition_key(spark, tmp_path):
+    """VERDICT r3 #3 (reference SimpleEndToEndSimulacronIT.java:776-875): a
+    partition key arriving scattered across many upstream Spark partitions
+    must still produce exactly ceil(n_key/32) wire frames — write_routed
+    repartitions on the routing key before run detection, so scattering
+    cannot inflate the frame count or break the <=32 cap."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    schema = TableSchema(
+        "ks", "t",
+        [
+            ColumnSpec("p", "bigint", primary_key=True),
+            ColumnSpec("seq", "bigint", primary_key=True),
+            ColumnSpec("v", "int"),
+        ],
+    )
+    table = TableConfig("x", "ks", "t", parse_mapping("p=key, seq=value.s, v=value.v"))
+    from kafka_sink_spark.operators.writes import ROUTE_COL, TTL_COL, WRITETIME_COL
+
+    # 3 keys x 70 rows, deliberately scattered round-robin over 11 partitions
+    routed = (
+        spark.range(210)
+        .select(
+            (F.col("id") % 3).alias("p"), F.col("id").alias("seq"),
+            F.lit(1).alias("v"), F.lit("INSERT").alias(ROUTE_COL),
+            F.lit(1000).alias(WRITETIME_COL),
+            F.lit(None).cast("long").alias(TTL_COL),
+            F.col("id").alias("_kafka_offset"),
+        )
+        .repartition(11)
+    )
+    cfg = SinkConfig(tables=[table], max_number_of_records_in_batch=32)
+    stats = write_routed(routed, table, schema, cfg, _factory_for(log_dir))
+    assert stats["rows"] == 210
+    # per key: ceil(70/32) = 3 frames -> 9 total, none degraded to singles
+    assert stats["batches"] == 9 and stats["singles"] == 0
+    batch_lines = [l for l in _read_log(log_dir) if l.startswith("BATCH")]
+    sizes = sorted(int(l.split("\t")[1]) for l in batch_lines)
+    assert all(s <= 32 for s in sizes)
+    assert sizes == sorted([32, 32, 6] * 3)
+
+
+def test_composite_partition_key_batching(spark, tmp_path):
+    """VERDICT r3 #3: a COMPOSITE partition key ((p1, p2), seq) batches on
+    the full (p1, p2) routing key — rows differing in either component never
+    co-batch; rows differing only in clustering seq do."""
+    from kafka_sink_spark.operators.writes import (
+        ROUTE_COL,
+        TTL_COL,
+        WRITETIME_COL,
+        partition_key_batches,
+    )
+
+    schema = TableSchema(
+        "ks", "t",
+        [
+            ColumnSpec("p1", "bigint", primary_key=True, partition_key=True),
+            ColumnSpec("p2", "bigint", primary_key=True, partition_key=True),
+            ColumnSpec("seq", "bigint", primary_key=True),
+            ColumnSpec("v", "int"),
+        ],
+    )
+    assert schema.partition_key == ["p1", "p2"]
+    assert schema.clustering_columns == ["seq"]
+    # 2 x 2 composite keys, 40 clustering rows each
+    df = spark.range(160).select(
+        (F.col("id") % 2).alias("p1"), ((F.col("id") / 2).cast("long") % 2).alias("p2"),
+        F.col("id").alias("seq"), F.lit(1).alias("v"),
+    )
+    out = partition_key_batches(df, schema, max_batch=32).collect()
+    assert len(out) == 4  # one row per (p1, p2), not per p1 or per full PK
+    assert all(r.n_statements == 40 and r.n_frames == 2 for r in out)
+
+    # physical writer agrees with the logical frame math
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    table = TableConfig(
+        "x", "ks", "t", parse_mapping("p1=key, p2=value.p2, seq=value.s, v=value.v")
+    )
+    routed = df.select(
+        "p1", "p2", "seq", "v",
+        F.lit("INSERT").alias(ROUTE_COL), F.lit(1000).alias(WRITETIME_COL),
+        F.lit(None).cast("long").alias(TTL_COL), F.col("seq").alias("_kafka_offset"),
+    )
+    cfg = SinkConfig(tables=[table], max_number_of_records_in_batch=32)
+    stats = write_routed(routed, table, schema, cfg, _factory_for(log_dir))
+    assert stats["rows"] == 160
+    assert stats["batches"] == 8 and stats["singles"] == 0  # 4 keys x 2 frames

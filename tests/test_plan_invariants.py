@@ -256,3 +256,61 @@ def test_contamination_broadcasts_bench_side(spark):
     plan = _plan(spark, "contamination_overlap")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_staged_aggs_no_window(spark):
+    """Funnel stages are keyed partial aggregates + equi-joins — never a
+    window over the full event stream, never a cartesian; min() combines
+    map-side so each stage's shuffle carries one row per user per task."""
+    plan = _plan(spark, "events_funnel_conversion")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+
+
+def test_quantile_profile_one_window_pruned_scan(spark):
+    """Exact quantiles use ONE window pass per partition column (row_number
+    and the partition count share the same Window frame) and prune the scan
+    to the 4 participating columns."""
+    plan = _plan(spark, "lineitem_quantile_profile")
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(spark, "lineitem_quantile_profile")
+    read = fmt.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read and "l_returnflag" in read
+    assert "l_shipdate" not in read and "l_quantity" not in read
+
+
+def test_centroids_partial_agg_before_shuffle(spark):
+    """The x64 posexplode must combine map-side: the exchange carries
+    |labels| x dims rows per task, not the exploded corpus — partial_sum /
+    partial_count in the plan, and no window or cartesian."""
+    plan = _plan(spark, "embedding_label_centroids")
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_resample_broadcasts_caps(spark):
+    """The per-language cap aggregate (|langs| rows) joins back via
+    broadcast; the corpus side shuffles once for the rank window."""
+    plan = _plan(spark, "docs_temperature_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_anti_join(spark):
+    """Incremental dedup is a left-anti equi-join on the fingerprint —
+    no window, no cartesian."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_df_pruned_pairs_equi_join_no_cartesian(spark):
+    """Candidate generation self-joins the pruned inverted index on the
+    shingle hash (equi); the only nested-loop is the single-row corpus-count
+    scalar broadcast. Pair counts combine map-side."""
+    plan = _plan(spark, "dedup_df_pruned_pairs")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
