@@ -20,7 +20,10 @@ union indexes — so the wire path stays REAL without the jar:
 Supported schema surface (what Connect converters emit): primitives,
 record / enum / fixed / array / map / union, nested arbitrarily, plus the
 common logical types (decimal on bytes/fixed, date, time-millis/micros,
-timestamp-millis/micros).
+timestamp-millis/micros). Unions follow spark-avro's SchemaConverters
+semantics: [null, X] → nullable X; {int, long} → long; {float, double} →
+double; anything else → struct<member0, member1, ...> with exactly the
+matched branch's field set per value.
 """
 
 from __future__ import annotations
@@ -92,6 +95,30 @@ def _type_name(schema: Any) -> str:
     return schema["type"]
 
 
+def _union_info(schema: list) -> tuple[str, list, bool]:
+    """Classify a union the way spark-avro's SchemaConverters does:
+
+    - ``simple``:  [null, X] → nullable X
+    - ``long``:    {int, long} (± null) → LongType
+    - ``double``:  {float, double} (± null) → DoubleType
+    - ``complex``: anything else → struct<member0: T0, member1: T1, ...>
+      over the non-null branches in order, one field set per value
+
+    Returns (kind, non_null_branches, nullable).
+    """
+    branches = [_norm_schema(b) for b in schema]
+    non_null = [b for b in branches if _type_name(b) != "null"]
+    nullable = len(non_null) < len(branches)
+    if len(non_null) <= 1:
+        return "simple", non_null, nullable
+    names = {_type_name(b) for b in non_null}
+    if names == {"int", "long"}:
+        return "long", non_null, nullable
+    if names == {"float", "double"}:
+        return "double", non_null, nullable
+    return "complex", non_null, nullable
+
+
 def decode(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
     """Decode one datum at ``pos``; returns (value, next_pos)."""
     schema = _norm_schema(schema)
@@ -123,7 +150,20 @@ def decode(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
         return schema["symbols"][idx], pos
     if t == "union":
         idx, pos = _zigzag_decode(buf, pos)
-        return decode(schema[idx], buf, pos)
+        branch = _norm_schema(schema[idx])
+        value, pos = decode(branch, buf, pos)
+        kind, non_null, _ = _union_info(schema)
+        if kind == "complex" and _type_name(branch) != "null":
+            # spark-avro shape: struct<member0, member1, ...> with exactly
+            # the matched branch's field set (member index counts non-null
+            # branches in declaration order).
+            member = sum(
+                1
+                for b in schema[:idx]
+                if _type_name(_norm_schema(b)) != "null"
+            )
+            return {f"member{member}": value}, pos
+        return value, pos
     if t == "array":
         out = []
         while True:
@@ -186,6 +226,24 @@ def encode(schema: Any, value: Any) -> bytes:
     if t == "enum":
         return _zigzag_encode(schema["symbols"].index(value))
     if t == "union":
+        kind, _, _ = _union_info(schema)
+        if (
+            kind == "complex"
+            and isinstance(value, dict)
+            and len(value) == 1
+            and next(iter(value)).startswith("member")
+        ):
+            # member-dict form (the decode twin of complex unions): the key
+            # names the non-null branch to take.
+            member = int(next(iter(value))[len("member") :])
+            inner = next(iter(value.values()))
+            seen = -1
+            for idx, branch in enumerate(schema):
+                if _type_name(_norm_schema(branch)) != "null":
+                    seen += 1
+                    if seen == member:
+                        return _zigzag_encode(idx) + encode(branch, inner)
+            raise ValueError(f"union has no member{member}")
         for idx, branch in enumerate(schema):
             if _matches(branch, value):
                 return _zigzag_encode(idx) + encode(branch, value)
@@ -342,10 +400,22 @@ def avro_schema_to_spark(schema: Any) -> T.DataType:
     if t in prim:
         return prim[t]
     if t == "union":
-        non_null = [b for b in schema if _type_name(_norm_schema(b)) != "null"]
-        if len(non_null) != 1:
-            raise ValueError("only [null, X] unions are supported")
-        return avro_schema_to_spark(non_null[0])
+        kind, non_null, _ = _union_info(schema)
+        if kind == "simple":
+            if not non_null:
+                return T.NullType()
+            return avro_schema_to_spark(non_null[0])
+        if kind == "long":  # spark-avro promotes {int, long} to long
+            return T.LongType()
+        if kind == "double":  # and {float, double} to double
+            return T.DoubleType()
+        # complex union → struct<member0, member1, ...> (spark-avro shape)
+        return T.StructType(
+            [
+                T.StructField(f"member{i}", avro_schema_to_spark(b))
+                for i, b in enumerate(non_null)
+            ]
+        )
     if t == "array":
         return T.ArrayType(avro_schema_to_spark(schema["items"]))
     if t == "map":

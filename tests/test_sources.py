@@ -275,7 +275,67 @@ def test_avro_genuine_error_propagates_not_fallback(spark):
     from kafka_sink_spark.sources.avro import decode_avro_records
 
     rec = spark.createDataFrame([(b"k", b"\x02")], "key binary, value binary")
-    # Unsupported multi-branch union: the python path must surface the error.
-    bad = '{"type":"record","name":"r","fields":[{"name":"a","type":["int","string"]}]}'
-    with _pytest.raises(Exception, match="union"):
+    # Unsupported type name: the python path must surface the error.
+    bad = '{"type":"record","name":"r","fields":[{"name":"a","type":"flub"}]}'
+    with _pytest.raises(Exception, match="unsupported Avro type"):
         decode_avro_records(rec, bad).collect()
+
+
+def test_avro_complex_union_spark_avro_semantics(spark):
+    """Complex (non-[null,X]) unions follow spark-avro's SchemaConverters:
+    {int,long} promotes to long, {float,double} to double, anything else
+    becomes struct<member0, member1, ...> with one field set per value."""
+    from pyspark.sql import types as T
+
+    from kafka_sink_spark.sources.avro_python import (
+        avro_schema_to_spark,
+        decode,
+        decode_avro_column,
+        encode,
+    )
+
+    # type-promotion unions
+    assert avro_schema_to_spark('["int","long"]') == T.LongType()
+    assert avro_schema_to_spark('["null","float","double"]') == T.DoubleType()
+    v, _ = decode(["int", "long"], encode(["int", "long"], 7))
+    assert v == 7
+
+    # complex union: string | record | null
+    schema = [
+        "null",
+        "string",
+        {"type": "record", "name": "r", "fields": [{"name": "x", "type": "int"}]},
+    ]
+    assert avro_schema_to_spark(schema) == T.StructType(
+        [
+            T.StructField("member0", T.StringType()),
+            T.StructField("member1", T.StructType([T.StructField("x", T.IntegerType())])),
+        ]
+    )
+    # decode wraps the matched branch into its member slot
+    got, _ = decode(schema, encode(schema, "hello"))
+    assert got == {"member0": "hello"}
+    got, _ = decode(schema, encode(schema, {"x": 9}))
+    assert got == {"member1": {"x": 9}}
+    got, _ = decode(schema, encode(schema, None))
+    assert got is None
+    # member-dict form round-trips too (the decode twin)
+    got, _ = decode(schema, encode(schema, {"member1": {"x": 4}}))
+    assert got == {"member1": {"x": 4}}
+
+    # end-to-end through the Arrow-batched DataFrame decode
+    rec_schema = (
+        '{"type":"record","name":"ev","fields":['
+        '{"name":"u","type":["null","string",'
+        '{"type":"record","name":"inner","fields":[{"name":"x","type":"int"}]}]}]}'
+    )
+    rows = [
+        (encode(rec_schema, {"u": "abc"}),),
+        (encode(rec_schema, {"u": {"member1": {"x": 5}}}),),
+        (encode(rec_schema, {"u": None}),),
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    out = [r["value"]["u"] for r in decode_avro_column(df, "value", rec_schema).collect()]
+    assert out[0]["member0"] == "abc" and out[0]["member1"] is None
+    assert out[1]["member1"]["x"] == 5 and out[1]["member0"] is None
+    assert out[2] is None
