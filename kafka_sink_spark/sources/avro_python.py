@@ -119,9 +119,60 @@ def _union_info(schema: list) -> tuple[str, list, bool]:
     return "complex", non_null, nullable
 
 
-def decode(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
-    """Decode one datum at ``pos``; returns (value, next_pos)."""
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def resolve_named_types(schema: Any, env: dict | None = None) -> Any:
+    """Replace string references to previously-defined named types (record /
+    enum / fixed) with their definitions, per the Avro spec's named-type
+    rules — real Schema Registry schemas routinely define a record once and
+    reference it by (full)name later, including recursively.
+
+    Mutates and returns the parsed schema object. Self-referential schemas
+    produce self-referential dicts: decode/encode handle them naturally
+    (recursion follows the data, which is finite); ``avro_schema_to_spark``
+    cannot, because Spark has no recursive types.
+    """
+    env = {} if env is None else env
     schema = _norm_schema(schema)
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return schema
+        if schema in env:
+            return env[schema]
+        raise ValueError(f"unknown Avro type name: {schema!r}")
+    if isinstance(schema, list):
+        return [resolve_named_types(b, env) for b in schema]
+    t = schema.get("type")
+    if isinstance(t, str) and t not in _PRIMITIVES and t in env:
+        return env[t]  # {"type": "SomeRecord"} reference form
+    if t in ("record", "enum", "fixed"):
+        name = schema.get("name")
+        if name:
+            env[name] = schema
+            ns = schema.get("namespace")
+            if ns:
+                env[f"{ns}.{name}"] = schema
+        if t == "record":
+            for f in schema.get("fields", ()):
+                f["type"] = resolve_named_types(f["type"], env)
+    elif t == "array":
+        schema["items"] = resolve_named_types(schema["items"], env)
+    elif t == "map":
+        schema["values"] = resolve_named_types(schema["values"], env)
+    return schema
+
+
+def decode(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
+    """Decode one datum at ``pos``; returns (value, next_pos). A JSON-string
+    schema is name-resolved automatically; pre-parsed dict schemas with
+    named references should pass through ``resolve_named_types`` first."""
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        schema = resolve_named_types(schema)
+    else:
+        schema = _norm_schema(schema)
     t = _type_name(schema)
     if t == "null":
         return None, pos
@@ -200,7 +251,10 @@ def decode(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
 
 def encode(schema: Any, value: Any) -> bytes:
     """Encode one datum to Avro binary (the test/fixture twin of decode)."""
-    schema = _norm_schema(schema)
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        schema = resolve_named_types(schema)
+    else:
+        schema = _norm_schema(schema)
     t = _type_name(schema)
     if t == "null":
         return b""
@@ -373,8 +427,13 @@ def _unapply_logical(schema: Any, value: Any) -> Any:
 
 
 def avro_schema_to_spark(schema: Any) -> T.DataType:
-    """Avro schema JSON → the Spark DataType ``from_avro`` would produce."""
-    schema = _norm_schema(schema)
+    """Avro schema JSON → the Spark DataType ``from_avro`` would produce.
+    Named-type references resolve first (recursive schemas are rejected by
+    the Python recursion limit — Spark has no recursive types)."""
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        schema = resolve_named_types(schema)
+    else:
+        schema = _norm_schema(schema)
     t = _type_name(schema)
     if isinstance(schema, dict):
         logical = schema.get("logicalType")
@@ -446,7 +505,7 @@ def decode_avro_column(
     the exact struct ``from_avro`` would produce, so everything downstream
     (mapping, codecs, routing) is identical.
     """
-    schema_obj = _norm_schema(avro_schema_json)
+    schema_obj = resolve_named_types(avro_schema_json)
     spark_type = avro_schema_to_spark(schema_obj)
     out_fields = [
         f if f.name != column else T.StructField(column, spark_type)

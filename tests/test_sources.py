@@ -277,7 +277,7 @@ def test_avro_genuine_error_propagates_not_fallback(spark):
     rec = spark.createDataFrame([(b"k", b"\x02")], "key binary, value binary")
     # Unsupported type name: the python path must surface the error.
     bad = '{"type":"record","name":"r","fields":[{"name":"a","type":"flub"}]}'
-    with _pytest.raises(Exception, match="unsupported Avro type"):
+    with _pytest.raises(Exception, match="Avro type"):
         decode_avro_records(rec, bad).collect()
 
 
@@ -339,3 +339,163 @@ def test_avro_complex_union_spark_avro_semantics(spark):
     assert out[0]["member0"] == "abc" and out[0]["member1"] is None
     assert out[1]["member1"]["x"] == 5 and out[1]["member0"] is None
     assert out[2] is None
+
+
+def test_avro_named_type_references():
+    """Real Schema Registry schemas define a record/enum/fixed once and
+    reference it by name (or namespace-qualified fullname) later — including
+    recursively. resolve_named_types handles all three forms."""
+    from kafka_sink_spark.sources.avro_python import (
+        avro_schema_to_spark,
+        decode,
+        encode,
+    )
+
+    # same record type used by two fields, referenced bare and by fullname
+    sch = (
+        '{"type":"record","name":"outer","namespace":"com.x","fields":['
+        '{"name":"a","type":{"type":"record","name":"pt","namespace":"com.x",'
+        '"fields":[{"name":"x","type":"int"},{"name":"y","type":"int"}]}},'
+        '{"name":"b","type":"pt"},'
+        '{"name":"c","type":["null","com.x.pt"]}]}'
+    )
+    value = {"a": {"x": 1, "y": 2}, "b": {"x": 3, "y": 4}, "c": {"x": 5, "y": 6}}
+    got, pos = decode(sch, encode(sch, value))
+    assert got == value
+    t = avro_schema_to_spark(sch)
+    assert t["a"].dataType == t["b"].dataType == t["c"].dataType
+
+    # enum + fixed references
+    sch2 = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"e1","type":{"type":"enum","name":"col","symbols":["R","G"]}},'
+        '{"name":"e2","type":"col"},'
+        '{"name":"f1","type":{"type":"fixed","name":"f4","size":4}},'
+        '{"name":"f2","type":"f4"}]}'
+    )
+    v2 = {"e1": "G", "e2": "R", "f1": b"abcd", "f2": b"wxyz"}
+    got2, _ = decode(sch2, encode(sch2, v2))
+    assert got2 == v2
+
+    # recursive type (linked list) — decode/encode follow the data
+    sch3 = (
+        '{"type":"record","name":"node","fields":['
+        '{"name":"v","type":"long"},'
+        '{"name":"next","type":["null","node"]}]}'
+    )
+    lst = {"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}
+    got3, _ = decode(sch3, encode(sch3, lst))
+    assert got3 == lst
+
+    # unknown name is a loud error, not silent fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown Avro type name"):
+        decode(
+            '{"type":"record","name":"r","fields":[{"name":"a","type":"nope"}]}',
+            b"\x00",
+        )
+
+
+def test_avro_randomized_roundtrip_property():
+    """Seeded random schema/value generator: every generated (schema, value)
+    pair must round-trip encode→decode to identity. Covers nested records,
+    arrays, maps, all union kinds, enums, fixed, logical types."""
+    import random
+    from decimal import Decimal
+
+    from kafka_sink_spark.sources.avro_python import decode, encode
+
+    rng = random.Random(0xA720)
+    counter = [0]
+
+    def gen_schema(depth):
+        opts = ["int", "long", "string", "boolean", "double", "bytes"]
+        if depth < 3:
+            opts += ["record", "array", "map", "union", "enum", "fixed", "decimal"]
+        kind = rng.choice(opts)
+        counter[0] += 1
+        n = counter[0]
+        if kind == "record":
+            return {
+                "type": "record", "name": f"r{n}",
+                "fields": [
+                    {"name": f"f{i}", "type": gen_schema(depth + 1)}
+                    for i in range(rng.randint(1, 3))
+                ],
+            }
+        if kind == "array":
+            return {"type": "array", "items": gen_schema(depth + 1)}
+        if kind == "map":
+            return {"type": "map", "values": gen_schema(depth + 1)}
+        if kind == "union":
+            variant = rng.choice(["nullable", "numeric", "complex"])
+            if variant == "nullable":
+                # Avro forbids immediate unions inside unions
+                branch = gen_schema(depth + 1)
+                while isinstance(branch, list):
+                    branch = gen_schema(depth + 1)
+                return ["null", branch]
+            if variant == "numeric":
+                return ["int", "long"]
+            return ["null", "string", {"type": "fixed", "name": f"fx{n}", "size": 2}]
+        if kind == "enum":
+            return {"type": "enum", "name": f"e{n}", "symbols": ["A", "B", "C"]}
+        if kind == "fixed":
+            return {"type": "fixed", "name": f"fd{n}", "size": 3}
+        if kind == "decimal":
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": 20, "scale": 3}
+        return kind
+
+    def gen_value(schema):
+        if isinstance(schema, list):  # union
+            from kafka_sink_spark.sources.avro_python import _union_info
+
+            kind, non_null, nullable = _union_info(schema)
+            if nullable and rng.random() < 0.3:
+                return None
+            if kind == "long":
+                return rng.randint(-(2**40), 2**40)
+            if kind == "double":
+                return rng.uniform(-1e6, 1e6)
+            if kind == "complex":
+                i = rng.randrange(len(non_null))
+                return {f"member{i}": gen_value(non_null[i])}
+            return gen_value(non_null[0])
+        t = schema if isinstance(schema, str) else schema["type"]
+        if t == "int":
+            return rng.randint(-(2**31), 2**31 - 1)
+        if t == "long":
+            return rng.randint(-(2**62), 2**62)
+        if t == "string":
+            return "".join(rng.choice("abcxyzé日") for _ in range(rng.randint(0, 6)))
+        if t == "boolean":
+            return rng.random() < 0.5
+        if t == "double":
+            return rng.uniform(-1e9, 1e9)
+        if t == "bytes":
+            if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+                return Decimal(rng.randint(-(2**60), 2**60)).scaleb(-schema["scale"])
+            return bytes(rng.randrange(256) for _ in range(rng.randint(0, 5)))
+        if t == "record":
+            return {f["name"]: gen_value(f["type"]) for f in schema["fields"]}
+        if t == "array":
+            return [gen_value(schema["items"]) for _ in range(rng.randint(0, 4))]
+        if t == "map":
+            return {
+                f"k{i}": gen_value(schema["values"]) for i in range(rng.randint(0, 4))
+            }
+        if t == "enum":
+            return rng.choice(schema["symbols"])
+        if t == "fixed":
+            return bytes(rng.randrange(256) for _ in range(schema["size"]))
+        raise AssertionError(t)
+
+    for trial in range(300):
+        schema = gen_schema(0)
+        value = gen_value(schema)
+        buf = encode(schema, value)
+        got, pos = decode(schema, buf)
+        assert pos == len(buf), (trial, schema)
+        assert got == value, (trial, schema, value, got)
