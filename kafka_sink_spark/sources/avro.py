@@ -111,7 +111,9 @@ def decode_avro_records(
         )
     from kafka_sink_spark.sources.avro_python import decode_avro_column
 
-    out = decode_avro_column(records, "value", value_avro_schema)
+    # honor from_avro's parse-mode option in the fallback too
+    mode = (options or {}).get("mode", "FAILFAST")
+    out = decode_avro_column(records, "value", value_avro_schema, mode=mode)
     if key_avro_schema is not None:
-        out = decode_avro_column(out, "key", key_avro_schema)
+        out = decode_avro_column(out, "key", key_avro_schema, mode=mode)
     return decode_records(out)

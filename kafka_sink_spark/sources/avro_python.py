@@ -495,7 +495,7 @@ def avro_schema_to_spark(schema: Any) -> T.DataType:
 
 
 def decode_avro_column(
-    df: DataFrame, column: str, avro_schema_json: str
+    df: DataFrame, column: str, avro_schema_json: str, mode: str = "FAILFAST"
 ) -> DataFrame:
     """Replace binary ``column`` with its Avro-decoded struct.
 
@@ -504,7 +504,16 @@ def decode_avro_column(
     but data crosses the boundary as Arrow batches and the output schema is
     the exact struct ``from_avro`` would produce, so everything downstream
     (mapping, codecs, routing) is identical.
+
+    ``mode`` mirrors ``from_avro``'s parse-mode option: FAILFAST (default,
+    like from_avro) raises on the first malformed payload; PERMISSIVE turns
+    a malformed payload into a null struct, so one corrupt record degrades
+    to a skippable null row (ignoreErrors territory) instead of failing a
+    100 TB job. Truncated buffers, bad union indexes, and invalid UTF-8 are
+    all malformed; trailing garbage after a complete datum is also rejected.
     """
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
     schema_obj = resolve_named_types(avro_schema_json)
     spark_type = avro_schema_to_spark(schema_obj)
     out_fields = [
@@ -513,18 +522,24 @@ def decode_avro_column(
     ]
     out_schema = T.StructType(out_fields)
     names = [f.name for f in out_fields]
-    is_record = isinstance(spark_type, T.StructType)
+    permissive = mode == "PERMISSIVE"
 
     def batches(it: Iterator) -> Iterator:
         for pdf in it:
             def _dec(raw):
                 if raw is None:
                     return None
-                v, _ = decode(schema_obj, bytes(raw))
-                if is_record:
-                    # pandas -> Arrow struct wants a dict per row
+                try:
+                    v, end = decode(schema_obj, bytes(raw))
+                    if end != len(raw):
+                        raise ValueError(
+                            f"{len(raw) - end} trailing bytes after datum"
+                        )
                     return v
-                return v
+                except Exception:
+                    if permissive:
+                        return None
+                    raise
 
             pdf[column] = pdf[column].map(_dec)
             yield pdf[names]

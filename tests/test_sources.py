@@ -499,3 +499,47 @@ def test_avro_randomized_roundtrip_property():
         got, pos = decode(schema, buf)
         assert pos == len(buf), (trial, schema)
         assert got == value, (trial, schema, value, got)
+
+
+def test_avro_permissive_mode_nulls_corrupt_payloads(spark):
+    """from_avro parse-mode parity in the fallback codec: PERMISSIVE turns a
+    malformed payload (truncated buffer, trailing garbage) into a null
+    struct; FAILFAST (default) raises — so one corrupt record can be routed
+    to ignoreErrors instead of failing the job, by choice."""
+    from kafka_sink_spark.sources.avro_python import decode_avro_column, encode
+
+    sch = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"s","type":"string"},{"name":"n","type":"long"}]}'
+    )
+    good = encode(sch, {"s": "ok", "n": 7})
+    rows = [(1, good), (2, good[:2]), (3, good + b"JUNK")]
+    df = spark.createDataFrame(rows, "i long, value binary")
+
+    out = {
+        r["i"]: r["value"]
+        for r in decode_avro_column(df, "value", sch, mode="PERMISSIVE").collect()
+    }
+    assert out[1]["s"] == "ok" and out[1]["n"] == 7
+    assert out[2] is None and out[3] is None
+
+    with pytest.raises(Exception):
+        decode_avro_column(df, "value", sch).collect()  # FAILFAST default
+
+    with pytest.raises(ValueError, match="FAILFAST or PERMISSIVE"):
+        decode_avro_column(df, "value", sch, mode="lenient")
+
+    # the decode_avro_records dispatch forwards the option like from_avro
+    from kafka_sink_spark.sources.avro import decode_avro_records
+
+    rec = spark.createDataFrame(
+        [(b"k", good), (b"k", b"\xff")], "key binary, value binary"
+    )
+    from kafka_sink_spark.operators.records import VALUE_PARSED
+
+    got = [
+        r[VALUE_PARSED]
+        for r in decode_avro_records(rec, sch, options={"mode": "PERMISSIVE"})
+        .select(VALUE_PARSED).collect()
+    ]
+    assert {g["s"] if g else None for g in got} == {"ok", None}
