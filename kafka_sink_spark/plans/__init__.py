@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_temperature_resample",
     "dedup_incremental",
     "dedup_df_pruned_pairs",
+    "multimodal_real_decode",
     # -- only checked in round 1, never in round 2 --
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -73,7 +74,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_counter_accrual",
     "sink_avro_struct_decode",
     "q1_pricing_summary",
-    "dedup_minhash_pairs",
     "knn_lsh",
 ]
 

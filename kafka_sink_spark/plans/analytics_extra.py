@@ -722,3 +722,73 @@ def pipeline_training_data(spark, sf_dir):
             F.col("n_copies"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal REAL decode: genuine PNG header bytes → real dimensions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_real_decode",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id,
+             event_id % 9 = 0 AS corrupt,
+             16 + user_id AS w,
+             16 + event_id % 240 AS h,
+             'corrupted-' || CAST(event_id AS VARCHAR) AS junk
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS asset_id,
+           CASE WHEN corrupt THEN CAST(10 + length(CAST(event_id AS VARCHAR)) AS BIGINT)
+                ELSE 33 END AS byte_len,
+           CASE WHEN corrupt
+                THEN 64 + CAST(('0x' || substr(sha256(junk), 1, 2)) AS INTEGER) % 192
+                ELSE CAST(w AS INTEGER) END AS width,
+           CASE WHEN corrupt
+                THEN 64 + CAST(('0x' || substr(sha256(junk), 3, 2)) AS INTEGER) % 192
+                ELSE CAST(h AS INTEGER) END AS height,
+           CASE WHEN corrupt
+                THEN 1 + CAST(('0x' || substr(sha256(junk), 5, 2)) AS INTEGER) % 30
+                ELSE 1 END AS n_frames
+    FROM src
+    """,
+)
+def multimodal_real_decode(spark, sf_dir):
+    """Driver-verified REAL image decode: each event builds a genuine PNG
+    byte stream (magic + IHDR with big-endian dimensions 16+user_id x
+    16+event_id%240), and extract_media_features must read those dimensions
+    back from the actual bytes via the dependency-free header parser (PIL
+    when present). Every 9th payload is ASCII junk instead — the decode
+    fails and the deterministic sha256-derived stand-in takes over; the
+    oracle reproduces BOTH paths bit-for-bit (junk is ASCII precisely so
+    DuckDB's VARCHAR sha256 hashes the same bytes Python does)."""
+    from kafka_sink_spark.extensions.multimodal import extract_media_features
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (F.lit(16) + F.col("user_id")).cast("int")
+    h = (F.lit(16) + F.col("event_id") % 240).cast("int")
+    hex4 = lambda c: F.lpad(F.conv(c.cast("string"), 10, 16), 8, "0")  # noqa: E731
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),      # PNG magic
+        F.lit("0000000D"),              # IHDR length = 13
+        F.lit("49484452"),              # 'IHDR'
+        hex4(w), hex4(h),               # width, height (big-endian)
+        F.lit("0802000000"),            # bit depth 8, RGB, default coding
+        F.lit("00000000"),              # CRC (parser does not verify)
+    )
+    payload = F.when(
+        F.col("event_id") % 9 == 0,
+        F.encode(
+            F.concat(F.lit("corrupted-"), F.col("event_id").cast("string")),
+            "UTF-8",
+        ),
+    ).otherwise(F.unhex(png_hex))
+    assets = events.select(
+        F.col("event_id").alias("asset_id"),
+        F.lit("image/png").alias("media_type"),
+        payload.alias("payload"),
+    )
+    feats = extract_media_features(assets)
+    return feats.select("asset_id", "byte_len", "width", "height", "n_frames")
