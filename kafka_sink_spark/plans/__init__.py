@@ -63,6 +63,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_incremental",
     "dedup_df_pruned_pairs",
     "multimodal_real_decode",
+    "events_pivot_daily",
+    "events_rolling_window",
     # -- only checked in round 1, never in round 2 --
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -73,8 +75,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_upsert_replay",
     "sink_counter_accrual",
     "sink_avro_struct_decode",
-    "q1_pricing_summary",
-    "knn_lsh",
 ]
 
 

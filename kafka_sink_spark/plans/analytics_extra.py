@@ -792,3 +792,93 @@ def multimodal_real_decode(spark, sf_dir):
     )
     feats = extract_media_features(assets)
     return feats.select("asset_id", "byte_len", "width", "height", "n_frames")
+
+
+# --------------------------------------------------------------------------
+# Pivot: per-day event-type value matrix
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "events_pivot_daily",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {", ".join(
+               f"CAST(CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' "
+               f"THEN CAST(value AS DECIMAL(12,2)) END), 0) "
+               f"AS DECIMAL(38,6)) AS DOUBLE) AS {t}_value"
+               for t in _PIVOT_TYPES
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_daily(spark, sf_dir):
+    """Pivot (long → wide): per-day totals with one column per event type —
+    Spark's groupBy().pivot() with EXPLICIT pivot values, which keeps the
+    plan a single pass (no values-discovery job) and the output schema
+    static, exactly what a scheduled 100 TB rollup needs. Money in
+    decimal(12,2) before summing; widened then rendered double for the
+    cross-engine hash."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    out = (
+        events.select(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.coalesce(F.sum("v"), F.lit(0)).cast("decimal(38,6)").cast("double"))
+    )
+    renames = [F.col("day")] + [
+        F.col(t).alias(f"{t}_value") for t in _PIVOT_TYPES
+    ]
+    return out.select(*renames)
+
+
+# --------------------------------------------------------------------------
+# Window frames: rolling per-user aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_window",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
+                AS DECIMAL(38,6)) AS DOUBLE) AS roll_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS roll_max
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_rolling_window(spark, sf_dir):
+    """Bounded window frames: per user, ordered by time, the rolling
+    sum/count/max of the last 4 events (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW). A bounded ROWS frame keeps per-row state O(frame) in
+    Spark's WindowExec — no unbounded buffering — and all three aggregates
+    share one Window node over one shuffle on user_id. Exact decimal money,
+    ties broken by event_id so the frame contents are engine-independent."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, W.currentRow)
+    )
+    v = F.col("value").cast("decimal(12,2)")
+    return events.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.sum(v).over(w).cast("decimal(38,6)").cast("double").alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.max(v).over(w).cast("double").alias("roll_max"),
+    )

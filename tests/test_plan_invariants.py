@@ -314,3 +314,19 @@ def test_df_pruned_pairs_equi_join_no_cartesian(spark):
     plan = _plan(spark, "dedup_df_pruned_pairs")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_pivot_single_pass(spark):
+    """Explicit pivot values keep the pivot a single aggregation pass — no
+    values-discovery collect, no extra shuffle beyond the groupBy."""
+    plan = _plan(spark, "events_pivot_daily")
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan  # map-side combine of the pivot aggregates
+
+
+def test_rolling_window_one_window_node(spark):
+    """All three rolling aggregates (sum/count/max) share ONE Window node
+    over one shuffle on user_id; the ROWS frame is bounded."""
+    plan = _plan(spark, "events_rolling_window")
+    assert plan.count("Window") == 1
+    assert "RowFrame, -3, currentrow" in plan  # bounded ROWS frame
