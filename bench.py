@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_hourly_rollup",
     "events_salted_rollup",
+    "events_pivot_daily",
+    "events_rolling_window",
     # training-data extensions
     "text_profile",
     "text_token_stats",
@@ -66,6 +68,10 @@ BENCH_QUERIES = [
     "knn_lsh",
     "embedding_lsh_buckets",
     "multimodal_features",
+    "multimodal_real_decode",
+    "docs_temperature_resample",
+    "dedup_incremental",
+    "dedup_df_pruned_pairs",
     "pipeline_training_data",
     "events_asof_attribution",
     "events_value_band_join",

@@ -62,13 +62,22 @@ def decode_avro_records(
     key_avro_schema: str | None = None,
     options: dict[str, str] | None = None,
     allow_python_fallback: bool = True,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Replace binary key/value columns with Avro-decoded structs, then run
     the standard record decode (struct mode).
 
     ``value_avro_schema`` / ``key_avro_schema`` are Avro schema JSON strings
     (what the reference gets from Schema Registry). ``options`` passes
-    through to ``from_avro`` (e.g. {"mode": "PERMISSIVE"}).
+    through to ``from_avro`` (e.g. {"mode": "PERMISSIVE"}) and to the
+    Python fallback, which honors the same parse modes.
+
+    ``corrupt_col``: when set (meaningful with mode=PERMISSIVE), adds a
+    boolean column marking records whose VALUE payload was non-null but
+    failed to decode — distinguishing corrupt records (ignoreErrors
+    territory) from genuine null-value tombstones (delete-on-null routing).
+    Works identically on the JVM and fallback paths, since both turn a
+    corrupt payload into a null struct under PERMISSIVE.
 
     Decode path: ``from_avro`` when the spark-avro jar is loaded (JVM,
     vectorized — the 100 TB path); otherwise the pure-Python wire codec
@@ -76,6 +85,19 @@ def decode_avro_records(
     is False, in which case AvroNotAvailable is raised.
     """
     from kafka_sink_spark.operators.records import decode_records
+
+    _WAS_NULL = "__value_was_null"
+    if corrupt_col is not None:
+        records = records.withColumn(_WAS_NULL, F.col("value").isNull())
+
+    def finish(decoded_records: DataFrame) -> DataFrame:
+        out = decode_records(decoded_records)
+        if corrupt_col is not None:
+            out = out.withColumn(
+                corrupt_col,
+                F.col("value").isNull() & ~F.col(_WAS_NULL),
+            ).drop(_WAS_NULL)
+        return out
 
     try:
         from pyspark.sql.avro.functions import from_avro
@@ -92,7 +114,7 @@ def decode_avro_records(
                     "key", from_avro(F.col("key"), key_avro_schema, options or {})
                 )
             out.schema  # force analysis so a missing jar fails HERE
-            return decode_records(out)
+            return finish(out)
         except Exception as exc:
             if not _is_missing_avro_source(exc):
                 raise  # real schema/column error — do not mask it
@@ -116,4 +138,4 @@ def decode_avro_records(
     out = decode_avro_column(records, "value", value_avro_schema, mode=mode)
     if key_avro_schema is not None:
         out = decode_avro_column(out, "key", key_avro_schema, mode=mode)
-    return decode_records(out)
+    return finish(out)

@@ -41,6 +41,10 @@ from kafka_sink_spark.operators.writes import (
 from kafka_sink_spark.mapping.compiler import compile_mapping
 from kafka_sink_spark.operators.records import decode_records
 
+# Flag column marking Avro records whose non-null payload failed to decode
+# (PERMISSIVE mode) — routed to the dead-letter channel, never written.
+AVRO_CORRUPT = "_avro_corrupt"
+
 
 @dataclass
 class SinkMetrics:
@@ -129,6 +133,14 @@ def process_micro_batch(
     ``error_sink`` (the dead-letter channel) and counted; under None/Driver
     they fail the batch so Spark's retry rewinds the offsets — the
     reference's failure-offset behavior (SURVEY §2.8).
+
+    ``value_schemas``/``key_schemas`` entries select the decode mode per
+    topic: a StructType means JSON-with-literal-fallback; an Avro schema
+    JSON **string** means Struct/Avro mode (S1) via decode_avro_records —
+    PERMISSIVE + corrupt-flagging when ignoreErrors=All (corrupt records go
+    to the dead-letter channel; null-value tombstones still route as
+    deletes), FAILFAST otherwise (a corrupt record fails the batch and
+    Spark's retry rewinds the offsets).
     """
     metrics = metrics if metrics is not None else SinkMetrics()
     value_schemas = value_schemas or {}
@@ -143,13 +155,28 @@ def process_micro_batch(
         schema = schemas[(table.keyspace, table.table)]
         table.validate_against(schema)  # fail-fast, every batch start is cheap
         topic_records = batch_df.filter(F.col("topic") == table.topic)
-        decoded = decode_records(
-            topic_records,
-            value_schema=value_schemas.get(table.topic),
-            key_schema=key_schemas.get(table.topic),
-        )
+        vs = value_schemas.get(table.topic)
+        ks = key_schemas.get(table.topic)
         key = f"{table.topic}|{table.keyspace}.{table.table}"
-        decoded, bad = split_mapping_errors(decoded, table)
+        if isinstance(vs, str):  # Avro Struct mode (schema JSON string)
+            from kafka_sink_spark.sources.avro import decode_avro_records
+
+            permissive = config.ignore_errors == "All"
+            dec = decode_avro_records(
+                topic_records,
+                vs,
+                key_avro_schema=ks if isinstance(ks, str) else None,
+                options={"mode": "PERMISSIVE" if permissive else "FAILFAST"},
+                corrupt_col=AVRO_CORRUPT if permissive else None,
+            )
+            if permissive:
+                decoded = dec.filter(~F.col(AVRO_CORRUPT)).drop(AVRO_CORRUPT)
+                bad = dec.filter(F.col(AVRO_CORRUPT)).drop(AVRO_CORRUPT)
+            else:
+                decoded, bad = dec, None
+        else:
+            decoded = decode_records(topic_records, value_schema=vs, key_schema=ks)
+            decoded, bad = split_mapping_errors(decoded, table)
         cached = None
         if bad is not None:
             # The decode feeds up to three actions (error count, error sink,

@@ -214,3 +214,79 @@ def test_stream_error_policy_none_fails(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
+
+
+def test_avro_struct_mode_through_pipeline(spark):
+    """S1 Struct/Avro mode wired into the micro-batch pipeline: an Avro
+    schema JSON STRING in value_schemas selects decode_avro_records. Under
+    ignoreErrors=All corrupt payloads divert to the DLQ (PERMISSIVE +
+    corrupt flag) while null-value tombstones still route as DELETEs; under
+    the default policy a corrupt payload fails the batch (FAILFAST)."""
+    from pyspark.sql.types import BinaryType, LongType, StringType
+    from pyspark.sql.types import StructField as SF
+    from pyspark.sql.types import StructType as ST
+    from pyspark.sql.types import TimestampType
+
+    from kafka_sink_spark.operators.writes import ROUTE_COL
+    from kafka_sink_spark.sources.avro_python import encode
+    from kafka_sink_spark.streaming.pipeline import process_micro_batch
+
+    avro_schema = (
+        '{"type":"record","name":"v","fields":[{"name":"k","type":"int"}]}'
+    )
+    rows = []
+    n, n_corrupt, n_tomb = 30, 0, 0
+    for i in range(n):
+        if i % 7 == 3:
+            payload, n_corrupt = b"\xff\xff\xff", n_corrupt + 1
+        elif i % 5 == 0:
+            payload, n_tomb = None, n_tomb + 1  # tombstone
+        else:
+            payload = encode(avro_schema, {"k": i * 10})
+        rows.append(("events", 0, i, None, str(i).encode(), payload))
+    rec_schema = ST([
+        SF("topic", StringType()), SF("partition", LongType()),
+        SF("offset", LongType()), SF("timestamp", TimestampType()),
+        SF("key", BinaryType()), SF("value", BinaryType()),
+    ])
+    batch = spark.createDataFrame(rows, rec_schema).withColumn(
+        "key", F.col("key").cast("string")
+    )
+
+    schema = TableSchema(
+        "ks", "t",
+        [ColumnSpec("pk", "bigint", primary_key=True), ColumnSpec("kcol", "int")],
+    )
+    table = TableConfig(
+        "events", "ks", "t", parse_mapping("pk=key, kcol=value.k"),
+        deletes_enabled=True,
+    )
+    schemas = {("ks", "t"): schema}
+
+    # --- ignoreErrors=All: corrupt → DLQ, tombstones → DELETE ---
+    cfg = SinkConfig(tables=[table])
+    cfg.ignore_errors = "All"
+    metrics = SinkMetrics()
+    dlq = []
+    out = process_micro_batch(
+        batch, cfg, schemas,
+        value_schemas={"events": avro_schema},
+        metrics=metrics,
+        error_sink=lambda bad, t: dlq.append(bad.count()),
+    )
+    routed = out["ks.t"]
+    assert routed.count() == n - n_corrupt
+    assert sum(dlq) == n_corrupt
+    assert metrics.failed_record_count["events|ks.t"] == n_corrupt
+    deletes = routed.filter(F.col(ROUTE_COL) == "DELETE").count()
+    assert deletes == n_tomb
+    good = routed.filter(F.col(ROUTE_COL) != "DELETE")
+    assert good.filter(F.col("kcol") != F.col("pk") * 10).count() == 0
+
+    # --- default policy: FAILFAST fails the batch on the corrupt record ---
+    cfg2 = SinkConfig(tables=[table])
+    with pytest.raises(Exception):
+        out2 = process_micro_batch(
+            batch, cfg2, schemas, value_schemas={"events": avro_schema}
+        )
+        out2["ks.t"].count()
