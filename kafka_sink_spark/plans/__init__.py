@@ -65,11 +65,11 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_real_decode",
     "events_pivot_daily",
     "events_rolling_window",
+    "events_cube_rollup",
+    "events_value_ntile",
     # -- only checked in round 1, never in round 2 --
     "q6_forecast_revenue",
     "q10_returned_items",
-    "text_rolling_fingerprint",
-    "multimodal_frame_sample",
     # -- regression core: flagship already-green queries fill the window --
     "sink_json_map",
     "sink_upsert_replay",

@@ -882,3 +882,88 @@ def events_rolling_window(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("roll_n"),
         F.max(v).over(w).cast("double").alias("roll_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets: event-type x day total matrix with subtotals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_cube_rollup",
+    oracle="""
+    SELECT COALESCE(event_type, '<all>') AS etype,
+           COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), '<all>') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,6))
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    """,
+)
+def events_cube_rollup(spark, sf_dir):
+    """CUBE grouping sets: totals for every (event_type, day) cell PLUS the
+    per-type, per-day, and grand-total subtotal rows in one pass — Spark
+    expands the grouping sets BEFORE the aggregate, so partial aggregation
+    still combines map-side and the shuffle carries |cells| x 4 rows per
+    task, not the raw events. Null grouping markers are COALESCEd to
+    '<all>' so the subtotal rows hash identically cross-engine (a null
+    grouping key is indistinguishable from a null data value otherwise)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    cube = (
+        events.select("event_type", day, F.col("value").cast("decimal(12,2)").alias("v"))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("decimal(38,6)").cast("double").alias("total_value"),
+        )
+    )
+    return cube.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("etype"),
+        F.coalesce(F.col("day"), F.lit("<all>")).alias("day"),
+        "n_events",
+        "total_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile decile bucketing per event type
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_value_ntile",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, event_type, value,
+             CAST(ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC
+             ) AS INTEGER) AS decile
+      FROM events
+    )
+    SELECT event_type, decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM t GROUP BY event_type, decile
+    """,
+)
+def events_value_ntile(spark, sf_dir):
+    """Decile bucketing: ntile(10) per event type ordered by (value,
+    event_id) — the tiebreak makes bucket assignment engine-independent
+    (SQL-standard ntile is deterministic given a total order). One window
+    pass + one partial-combined aggregate; the window shuffle and the
+    groupBy share the event_type key."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    t = events.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return t.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -330,3 +330,20 @@ def test_rolling_window_one_window_node(spark):
     plan = _plan(spark, "events_rolling_window")
     assert plan.count("Window") == 1
     assert "RowFrame, -3, currentrow" in plan  # bounded ROWS frame
+
+
+def test_cube_partial_aggregation(spark):
+    """CUBE expands grouping sets BEFORE the aggregate — partial combine
+    still applies, so the shuffle carries subtotal cells, not raw events."""
+    plan = _plan(spark, "events_cube_rollup")
+    assert "Expand" in plan  # grouping-set expansion operator
+    assert "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ntile_single_window_shared_key(spark):
+    """ntile + the follow-up aggregate share one shuffle key (event_type);
+    exactly one Window node."""
+    plan = _plan(spark, "events_value_ntile")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
