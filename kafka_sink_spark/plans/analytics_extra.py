@@ -954,7 +954,13 @@ def events_value_ntile(spark, sf_dir):
     event_id) — the tiebreak makes bucket assignment engine-independent
     (SQL-standard ntile is deterministic given a total order). One window
     pass + one partial-combined aggregate; the window shuffle and the
-    groupBy share the event_type key."""
+    groupBy share the event_type key.
+
+    Scale note: ntile buffers each window partition (spill-backed) and here
+    a partition is a whole event type — exact deciles are the oracle-checked
+    reference semantics. At 100 TB with few, huge types, swap to
+    approx_percentile boundaries + a codegen CASE bucket assignment: one
+    pass, no per-partition buffering, same bucket edges to sketch accuracy."""
     from pyspark.sql import Window as W
 
     events = load_tables(spark, sf_dir, ("events",))["events"]
