@@ -13,8 +13,9 @@ import kafka_sink_spark.plans.analytics_curation  # noqa: F401,E402  (registers 
 # Registration order therefore decides which queries get an *official*
 # driver correctness row.  Rounds 1-2 left the TPC-H second wave and the
 # curation/text wave outside the window (judge-verified only).  The list
-# below front-loads every query that has never had a driver row, then the
-# four that only appeared in round 1, then a regression core of flagship
+# below front-loads every query that has never had a driver row (34 from
+# rounds 1-2 plus the 10 added this round), then the two that only appeared
+# in round 1, then a regression core of flagship
 # already-green queries.  Everything else follows in original registration
 # order (all are locally gated by tools/driver_check.py +
 # tests/test_entry_oracle.py regardless of window position).
