@@ -973,3 +973,101 @@ def events_value_ntile(spark, sf_dir):
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE window frames: time-interval rolling totals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_range_window",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w
+                AS DECIMAL(38,6)) AS DOUBLE) AS win_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts ASC
+      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_range_window(spark, sf_dir):
+    """RANGE (value-based) window frame: per user, the total and count of
+    events in the trailing 10-minute interval ending at each event — the
+    frame is defined by the ORDER BY value, not row offsets, so
+    same-timestamp peers always land in the same frame and no tiebreak is
+    needed for determinism (unlike ROWS frames). One shuffle on user_id;
+    Spark's WindowExec advances the range bound monotonically per
+    partition, O(frame) state."""
+    from pyspark.sql import Window as W
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    # Order by epoch MICROseconds: casting ts to long truncates to seconds,
+    # which silently widens the frame edge vs the oracle's µs-precision
+    # INTERVAL arithmetic (an event 600.4s back would land exactly on the
+    # truncated 600s bound and be included).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600 * 1_000_000, W.currentRow)
+    )
+    v = F.col("value").cast("decimal(12,2)")
+    return events.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.sum(v).over(w).cast("decimal(38,6)").cast("double").alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT: lineitem charge components wide → long
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_unpivot_components",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS gross,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(38,6))
+                  AS DOUBLE) AS discount_amt,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(38,6))
+                  AS DOUBLE) AS tax_amt
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    SELECT l_orderkey, l_linenumber, component, amount
+    FROM base
+    UNPIVOT (amount FOR component IN (gross, discount_amt, tax_amt))
+    """,
+)
+def lineitem_unpivot_components(spark, sf_dir):
+    """UNPIVOT (wide → long): each lineitem's charge components (gross,
+    discount amount, tax amount) become (component, amount) rows via
+    DataFrame.unpivot — a pure per-row expansion (Expand operator), no
+    shuffle, no UDF; money computed in exact decimal then rendered double.
+    The inverse of events_pivot_daily's long → wide."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    base = li.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        ep.cast("double").alias("gross"),
+        (ep * F.col("l_discount").cast("decimal(12,2)"))
+        .cast("decimal(38,6)").cast("double").alias("discount_amt"),
+        (ep * F.col("l_tax").cast("decimal(12,2)"))
+        .cast("decimal(38,6)").cast("double").alias("tax_amt"),
+    )
+    return base.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["gross", "discount_amt", "tax_amt"],
+        "component",
+        "amount",
+    )

@@ -347,3 +347,18 @@ def test_ntile_single_window_shared_key(spark):
     plan = _plan(spark, "events_value_ntile")
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_range_window_single_node(spark):
+    """The RANGE-interval frame plans one Window node with a RangeFrame —
+    monotonic bound advance per partition, no extra shuffle."""
+    plan = _plan(spark, "events_range_window")
+    assert plan.count("Window") == 1
+    assert "RangeFrame" in plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    """UNPIVOT is a pure per-row Expand — no Exchange in the plan."""
+    plan = _plan(spark, "lineitem_unpivot_components")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
