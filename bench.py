@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "events_salted_rollup",
     "events_pivot_daily",
     "events_rolling_window",
+    "events_cube_rollup",
+    "events_value_ntile",
+    "events_range_window",
+    "lineitem_unpivot_components",
     # training-data extensions
     "text_profile",
     "text_token_stats",
