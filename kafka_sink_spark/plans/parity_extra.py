@@ -343,10 +343,13 @@ def sink_avro_struct_decode(spark, sf_dir):
 
     @F.pandas_udf(BinaryType())
     def avro_encode(k: pd.Series, etype: pd.Series, score: pd.Series) -> pd.Series:
+        import json as _json
+
+        sch = _json.loads(schema_json)  # parse ONCE per batch, not per row
         return pd.Series(
             [
                 encode(
-                    schema_json,
+                    sch,
                     {
                         "k": None if pd.isna(kv) else int(kv),
                         "etype": e,
@@ -857,6 +860,9 @@ def sink_avro_union_decode(spark, sf_dir):
 
     @F.pandas_udf(BinaryType())
     def avro_encode(event_id: pd.Series, user_id: pd.Series) -> pd.Series:
+        import json as _json
+
+        sch = _json.loads(schema_json)  # parse ONCE per batch, not per row
         epoch = _dt.date(1970, 1, 1)
         out = []
         for eid, uid in zip(event_id, user_id):
@@ -872,7 +878,7 @@ def sink_avro_union_decode(spark, sf_dir):
                     "tmillis": eid % 86_400_000,
                 }
             )
-            out.append(encode(schema_json, {"pk": eid, "meta": meta}))
+            out.append(encode(sch, {"pk": eid, "meta": meta}))
         return pd.Series(out)
 
     records = events.select(
