@@ -22,6 +22,10 @@ import kafka_sink_spark.plans.analytics_curation  # noqa: F401,E402  (registers 
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
+    # -- never had an official CORRECTNESS_r* row (added late in round 3,
+    #    after that round's window reorder) --
+    "events_range_window",
+    "lineitem_unpivot_components",
     # -- never had an official CORRECTNESS_r* row (rounds 1-2) --
     "q2_min_acctbal_supplier",
     "q4_priority_with_returns",
