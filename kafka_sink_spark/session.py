@@ -54,6 +54,12 @@ def get_spark(
         # Driver testdata parquet carries TIMESTAMP(NANOS) which Spark rejects
         # by default; read as raw nanos long and convert in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata timestamps are micros with isAdjustedToUTC=false;
+        # Spark 4 would infer TIMESTAMP_NTZ, which breaks unix_micros / window
+        # RANGE frames and diverges from DuckDB's naive-timestamp handling.
+        # With session TZ pinned to UTC, reading them as TIMESTAMP (LTZ) gives
+        # byte-identical values to the oracle.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -85,6 +91,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         path = os.path.join(sf_dir, f"{name}.parquet")
         df = spark.read.parquet(path)
         df = _convert_nanos_timestamps(df, path)
+        df = _coerce_ntz_timestamps(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
@@ -109,4 +116,21 @@ def _convert_nanos_timestamps(df, path: str):
         # Integer division (`div`), NOT `/`: epoch-nanos (~1.7e18) exceed
         # double precision, so floor(col/1000.0) is off by ±1 µs.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _coerce_ntz_timestamps(df):
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Belt-and-braces for sessions created before inferTimestampNTZ was
+    disabled (getOrCreate reuses the existing session, ignoring new configs).
+    With session TZ = UTC the cast reinterprets the wall-clock value
+    unchanged, matching DuckDB's naive-timestamp reads of the same parquet.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
