@@ -8,78 +8,82 @@ import kafka_sink_spark.plans.analytics_curation  # noqa: F401,E402  (registers 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
-# The verify driver checks the FIRST 50 registered queries each round
-# (CORRECTNESS_r01/r02 each hold exactly 50 rows, in registration order).
-# Registration order therefore decides which queries get an *official*
-# driver correctness row.  Rounds 1-2 left the TPC-H second wave and the
-# curation/text wave outside the window (judge-verified only).  The list
-# below front-loads every query that has never had a driver row (34 from
-# rounds 1-2 plus the 10 added this round), then the two that only appeared
-# in round 1, then a regression core of flagship
-# already-green queries.  Everything else follows in original registration
-# order (all are locally gated by tools/driver_check.py +
-# tests/test_entry_oracle.py regardless of window position).
+# The verify driver checks the FIRST 50 registered queries each round, in
+# registration order, so this list decides which queries get an *official*
+# CORRECTNESS_r* row.  After round 4, 98 of the 100 catalog queries have been
+# driver-green at least once; the exceptions are `events_range_window` (first
+# checked in r04, which errored on the testdata's switch to micros-NTZ
+# timestamps — fixed in round 5) and `sink_now_timeuuid` (rows-only by
+# design; its hash-verified `sink_now_timeuuid_invariants` companion covers
+# it).  Round 5 therefore front-loads (a) the five queries that errored in
+# r04 under the NTZ regression, (b) any queries new this round, (c) the two
+# regression-core entries r04's 52-entry list pushed out of the window, then
+# fills the remaining slots with a timestamp-sensitive regression core —
+# every query here reads the `ts`/date columns whose type changed, so a
+# green row re-certifies the NTZ->LTZ fix on the driver's side.  The list
+# is kept at EXACTLY 50 entries (window size); everything else follows in
+# original registration order and stays locally gated by
+# tools/driver_check.py + tests/test_entry_oracle.py.
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never had an official CORRECTNESS_r* row (added late in round 3,
-    #    after that round's window reorder) --
+    # -- errored in r04 (micros-NTZ testdata regression; fixed this round) --
     "events_range_window",
-    "lineitem_unpivot_components",
-    # -- never had an official CORRECTNESS_r* row (rounds 1-2) --
-    "q2_min_acctbal_supplier",
+    "events_asof_attribution",
+    "sink_daterange_precision",
+    "sink_json_map",
+    "sink_upsert_replay",
+    # -- new queries this round (first driver row) -- inserted here as added
+    # -- pushed out of r04's window by the 52-entry list --
+    "sink_counter_accrual",
+    "sink_avro_struct_decode",
+    # -- timestamp-sensitive regression core (date-predicate TPC-H) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
     "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q11_part_value",
+    "q10_returned_items",
     "q12_priority_class",
-    "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
     "q20_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "events_set_ops",
+    # -- timestamp-sensitive regression core (events family) --
     "events_hourly_rollup",
-    "events_salted_rollup",
-    "orders_priority_rollup",
-    "pipeline_training_data",
-    "events_asof_attribution",
-    "events_value_band_join",
-    "shingle_kmv_estimate",
-    "docs_sample_stratified",
-    "docs_pack_sequences",
-    "corpus_top_terms",
+    "events_sessionize",
+    "events_topk_per_user",
+    "events_rolling_window",
+    "events_pivot_daily",
+    "events_cube_rollup",
     "events_funnel_conversion",
-    "lineitem_quantile_profile",
-    "contamination_overlap",
-    "embedding_label_centroids",
-    "text_repetition_stats",
-    "text_scrub_pii",
-    # -- new queries this round (also need a first driver row) --
-    "sink_avro_union_decode",
-    "sink_daterange_precision",
+    "events_set_ops",
+    "events_salted_rollup",
+    "events_value_band_join",
+    "events_value_ntile",
+    # -- timestamp-sensitive regression core (sink temporal paths) --
+    "sink_codec_temporals",
+    "sink_timestamp_mapping",
+    "sink_ttl_writetime",
+    "sink_now_timeuuid_invariants",
+    "sink_headers",
+    "sink_topic_routing",
+    "sink_multi_table_fanout",
+    "sink_delete_routing",
+    "sink_error_policy",
+    # -- flagship coverage of the remaining operator families --
+    "pipeline_training_data",
+    "orders_priority_rollup",
+    "lineitem_unpivot_components",
     "docs_temperature_resample",
     "dedup_incremental",
     "dedup_df_pruned_pairs",
+    "dedup_minhash_pairs",
+    "knn_lsh",
     "multimodal_real_decode",
-    "events_pivot_daily",
-    "events_rolling_window",
-    "events_cube_rollup",
-    "events_value_ntile",
-    # -- only checked in round 1, never in round 2 --
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    # -- regression core: flagship already-green queries fill the window --
-    "sink_json_map",
-    "sink_upsert_replay",
-    "sink_counter_accrual",
-    "sink_avro_struct_decode",
+    "sink_avro_union_decode",
 ]
 
 
