@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "events_value_band_join",
     "shingle_kmv_estimate",
     "docs_pack_sequences",
+    "docs_gopher_filter",
+    "corpus_bigram_lift",
+    "dedup_survivors",
 ]
 
 

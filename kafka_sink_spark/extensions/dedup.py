@@ -323,3 +323,25 @@ def simhash_duplicates(docs: DataFrame, text_col: str = "text", bits: int = 16) 
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: the corpus that survives minhash dedup.
+
+    Pipeline: signatures → LSH candidate pairs → exact-Jaccard verify →
+    connected components → keep only each cluster's representative (minimum
+    doc_id) → anti-join the losers out of the corpus. The anti-join's right
+    side is the set of non-representative cluster members — proportional to
+    the duplicate volume, not the corpus, so at 100 TB it stays a shuffled
+    anti-join (AQE downgrades it to broadcast when the dup set is small).
+    """
+    comps = connected_components(minhash_dedup_pairs(docs, text_col, threshold, k, bands, n))
+    losers = comps.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")

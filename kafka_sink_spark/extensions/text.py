@@ -316,3 +316,87 @@ def scrub_counts(col: Column) -> dict[str, Column]:
         counts[kind] = F.size(F.regexp_extract_all(remaining, F.lit(pattern), 0))
         remaining = F.regexp_replace(remaining, pattern, sentinel)
     return counts
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality filter (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 public rules)
+# --------------------------------------------------------------------------
+
+
+def gopher_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality rules as 0/1 flags plus the raw signals.
+
+    One staged projection materializes the token array, a second computes the
+    signals, a third derives the flags — scan → project → project → project,
+    no shuffle, fully whole-stage-codegen; embarrassingly parallel at any
+    scale. Flags are INTEGER 0/1 (not boolean) so the driver's pandas
+    stringification agrees across engines.
+    """
+    c = F.col(text_col)
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    staged = docs.select(
+        F.col("doc_id"), F.col("lang"), tokens(c).alias("_toks")
+    )
+    t = F.col("_toks")
+    nw = F.greatest(F.size(t), F.lit(1)).cast("double")
+    signals = staged.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.size(t).cast("bigint").alias("n_words"),
+        F.round(
+            F.coalesce(
+                F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)),
+                F.lit(0),
+            ).cast("double")
+            / nw,
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(
+                F.filter(t, lambda x: x.startswith("#") | x.contains("..."))
+            ).cast("double")
+            / nw,
+            6,
+        ).alias("symbol_ratio"),
+        F.round(
+            F.size(F.filter(t, lambda x: F.lower(x).rlike("[a-z]"))).cast("double")
+            / nw,
+            6,
+        ).alias("alpha_frac"),
+        F.size(
+            F.filter(t, lambda x: F.array_contains(sw_arr, F.lower(x)))
+        ).cast("bigint").alias("n_stop"),
+    )
+    flag = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")  # noqa: E731
+    flagged = signals.select(
+        "*",
+        flag(F.col("n_words").between(min_words, max_words)).alias("ok_words"),
+        flag(F.col("mean_word_len").between(min_mean_len, max_mean_len)).alias(
+            "ok_mean_len"
+        ),
+        flag(F.col("symbol_ratio") < max_symbol_ratio).alias("ok_symbols"),
+        flag(F.col("alpha_frac") > min_alpha_frac).alias("ok_alpha"),
+        flag(F.col("n_stop") >= min_stopwords).alias("ok_stopwords"),
+    )
+    return flagged.select(
+        "*",
+        (
+            F.col("ok_words")
+            * F.col("ok_mean_len")
+            * F.col("ok_symbols")
+            * F.col("ok_alpha")
+            * F.col("ok_stopwords")
+        ).cast("int").alias("ok_all"),
+    )

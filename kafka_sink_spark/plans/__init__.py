@@ -4,6 +4,7 @@ import kafka_sink_spark.plans.parity_extra  # noqa: F401,E402  (registers into t
 import kafka_sink_spark.plans.analytics_extra  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_tpch2  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_curation  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_quality  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -33,7 +34,10 @@ DRIVER_PRIORITY: list[str] = [
     "sink_daterange_precision",
     "sink_json_map",
     "sink_upsert_replay",
-    # -- new queries this round (first driver row) -- inserted here as added
+    # -- new queries this round (first driver row) --
+    "docs_gopher_filter",
+    "corpus_bigram_lift",
+    "dedup_survivors",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -79,9 +83,6 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_unpivot_components",
     "docs_temperature_resample",
     "dedup_incremental",
-    "dedup_df_pruned_pairs",
-    "dedup_minhash_pairs",
-    "knn_lsh",
     "multimodal_real_decode",
     "sink_avro_union_decode",
 ]

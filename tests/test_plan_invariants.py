@@ -362,3 +362,34 @@ def test_unpivot_is_expand_no_shuffle(spark):
     plan = _plan(spark, "lineitem_unpivot_components")
     assert "Expand" in plan
     assert "Exchange" not in plan
+
+
+def test_gopher_filter_projection_only_no_shuffle(spark):
+    """The Gopher quality filter is staged codegen projections over one
+    pruned scan — zero exchanges, zero windows, embarrassingly parallel."""
+    plan = _plan(spark, "docs_gopher_filter")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    fmt = _formatted(spark, "docs_gopher_filter")
+    read = fmt.split("ReadSchema")[1].split("\n")[0]
+    assert "n_chars" not in read  # unused column pruned from the scan
+
+
+def test_bigram_lift_partial_aggs_no_cartesian(spark):
+    """Collocation mining: bigram/unigram counts are partial-aggregated
+    map-side; vocab joins are equi-joins; the only cross join is the
+    single-row total broadcast; the top-k is TakeOrdered (distributed),
+    never a single-partition global Window."""
+    plan = _plan(spark, "corpus_bigram_lift")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_dedup_survivors_anti_join(spark):
+    """Near-dup removal ends in a LeftAnti join of the loser set against the
+    corpus — no cartesian anywhere in the (iterative) pipeline."""
+    plan = _plan(spark, "dedup_survivors")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
