@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "docs_gopher_filter",
     "corpus_bigram_lift",
     "dedup_survivors",
+    "events_retention_cohorts",
 ]
 
 

@@ -38,6 +38,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_gopher_filter",
     "corpus_bigram_lift",
     "dedup_survivors",
+    "events_retention_cohorts",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -82,7 +83,6 @@ DRIVER_PRIORITY: list[str] = [
     "orders_priority_rollup",
     "lineitem_unpivot_components",
     "docs_temperature_resample",
-    "dedup_incremental",
     "multimodal_real_decode",
     "sink_avro_union_decode",
 ]

@@ -233,3 +233,72 @@ def dedup_survivors(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     out = dedup.dedup_survivors(docs, threshold=_SURV_THRESHOLD)
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Cohort retention analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events GROUP BY user_id
+    ), act AS (
+      SELECT e.user_id, f.cw,
+             CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7 AS INTEGER)
+               AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), cells AS (
+      SELECT cw, week_offset, COUNT(DISTINCT user_id) AS n_users
+      FROM act GROUP BY cw, week_offset
+    ), base AS (
+      SELECT cw, n_users AS cohort_size FROM cells WHERE week_offset = 0
+    )
+    SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.week_offset, c.n_users,
+           b.cohort_size,
+           round(CAST(c.n_users AS DOUBLE) / b.cohort_size, 6) AS retention
+    FROM cells c JOIN base b ON c.cw = b.cw
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week, counted
+    distinct per (cohort, week-offset) cell, ratioed against the cohort's
+    week-0 size.
+
+    Scale shape: one groupBy(user) for first-seen (map-side combined min),
+    one join of events against the per-user cohort table (key = user_id —
+    shuffle join at corpus scale, AQE broadcasts below threshold), one
+    distinct-count aggregation on the cohort cells, then a broadcast join of
+    the tiny week-0 base table for the ratio. cohort_week is rendered as a
+    yyyy-MM-dd string on both engines — pandas maps DuckDB DATE to
+    datetime64 but Spark DATE to datetime.date, so raw dates hash-diverge."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = events.select("user_id", "ts").join(firsts, "user_id")
+    cells = (
+        act.select(
+            "user_id",
+            "cw",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cw", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cw", F.col("n_users").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(base), "cw").select(
+        F.date_format(F.col("cw"), "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.round(
+            F.col("n_users").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )

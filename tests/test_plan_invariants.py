@@ -393,3 +393,13 @@ def test_dedup_survivors_anti_join(spark):
     plan = _plan(spark, "dedup_survivors")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_retention_broadcasts_base_and_partial_aggs(spark):
+    """Cohort retention: first-seen and cell aggregations are partial
+    (map-side combined); the week-0 base table joins broadcast; no
+    cartesian products."""
+    plan = _plan(spark, "events_retention_cohorts")
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
