@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "corpus_bigram_lift",
     "dedup_survivors",
     "events_retention_cohorts",
+    "knn_pq",
 ]
 
 

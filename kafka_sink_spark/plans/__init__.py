@@ -39,6 +39,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bigram_lift",
     "dedup_survivors",
     "events_retention_cohorts",
+    "knn_pq",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -83,7 +84,6 @@ DRIVER_PRIORITY: list[str] = [
     "orders_priority_rollup",
     "lineitem_unpivot_components",
     "docs_temperature_resample",
-    "multimodal_real_decode",
     "sink_avro_union_decode",
 ]
 

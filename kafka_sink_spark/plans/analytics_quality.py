@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kafka_sink_spark.extensions import dedup, text
+from kafka_sink_spark.extensions import dedup, similarity, text
 from kafka_sink_spark.plans.analytics import _minhash_pairs_oracle
 from kafka_sink_spark.plans.queries import register
 from kafka_sink_spark.session import load_tables
@@ -301,4 +301,88 @@ def events_retention_cohorts(spark, sf_dir):
         F.round(
             F.col("n_users").cast("double") / F.col("cohort_size"), 6
         ).alias("retention"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (asymmetric distance, fixed-point exact)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_K = 16
+_PQ_DIM = 64
+_PQ_QUERIES = 10
+_PQ_TOPK = 5
+
+
+def _pq_oracle(
+    m_subspaces: int = _PQ_M,
+    k_codewords: int = _PQ_K,
+    dim: int = _PQ_DIM,
+    n_queries: int = _PQ_QUERIES,
+    k: int = _PQ_TOPK,
+) -> str:
+    sub_len = dim // m_subspaces
+
+    def d2(m: int) -> str:
+        lo = m * sub_len + 1
+        return " + ".join(
+            f"(c.e[{i}]::DOUBLE - w.e[{i}]::DOUBLE) * (c.e[{i}]::DOUBLE - w.e[{i}]::DOUBLE)"
+            for i in range(lo, lo + sub_len)
+        )
+
+    cdist_arms = "\n      UNION ALL\n      ".join(
+        f"SELECT c.vid, {m} AS m, w.j, "
+        f"CAST(round(({d2(m)}) * 1000000.0) AS BIGINT) AS dfix "
+        f"FROM corp c, cwv w"
+        for m in range(m_subspaces)
+    )
+    return f"""
+    WITH cwv AS (
+      SELECT vec_id AS j, embedding AS e FROM embeddings WHERE vec_id < {k_codewords}
+    ), corp AS (
+      SELECT vec_id AS vid, embedding AS e FROM embeddings
+    ), cdist AS (
+      {cdist_arms}
+    ), codes AS (
+      SELECT vid, m, j FROM (
+        SELECT vid, m, j,
+               row_number() OVER (PARTITION BY vid, m ORDER BY dfix, j) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ), qd AS (
+      SELECT vid AS qid, m, j, dfix FROM cdist WHERE vid < {n_queries}
+    ), ad AS (
+      SELECT q.qid AS query_id, c.vid AS neighbor_id, SUM(q.dfix) AS afix
+      FROM codes c JOIN qd q ON q.m = c.m AND q.j = c.j AND q.qid <> c.vid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           round(CAST(afix AS DOUBLE) / 1000000.0, 6) AS adist, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY afix, neighbor_id
+             ) AS INTEGER) AS rank
+      FROM ad
+    ) WHERE rank <= {k}
+    """
+
+
+@register("knn_pq", oracle=_pq_oracle())
+def knn_pq(spark, sf_dir):
+    """PQ (product quantization) approximate nearest neighbors: the corpus
+    compressed to M=8 per-subspace codeword ids, queries ranked by asymmetric
+    distance (sum of query→codeword distances). Codebooks follow the IVF
+    convention: subvectors of the first K vectors, the deterministic stand-in
+    for a sampled k-means fit. All distances become exact fixed-point bigints
+    before any argmin/Σ/rank, so results are engine- and order-independent.
+    Reference for the extension surface: SURVEY.md §2 similarity family."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.knn_pq(
+        emb,
+        k=_PQ_TOPK,
+        n_queries=_PQ_QUERIES,
+        m_subspaces=_PQ_M,
+        k_codewords=_PQ_K,
+        dim=_PQ_DIM,
     )

@@ -403,3 +403,13 @@ def test_retention_broadcasts_base_and_partial_aggs(spark):
     assert "partial_min" in plan or "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_broadcast_codebook_partial_argmin(spark):
+    """PQ encoding joins the corpus against a BROADCAST codebook; the
+    per-(vector, subspace) argmin is a partial-aggregated min(struct);
+    no cartesian product anywhere."""
+    plan = _plan(spark, "knn_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan

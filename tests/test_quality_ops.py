@@ -69,3 +69,24 @@ def test_dedup_survivors_no_pairs_is_identity(spark):
     ]
     out = dedup.dedup_survivors(_docs(spark, rows), threshold=0.2)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_knn_pq_excludes_self_and_ranks_deterministically(spark):
+    from kafka_sink_spark.extensions import similarity
+
+    # 8 vectors, dim 4, M=2 subspaces of 2, K=2 codewords: vec i is a ramp
+    # around i so nearest-by-ADC ordering is predictable and tie-free.
+    rows = [(i, [float(i), float(i) + 0.5, float(i) * 2, float(i) * 2 + 0.5]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_pq(
+        emb, k=3, n_queries=2, m_subspaces=2, k_codewords=2, dim=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert all(r["neighbor_id"] != qid for r in rs)  # self excluded
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        dists = [r["adist"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert dists == sorted(dists)  # rank follows ascending distance
