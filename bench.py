@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "events_retention_cohorts",
     "knn_pq",
+    "docs_repeated_spans",
 ]
 
 

@@ -40,6 +40,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_survivors",
     "events_retention_cohorts",
     "knn_pq",
+    "docs_repeated_spans",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -83,7 +84,6 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_training_data",
     "orders_priority_rollup",
     "lineitem_unpivot_components",
-    "docs_temperature_resample",
     "sink_avro_union_decode",
 ]
 

@@ -386,3 +386,81 @@ def knn_pq(spark, sf_dir):
         k_codewords=_PQ_K,
         dim=_PQ_DIM,
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-dedup signal (repeated cross-document spans)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+
+@register(
+    "docs_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, CASE WHEN len(t) >= {_SPAN_N}
+        THEN list_transform(range(len(t) - {_SPAN_N - 1}),
+                            i -> array_to_string(list_slice(t, i + 1, i + {_SPAN_N}), ' '))
+        ELSE [array_to_string(t, ' ')] END AS spans
+      FROM toks
+    ), h AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hx
+      FROM sp, unnest(spans) AS u(s)
+    ), dup AS (
+      SELECT hx FROM h GROUP BY hx HAVING COUNT(*) >= 2
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM h GROUP BY doc_id
+    ), dup_doc AS (
+      SELECT h.doc_id, COUNT(*) AS n_dup FROM h JOIN dup USING (hx) GROUP BY h.doc_id
+    )
+    SELECT p.doc_id, p.n_spans, COALESCE(d.n_dup, 0) AS n_dup_spans,
+           round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_spans, 6) AS dup_frac
+    FROM per_doc p LEFT JOIN dup_doc d ON p.doc_id = d.doc_id
+    """,
+)
+def docs_repeated_spans(spark, sf_dir):
+    """Exact substring-dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): every 8-token span
+    is hashed; spans seen in ≥2 distinct documents are 'duplicated'; each doc
+    reports the fraction of its distinct spans that are corpus-duplicated.
+
+    Scale shape: explode spans → distinct (doc, hash) → one groupBy(hash)
+    with partial combine for the duplicate set → hash-keyed join back →
+    per-doc counts. Everything is linear in Σ spans; shuffle rows carry
+    60-bit hashes, not span strings."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        F.col("doc_id"), text.tokens(F.col("text")).alias("_t")
+    )
+    spans = staged.select(
+        "doc_id",
+        F.explode(text.shingles_from_tokens(F.col("_t"), _SPAN_N)).alias("_sp"),
+    )
+    h = spans.select(
+        "doc_id", text.md5_long(F.col("_sp")).alias("hx")
+    ).distinct()
+    dup = (
+        h.groupBy("hx")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("hx")
+    )
+    per_doc = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_doc = h.join(dup, "hx").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return per_doc.join(dup_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            / F.col("n_spans"),
+            6,
+        ).alias("dup_frac"),
+    )

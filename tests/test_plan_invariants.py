@@ -413,3 +413,12 @@ def test_pq_broadcast_codebook_partial_argmin(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_spans_hash_keyed_no_cartesian(spark):
+    """Substring-dedup: shuffle keys are 60-bit hashes (the span strings
+    never cross a shuffle boundary raw); aggregations partial-combine;
+    no cartesian products."""
+    plan = _plan(spark, "docs_repeated_spans")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
