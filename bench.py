@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "knn_pq",
     "docs_repeated_spans",
+    "orders_market_basket",
 ]
 
 

@@ -464,3 +464,88 @@ def docs_repeated_spans(spark, sf_dir):
             6,
         ).alias("dup_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence (association lift)
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP = 25
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+    ), icnt AS (
+      SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    ), scored AS (
+      SELECT p.p1, p.p2, p.n_ab, ca.c AS n_a, cb.c AS n_b,
+             round(CAST(p.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+             round(CAST(p.n_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6) AS lift
+      FROM pairs p
+      JOIN icnt ca ON ca.l_partkey = p.p1
+      JOIN icnt cb ON cb.l_partkey = p.p2
+      CROSS JOIN n
+    )
+    SELECT p1, p2, n_ab, n_a, n_b, support, lift
+    FROM scored
+    ORDER BY lift DESC, p1 ASC, p2 ASC
+    LIMIT {_BASKET_TOP}
+    """,
+)
+def orders_market_basket(spark, sf_dir):
+    """Market-basket association mining over order contents: distinct
+    (order, part) items, within-order part pairs (ordered p1<p2 so each pair
+    counts once), support and lift against per-part order frequencies.
+
+    Scale shape: the pair self-join is keyed on l_orderkey — work is
+    Σ items-per-order², bounded by basket size, never corpus². Counts
+    partial-combine; the part-frequency joins are vocabulary-sized (AQE
+    broadcasts when small); the total is a single-row broadcast; top-k is a
+    distributed TakeOrdered on the rounded lift with (p1,p2) tie-break."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    icnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(icnt.select(F.col("l_partkey").alias("p1"), F.col("c").alias("n_a")), "p1")
+        .join(icnt.select(F.col("l_partkey").alias("p2"), F.col("c").alias("n_b")), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("p1").asc(), F.col("p2").asc()
+    ).limit(_BASKET_TOP)

@@ -422,3 +422,13 @@ def test_repeated_spans_hash_keyed_no_cartesian(spark):
     plan = _plan(spark, "docs_repeated_spans")
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_market_basket_order_keyed_join_no_cartesian(spark):
+    """Basket pairs come from an equi-join on l_orderkey (work bounded by
+    basket size squared, never corpus squared); counts partial-combine; the
+    only broadcast-nested-loop is the single-row total."""
+    plan = _plan(spark, "orders_market_basket")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
