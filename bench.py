@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "knn_pq",
     "docs_repeated_spans",
     "orders_market_basket",
+    "corpus_source_report",
 ]
 
 

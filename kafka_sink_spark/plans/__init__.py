@@ -42,6 +42,7 @@ DRIVER_PRIORITY: list[str] = [
     "knn_pq",
     "docs_repeated_spans",
     "orders_market_basket",
+    "corpus_source_report",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -83,7 +84,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_error_policy",
     # -- flagship coverage of the remaining operator families --
     "pipeline_training_data",
-    "orders_priority_rollup",
     "sink_avro_union_decode",
 ]
 

@@ -40,9 +40,7 @@ _GOPHER = dict(
 _SW_LIST = ", ".join(f"'{s}'" for s in text.STOPWORDS)
 
 
-@register(
-    "docs_gopher_filter",
-    oracle=f"""
+_GOPHER_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, lang,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
@@ -76,8 +74,10 @@ _SW_LIST = ", ".join(f"'{s}'" for s in text.STOPWORDS)
            CAST(ok_words * ok_mean_len * ok_symbols * ok_alpha * ok_stopwords
                 AS INTEGER) AS ok_all
     FROM f
-    """,
-)
+    """
+
+
+@register("docs_gopher_filter", oracle=_GOPHER_ORACLE)
 def docs_gopher_filter(spark, sf_dir):
     """Gopher quality rules (word-count bounds, mean word length, symbol
     ratio, alpha fraction, stopword floor) as per-doc 0/1 flags. Pure
@@ -395,9 +395,7 @@ def knn_pq(spark, sf_dir):
 _SPAN_N = 8
 
 
-@register(
-    "docs_repeated_spans",
-    oracle=f"""
+_SPANS_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
@@ -421,8 +419,10 @@ _SPAN_N = 8
     SELECT p.doc_id, p.n_spans, COALESCE(d.n_dup, 0) AS n_dup_spans,
            round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / p.n_spans, 6) AS dup_frac
     FROM per_doc p LEFT JOIN dup_doc d ON p.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@register("docs_repeated_spans", oracle=_SPANS_ORACLE)
 def docs_repeated_spans(spark, sf_dir):
     """Exact substring-dedup signal (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", public): every 8-token span
@@ -549,3 +549,59 @@ def orders_market_basket(spark, sf_dir):
     return scored.orderBy(
         F.col("lift").desc(), F.col("p1").asc(), F.col("p2").asc()
     ).limit(_BASKET_TOP)
+
+
+# --------------------------------------------------------------------------
+# Composed curation report: quality × dedup rolled up per (source, lang)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_report",
+    oracle=f"""
+    WITH g AS ({_GOPHER_ORACLE}),
+    s AS ({_SPANS_ORACLE}),
+    j AS (
+      SELECT d.source, g.lang, g.ok_all, s.n_spans, s.n_dup_spans
+      FROM g JOIN s ON g.doc_id = s.doc_id
+      JOIN documents d ON d.doc_id = g.doc_id
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ok_all) AS BIGINT) AS n_pass,
+           round(CAST(SUM(ok_all) AS DOUBLE) / COUNT(*), 6) AS pass_rate,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n_dup_spans) AS BIGINT) AS n_dup_spans,
+           round(CAST(SUM(n_dup_spans) AS DOUBLE) / SUM(n_spans), 6) AS dup_rate
+    FROM j
+    GROUP BY source, lang
+    """,
+)
+def corpus_source_report(spark, sf_dir):
+    """Curation dashboard: Gopher pass rates and substring-duplication rates
+    rolled up per (source, lang) — the composed view a data team actually
+    reads before choosing what to keep.
+
+    Determinism: rates are MICRO-averaged (ratios of exact integer sums),
+    never averages of per-doc floats, so no float-summation-order divergence
+    exists between engines. Scale shape: the two per-doc subplans join on
+    doc_id, then one partial-combined aggregation on the tiny
+    (source, lang) key space."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = text.gopher_flags(docs, **_GOPHER).select("doc_id", "lang", "ok_all")
+    s = docs_repeated_spans(spark, sf_dir).select(
+        "doc_id", "n_spans", "n_dup_spans"
+    )
+    j = g.join(s, "doc_id").join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok_all").cast("bigint").alias("n_pass"),
+        F.round(
+            F.sum("ok_all").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pass_rate"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.sum("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+        F.round(
+            F.sum("n_dup_spans").cast("double") / F.sum("n_spans"), 6
+        ).alias("dup_rate"),
+    )

@@ -432,3 +432,11 @@ def test_market_basket_order_keyed_join_no_cartesian(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_source_report_partial_agg_small_keyspace(spark):
+    """The composed curation report's final aggregation partial-combines on
+    the tiny (source, lang) key space; the doc_id joins are equi-joins."""
+    plan = _plan(spark, "corpus_source_report")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

@@ -175,3 +175,25 @@ def test_dedup_stream_drops_replayed_records(spark, tmp_path):
     n_distinct = sel.count()
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_gopher_filter_stream_matches_batch(spark, tmp_path):
+    """Stateless quality filtering runs unchanged on a stream: gopher_flags
+    is a pure projection, so readStream → flags ≡ the batch result row for
+    row. This is the streaming path for filter-at-ingest curation."""
+    from kafka_sink_spark.extensions.text import gopher_flags
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    src = str(tmp_path / "docs_src")
+    docs.select("doc_id", "lang", "text").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, lang string, text string").parquet(src)
+
+    out = _run_to_memory(
+        spark,
+        gopher_flags(stream),
+        "gopher_stream_out",
+        str(tmp_path / "gopher_ckpt"),
+    )
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    want = {r["doc_id"]: r.asDict() for r in gopher_flags(docs).collect()}
+    assert got == want
