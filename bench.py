@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "docs_repeated_spans",
     "orders_market_basket",
     "corpus_source_report",
+    "events_user_rfm",
+    "corpus_bpe_pair_counts",
 ]
 
 

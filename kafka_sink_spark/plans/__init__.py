@@ -43,6 +43,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_repeated_spans",
     "orders_market_basket",
     "corpus_source_report",
+    "events_user_rfm",
+    "corpus_bpe_pair_counts",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -77,8 +79,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_timestamp_mapping",
     "sink_ttl_writetime",
     "sink_now_timeuuid_invariants",
-    "sink_headers",
-    "sink_topic_routing",
     "sink_multi_table_fanout",
     "sink_delete_routing",
     "sink_error_policy",

@@ -605,3 +605,144 @@ def corpus_source_report(spark, sf_dir):
             F.sum("n_dup_spans").cast("double") / F.sum("n_spans"), 6
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM user segmentation (recency / frequency / monetary)
+# --------------------------------------------------------------------------
+
+_RFM_REC = (0, 1)     # days: <=0 -> 3, <=1 -> 2, else 1
+_RFM_FREQ = (70, 60)  # events: >=70 -> 3, >=60 -> 2, else 1
+_RFM_MON = (4_000_000_000, 3_000_000_000)  # value-millionths
+
+
+@register(
+    "events_user_rfm",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', MAX(ts), (SELECT ref_ts FROM ref)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS mon_m
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT user_id, recency_days, frequency,
+             round(CAST(mon_m AS DOUBLE) / 1000000.0, 6) AS monetary,
+             CASE WHEN recency_days <= {_RFM_REC[0]} THEN 3
+                  WHEN recency_days <= {_RFM_REC[1]} THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= {_RFM_FREQ[0]} THEN 3
+                  WHEN frequency >= {_RFM_FREQ[1]} THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN mon_m >= {_RFM_MON[0]} THEN 3
+                  WHEN mon_m >= {_RFM_MON[1]} THEN 2 ELSE 1 END AS m_score
+      FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary, r_score, f_score,
+           m_score, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM s
+    """,
+)
+def events_user_rfm(spark, sf_dir):
+    """RFM (recency/frequency/monetary) user segmentation with fixed
+    business-rule thresholds — deliberately NOT global-ntile bucketing,
+    which would force a single-partition sort of every user; threshold
+    scoring is one groupBy(user) plus a broadcast reference timestamp and
+    stays a linear scan at any user cardinality. Monetary sums use the
+    package's fixed-point millionths convention (exact bigint, order-
+    independent)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    ref = events.agg(F.max("ts").alias("ref_ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("mon_m"),
+    )
+    j = per_user.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff(F.col("ref_ts"), F.col("last_ts"))
+    )
+    r = (
+        F.when(F.col("recency_days") <= _RFM_REC[0], 3)
+        .when(F.col("recency_days") <= _RFM_REC[1], 2)
+        .otherwise(1)
+    )
+    f = (
+        F.when(F.col("frequency") >= _RFM_FREQ[0], 3)
+        .when(F.col("frequency") >= _RFM_FREQ[1], 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("mon_m") >= _RFM_MON[0], 3)
+        .when(F.col("mon_m") >= _RFM_MON[1], 2)
+        .otherwise(1)
+    )
+    return j.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "recency_days",
+        "frequency",
+        F.round(F.col("mon_m").cast("double") / 1_000_000.0, 6).alias("monetary"),
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-round pair counts (tokenizer-induction inner loop)
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+    ), p AS (
+      SELECT substr(w, i + 1, 1) AS c1, substr(w, i + 2, 1) AS c2
+      FROM w, unnest(range(len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    )
+    SELECT c1, c2, COUNT(*) AS n_pairs
+    FROM p GROUP BY c1, c2
+    ORDER BY n_pairs DESC, c1 ASC, c2 ASC
+    LIMIT {_BPE_TOP}
+    """,
+)
+def corpus_bpe_pair_counts(spark, sf_dir):
+    """One BPE merge round: adjacent-symbol pair counts across every word
+    occurrence, ranked — the distributed counting step at the core of
+    byte-pair-encoding vocabulary induction (Sennrich et al. 2016, public).
+    Full BPE iterates sequentially on merges; each round IS this query, so
+    the engine primitive to get right at 100 TB is exactly this map-side-
+    combined pair count + distributed top-k."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    w = F.col("w")
+    # substring with a dynamic start needs expr(): build (c1, c2) per offset
+    pairs = (
+        words.filter(F.length(w) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS c1, substring(w, i + 1, 1) AS c2))"
+                )
+            ).alias("pp")
+        )
+        .select(F.col("pp.c1").alias("c1"), F.col("pp.c2").alias("c2"))
+    )
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("c1").asc(), F.col("c2").asc())
+        .limit(_BPE_TOP)
+    )

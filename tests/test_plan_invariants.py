@@ -440,3 +440,20 @@ def test_source_report_partial_agg_small_keyspace(spark):
     plan = _plan(spark, "corpus_source_report")
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_no_window_no_global_sort(spark):
+    """RFM segmentation must stay threshold-based: one partial-combined
+    groupBy(user) + broadcast reference — NO Window (global ntile would
+    single-partition-sort every user)."""
+    plan = _plan(spark, "events_user_rfm")
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_count" in plan
+
+
+def test_bpe_pairs_partial_count_takeordered(spark):
+    """BPE pair counting partial-combines map-side and ends in a
+    distributed TakeOrdered, not a global sort."""
+    plan = _plan(spark, "corpus_bpe_pair_counts")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
