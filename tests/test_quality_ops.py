@@ -90,3 +90,96 @@ def test_knn_pq_excludes_self_and_ranks_deterministically(spark):
         assert ranks == list(range(1, len(rs) + 1))
         dists = [r["adist"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert dists == sorted(dists)  # rank follows ascending distance
+
+
+def test_gopher_flags_random_sweep_vs_python_reference(spark):
+    """Seeded-random sweep: gopher_flags must agree with a direct Python
+    recomputation of every signal and flag on arbitrary token soups."""
+    import random
+
+    rng = random.Random(424242)
+    alphabet = ["the", "a", "of", "to", "zz", "q", "#tag", "wait...", "12345",
+                "alpha", "beta", "gamma", "verylongwordindeed", "x"]
+    rows = []
+    for doc_id in range(60):
+        n = rng.randint(0, 40)
+        rows.append((doc_id, "en", " ".join(rng.choice(alphabet) for _ in range(n))))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text.gopher_flags(_docs(spark, rows), min_words=10).collect()
+    }
+    stop = set(text.STOPWORDS)
+    for doc_id, _, txt in rows:
+        toks = [t for t in txt.split() if t]
+        nw = max(len(toks), 1)
+        mean_len = round(sum(len(t) for t in toks) / nw, 6)
+        sym = round(sum(1 for t in toks if t.startswith("#") or "..." in t) / nw, 6)
+        alpha = round(sum(1 for t in toks if any(c.isalpha() for c in t.lower())) / nw, 6)
+        nstop = sum(1 for t in toks if t.lower() in stop)
+        g = got[doc_id]
+        assert g["n_words"] == len(toks), doc_id
+        assert abs(g["mean_word_len"] - mean_len) < 1e-9, doc_id
+        assert abs(g["symbol_ratio"] - sym) < 1e-9, doc_id
+        assert abs(g["alpha_frac"] - alpha) < 1e-9, doc_id
+        assert g["n_stop"] == nstop, doc_id
+        assert g["ok_words"] == int(10 <= len(toks) <= 100_000), doc_id
+        assert g["ok_all"] == (
+            g["ok_words"] * g["ok_mean_len"] * g["ok_symbols"]
+            * g["ok_alpha"] * g["ok_stopwords"]
+        ), doc_id
+
+
+def test_knn_pq_random_sweep_vs_numpy_adc(spark):
+    """Seeded-random sweep: the full PQ pipeline (codebook, encoding, ADC,
+    ranking) must match a NumPy reference that applies the same fixed-point
+    rule."""
+    import numpy as np
+
+    from kafka_sink_spark.extensions import similarity
+
+    rng = np.random.default_rng(20260813)
+    n, dim, m_sub, k_cw, n_q, topk = 40, 16, 4, 8, 3, 4
+    sub = dim // m_sub
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.knn_pq(
+        emb, k=topk, n_queries=n_q, m_subspaces=m_sub, k_codewords=k_cw, dim=dim
+    ).collect()
+
+    v = vecs.astype(np.float64)
+
+    def dfix(a, b):  # fixed-point squared L2, same fold order is exact here
+        return int(round(float(((a - b) ** 2).sum()) * 1e6))
+
+    codes = {}
+    for vid in range(n):
+        for m in range(m_sub):
+            sl = slice(m * sub, (m + 1) * sub)
+            best = min(
+                (dfix(v[vid][sl], v[j][sl]), j) for j in range(k_cw)
+            )
+            codes[(vid, m)] = best[1]
+    expect = {}
+    for q in range(n_q):
+        cand = []
+        for vid in range(n):
+            if vid == q:
+                continue
+            afix = sum(
+                dfix(v[q][m * sub:(m + 1) * sub],
+                     v[codes[(vid, m)]][m * sub:(m + 1) * sub])
+                for m in range(m_sub)
+            )
+            cand.append((afix, vid))
+        cand.sort()
+        for rank, (afix, vid) in enumerate(cand[:topk], 1):
+            expect[(q, rank)] = (vid, round(afix / 1e6, 6))
+
+    assert len(got) == n_q * topk
+    for r in got:
+        evid, eadist = expect[(r["query_id"], r["rank"])]
+        assert r["neighbor_id"] == evid, (r, evid)
+        assert abs(r["adist"] - eadist) < 1e-6, (r, eadist)
