@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "corpus_source_report",
     "events_user_rfm",
     "corpus_bpe_pair_counts",
+    "events_dau_wau",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -45,6 +45,8 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_source_report",
     "events_user_rfm",
     "corpus_bpe_pair_counts",
+    "events_dau_wau",
+    "dedup_cluster_sizes",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -79,8 +81,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_timestamp_mapping",
     "sink_ttl_writetime",
     "sink_now_timeuuid_invariants",
-    "sink_multi_table_fanout",
-    "sink_delete_routing",
     "sink_error_policy",
     # -- flagship coverage of the remaining operator families --
     "pipeline_training_data",

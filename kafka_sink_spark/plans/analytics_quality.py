@@ -746,3 +746,106 @@ def corpus_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n_pairs").desc(), F.col("c1").asc(), F.col("c2").asc())
         .limit(_BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU rolling distinct actives
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM du),
+    cover AS (
+      SELECT du.user_id, dd.d
+      FROM du JOIN days dd ON dd.d BETWEEN du.d AND du.d + INTERVAL 6 DAY
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+    wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM cover GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """Daily/weekly active users with the DAU/WAU stickiness ratio.
+
+    Rolling DISTINCT counts don't decompose into window frames, so the scale
+    shape is: distinct (day, user) → explode each activity day over the 7
+    days it covers (bounded 7× fan-out) → semi-join against the tiny
+    observed-day set (broadcast) → two partial-combined aggregations. No
+    theta-join, no window over the full event stream."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    du = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.col("user_id"),
+    ).distinct()
+    days = du.select("d").distinct()
+    cover = (
+        du.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            F.col("d").alias("d0"),
+        )
+        .select("user_id", F.date_add(F.col("d0"), F.col("i")).alias("d"))
+        .join(F.broadcast(days), "d")
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = cover.groupBy("d").agg(F.count_distinct("user_id").alias("wau"))
+    return dau.join(wau, "d").select(
+        F.date_format(F.col("d"), "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster size histogram
+# --------------------------------------------------------------------------
+
+
+def _cluster_sizes_oracle(threshold: float = _SURV_THRESHOLD, k: int = 16, bands: int = 4, n: int = 3) -> str:
+    pairs_sql = _minhash_pairs_oracle(threshold, k, bands, n)
+    return f"""
+    WITH RECURSIVE pairsq AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairsq
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairsq
+    ), verts AS (
+      SELECT DISTINCT src AS doc_id FROM edges
+    ), reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+    ), comps AS (
+      SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    ), sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comps GROUP BY cluster_id
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@register("dedup_cluster_sizes", oracle=_cluster_sizes_oracle())
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup report a data team reads
+    to decide thresholds (how much mass sits in giant clusters vs pairs).
+    Two partial-combined aggregations on top of connected components."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    comps = dedup.connected_components(
+        dedup.minhash_dedup_pairs(docs, threshold=_SURV_THRESHOLD)
+    )
+    sizes = comps.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

@@ -457,3 +457,12 @@ def test_bpe_pairs_partial_count_takeordered(spark):
     plan = _plan(spark, "corpus_bpe_pair_counts")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dau_wau_no_theta_join(spark):
+    """WAU coverage is an exploded bounded fan-out + broadcast equi-join
+    against the observed-day set — never a BETWEEN theta join (which would
+    plan BroadcastNestedLoopJoin over the full distinct-activity table)."""
+    plan = _plan(spark, "events_dau_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
