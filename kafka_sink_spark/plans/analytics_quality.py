@@ -1,13 +1,17 @@
-"""Round-5 curation wave: Gopher-style quality filtering, collocation
-mining (bigram LM counts + lift), and end-to-end near-dup removal.
+"""Round-5 curation/analytics wave: Gopher-style quality filtering, bigram
+collocation lift, end-to-end near-dup removal (+ cluster-size histogram),
+weekly cohort retention, product-quantization ANN, exact substring-dedup
+spans, market-basket association lift, the composed per-source curation
+report, RFM segmentation, BPE merge-round pair counts, and DAU/WAU
+stickiness.
 
-These extend the training-data-pipeline surface (SURVEY.md §2 extensions):
-the quality filter and collocation ops are the standard pre-training corpus
-steps published in Gopher (Rae et al. 2021, §A1.1) and classic collocation
-literature (Church & Hanks 1990 PMI — expressed here as transcendental-free
-LIFT so the DuckDB oracle hashes bit-identically); the survivors query is
-the production shape of minhash dedup (what you actually ship: the corpus
-minus the duplicates).
+These extend the training-data-pipeline surface (SURVEY.md §2 extensions)
+with the standard published corpus-curation steps — Gopher rules (Rae et
+al. 2021 §A1.1), exact substring dedup (Lee et al. 2022), PQ (Jégou et al.
+2011), BPE (Sennrich et al. 2016), collocation lift (Church & Hanks 1990
+PMI, expressed transcendental-free so the DuckDB oracle hashes
+bit-identically) — plus the composed reports a data team reads when tuning
+them.
 
 Float determinism follows the package convention (analytics.py header):
 ratios of exact integers, computed identically in both engines, rounded to
