@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "corpus_bpe_pair_counts",
     "events_dau_wau",
     "dedup_cluster_sizes",
+    "events_engagement_matrix",
 ]
 
 

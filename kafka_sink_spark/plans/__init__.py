@@ -47,6 +47,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bpe_pair_counts",
     "events_dau_wau",
     "dedup_cluster_sizes",
+    "events_engagement_matrix",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -81,7 +82,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_timestamp_mapping",
     "sink_ttl_writetime",
     "sink_now_timeuuid_invariants",
-    "sink_error_policy",
     # -- flagship coverage of the remaining operator families --
     "pipeline_training_data",
     "sink_avro_union_decode",

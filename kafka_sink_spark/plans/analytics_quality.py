@@ -853,3 +853,76 @@ def dedup_cluster_sizes(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Full-outer engagement matrix (join-type coverage: FULL OUTER)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_engagement_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS click_m
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS purch_m
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           round(CAST(COALESCE(c.click_m, 0) AS DOUBLE) / 1000000.0, 6) AS click_value,
+           round(CAST(COALESCE(p.purch_m, 0) AS DOUBLE) / 1000000.0, 6) AS purchase_value,
+           CASE WHEN c.user_id IS NULL THEN 'buyer_only'
+                WHEN p.user_id IS NULL THEN 'browser_only'
+                ELSE 'engaged' END AS segment
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def events_engagement_matrix(spark, sf_dir):
+    """Per-user click×purchase engagement matrix via FULL OUTER join of two
+    filtered partial-combined aggregates — covers users present on either
+    side only (browser_only / buyer_only) plus the intersection. Value sums
+    use the fixed-point millionths convention. One shuffle per aggregate +
+    the outer join on the shared user_id key (co-partitioned, no extra
+    exchange after AQE reuses the aggregate partitioning)."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def side(event_type, n_alias, m_alias):
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias(n_alias),
+                F.sum(
+                    F.floor(F.col("value") * 1_000_000).cast("bigint")
+                ).alias(m_alias),
+            )
+        )
+
+    c = side("click", "n_clicks", "click_m")
+    p = side("purchase", "n_purchases", "purch_m")
+    j = c.alias("c").join(
+        p.alias("p"), F.col("c.user_id") == F.col("p.user_id"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("c.user_id"), F.col("p.user_id"))
+        .cast("bigint")
+        .alias("user_id"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        F.round(
+            F.coalesce(F.col("click_m"), F.lit(0)).cast("double") / 1_000_000.0, 6
+        ).alias("click_value"),
+        F.round(
+            F.coalesce(F.col("purch_m"), F.lit(0)).cast("double") / 1_000_000.0, 6
+        ).alias("purchase_value"),
+        F.when(F.col("c.user_id").isNull(), F.lit("buyer_only"))
+        .when(F.col("p.user_id").isNull(), F.lit("browser_only"))
+        .otherwise(F.lit("engaged"))
+        .alias("segment"),
+    )

@@ -466,3 +466,13 @@ def test_dau_wau_no_theta_join(spark):
     plan = _plan(spark, "events_dau_wau")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_engagement_matrix_full_outer_shared_key(spark):
+    """The FULL OUTER engagement join runs on the user_id key both
+    aggregates already shuffled on — SortMergeJoin FullOuter, no cartesian,
+    no extra exchange beyond the two aggregate shuffles."""
+    plan = _plan(spark, "events_engagement_matrix")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count("Exchange hashpartitioning")
