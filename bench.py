@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_dau_wau",
     "dedup_cluster_sizes",
     "events_engagement_matrix",
+    "events_markov_transitions",
 ]
 
 

@@ -48,6 +48,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_dau_wau",
     "dedup_cluster_sizes",
     "events_engagement_matrix",
+    "events_markov_transitions",
     # -- pushed out of r04's window by the 52-entry list --
     "sink_counter_accrual",
     "sink_avro_struct_decode",
@@ -81,7 +82,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_codec_temporals",
     "sink_timestamp_mapping",
     "sink_ttl_writetime",
-    "sink_now_timeuuid_invariants",
     # -- flagship coverage of the remaining operator families --
     "pipeline_training_data",
     "sink_avro_union_decode",

@@ -21,6 +21,7 @@ edges (x/2^7) cannot occur.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_sink_spark.extensions import dedup, similarity, text
@@ -925,4 +926,65 @@ def events_engagement_matrix(spark, sf_dir):
         .when(F.col("p.user_id").isNull(), F.lit("browser_only"))
         .otherwise(F.lit("engaged"))
         .alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence transition matrix (Markov chain counts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM t
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    lead() within (user, ts, event_id) order pairs each event with its
+    successor; transition counts and row-normalized probabilities follow.
+    The tie-break on event_id makes the sequence — and therefore the
+    matrix — fully deterministic.
+
+    Scale shape: ONE window shuffle on user_id (per-user sort is spillable),
+    a partial-combined aggregation onto the tiny type×type key space, then
+    row-normalization as a window sum over that aggregated table (|types|²
+    rows — joining back would recompute the whole sequence subplan twice).
+    The sequence-model prep shape for behavioral n-grams at any user
+    cardinality."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wf).cast("bigint").alias("n_from"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wf), 6
+        ).alias("p"),
     )

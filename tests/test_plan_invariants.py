@@ -476,3 +476,15 @@ def test_engagement_matrix_full_outer_shared_key(spark):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan.count("Exchange hashpartitioning")
+
+
+def test_markov_one_window_shuffle_broadcast_totals(spark):
+    """Transition mining: one Window for the per-user sequence plus one
+    for row-normalization over the tiny aggregated type-pair table —
+    crucially NOT a join back (which would recompute the sequence subplan
+    twice); partial-combined counts; no cartesian, no join at all."""
+    plan = _plan(spark, "events_markov_transitions")
+    assert plan.count("Window") == 2
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
