@@ -183,3 +183,73 @@ def test_knn_pq_random_sweep_vs_numpy_adc(spark):
         evid, eadist = expect[(r["query_id"], r["rank"])]
         assert r["neighbor_id"] == evid, (r, evid)
         assert abs(r["adist"] - eadist) < 1e-6, (r, eadist)
+
+
+def _write_events_file(d, rows):
+    """Single-FILE parquet like the driver testdata (load_tables reads the
+    file's schema with pyarrow, so a Spark directory write won't do)."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df["ts"] = pd.to_datetime(df["ts"])
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+
+
+def test_markov_transitions_edge_cases(spark):
+    import tempfile
+
+    from kafka_sink_spark.plans import QUERIES
+
+    # users: 10 has a deterministic 3-event chain, 20 has a single event (no
+    # transition), 30 has two simultaneous events (tie broken by event_id)
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a", 1.0, ""),
+        (2, "2024-01-01 00:01:00", 10, "b", 1.0, ""),
+        (3, "2024-01-01 00:02:00", 10, "c", 1.0, ""),
+        (4, "2024-01-01 00:00:00", 20, "a", 1.0, ""),
+        (5, "2024-01-01 00:00:00", 30, "x", 1.0, ""),
+        (6, "2024-01-01 00:00:00", 30, "y", 1.0, ""),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events_file(d, rows)
+        out = {
+            (r["from_type"], r["to_type"]): r
+            for r in QUERIES["events_markov_transitions"](spark, d).collect()
+        }
+    assert set(out) == {("a", "b"), ("b", "c"), ("x", "y")}
+    assert out[("a", "b")]["n"] == 1 and out[("a", "b")]["p"] == 1.0
+    # user 20's lone event contributes no transition; x->y follows event_id
+
+
+def test_engagement_matrix_one_sided_users(spark):
+    import tempfile
+
+    from kafka_sink_spark.plans import QUERIES
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 2.0, ""),
+        (2, "2024-01-01 00:01:00", 2, "purchase", 5.0, ""),
+        (3, "2024-01-01 00:02:00", 3, "click", 1.0, ""),
+        (4, "2024-01-01 00:03:00", 3, "purchase", 7.0, ""),
+        (5, "2024-01-01 00:04:00", 4, "error", 9.0, ""),  # neither side
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_events_file(d, rows)
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["events_engagement_matrix"](spark, d).collect()
+        }
+    assert set(out) == {1, 2, 3}  # user 4 never clicks or buys
+    assert out[1]["segment"] == "browser_only" and out[1]["n_purchases"] == 0
+    assert out[2]["segment"] == "buyer_only" and out[2]["n_clicks"] == 0
+    assert out[3]["segment"] == "engaged"
+    assert abs(out[3]["purchase_value"] - 7.0) < 1e-6
