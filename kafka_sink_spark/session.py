@@ -102,17 +102,35 @@ def _convert_nanos_timestamps(df, path: str):
     spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType with
     microsecond truncation — exactly what DuckDB does reading the same file,
     so oracle comparisons agree."""
+    import glob
+    import os as _os
+
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
     import pyarrow as pa
 
-    schema = pq.read_schema(path)
+    # Driver testdata is single-file parquet, but production tables are
+    # directories of part files — read the schema from the first part then.
+    schema_path = path
+    if _os.path.isdir(path):
+        parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+        if not parts:
+            return df
+        schema_path = parts[0]
+    schema = pq.read_schema(schema_path)
     ns_cols = [
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     ]
+    from pyspark.sql.types import LongType
+
     for c in ns_cols:
+        # Only convert when the column actually arrived as a raw long (the
+        # nanosAsLong effect on INT64-nanos columns). INT96 timestamps also
+        # read as timestamp[ns] in pyarrow but Spark decodes them natively.
+        if not isinstance(df.schema[c].dataType, LongType):
+            continue
         # Integer division (`div`), NOT `/`: epoch-nanos (~1.7e18) exceed
         # double precision, so floor(col/1000.0) is off by ±1 µs.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

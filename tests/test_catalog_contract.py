@@ -52,3 +52,15 @@ def test_load_tables_timestamps_are_ltz(spark, sf_dir):
                 "RANGE frames and diverges from the DuckDB oracle (r04)"
             )
     assert isinstance(tables["events"].schema["ts"].dataType, TimestampType)
+
+
+def test_load_tables_accepts_directory_parquet(spark, sf_dir, tmp_path):
+    """Production tables are DIRECTORIES of part files, not the driver's
+    single-file layout — load_tables must handle both (the nanos-schema
+    probe used to crash on directories)."""
+    src = load_tables(spark, sf_dir, ("events",))["events"]
+    out_dir = str(tmp_path / "events.parquet")
+    src.limit(100).write.parquet(out_dir)
+    loaded = load_tables(spark, str(tmp_path), ("events",))["events"]
+    assert loaded.count() == 100
+    assert isinstance(loaded.schema["ts"].dataType, TimestampType)
