@@ -86,6 +86,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    # The NTZ->LTZ coercion below is value-preserving ONLY under a UTC
+    # session timezone; a session built outside get_spark (or an older
+    # reused one) could silently shift wall-clock values otherwise.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -110,19 +116,33 @@ def _convert_nanos_timestamps(df, path: str):
     import pyarrow as pa
 
     # Driver testdata is single-file parquet, but production tables are
-    # directories of part files — read the schema from the first part then.
-    schema_path = path
+    # directories of part files — possibly Hive-partitioned (day=*/part-*),
+    # so probe RECURSIVELY and union every part's view of a column: any part
+    # carrying TIMESTAMP(NANOS) marks the column for conversion.
     if _os.path.isdir(path):
-        parts = sorted(glob.glob(_os.path.join(path, "*.parquet")))
+        parts = sorted(
+            glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if not parts:
+            import warnings
+
+            warnings.warn(
+                f"load_tables: no probeable parquet part under {path}; "
+                "skipping TIMESTAMP(NANOS) detection",
+                stacklevel=2,
+            )
             return df
-        schema_path = parts[0]
-    schema = pq.read_schema(schema_path)
-    ns_cols = [
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+        schemas = [pq.read_schema(p) for p in parts]
+    else:
+        schemas = [pq.read_schema(path)]
+    ns_cols = sorted(
+        {
+            f.name
+            for schema in schemas
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    )
     from pyspark.sql.types import LongType
 
     for c in ns_cols:

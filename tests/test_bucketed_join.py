@@ -56,6 +56,7 @@ def test_bucketed_join_is_exchange_free(bucketed):
     spark = bucketed
     # broadcast would bypass the bucketing path at this tiny SF — disable to
     # observe the sort-merge-on-buckets plan the big-data case would use.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = (
@@ -71,13 +72,12 @@ def test_bucketed_join_is_exchange_free(bucketed):
         _, _, join_region = plan.partition("partial_count")
         assert "Exchange" not in join_region, join_region
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_unbucketed_join_shuffles_for_contrast(bucketed):
     spark = bucketed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         t = load_tables(spark, SF_DIR, ("orders", "lineitem"))
@@ -93,9 +93,7 @@ def test_unbucketed_join_shuffles_for_contrast(bucketed):
         _, _, join_region = plan.partition("partial_count")
         assert "Exchange" in join_region  # both sides shuffle without bucketing
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_bucketed_join_result_matches_plain(bucketed):
