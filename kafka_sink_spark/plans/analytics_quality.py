@@ -399,6 +399,37 @@ def knn_pq(spark, sf_dir):
 
 _SPAN_N = 8
 
+# Shared frontier: the distinct (doc_id, span-hash) table feeds three
+# consumers inside docs_repeated_spans and is consumed again by
+# corpus_source_report (and docs_maximal_spans' duplicate set). Without a
+# persist, the tokenize→explode→distinct subplan re-executes once per
+# consumer; at 100 TB that's the dominant cost run 4×. Persist it once per
+# (session, sf_dir) — MEMORY_AND_DISK so a huge frontier spills instead of
+# OOMing an executor.
+_SPAN_HASH_CACHE: dict[tuple[str, str, int], "DataFrame"] = {}
+
+
+def _span_doc_hashes(spark, sf_dir: str, n: int = _SPAN_N):
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    cached = _SPAN_HASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(F.col("doc_id"), text.tokens(F.col("text")).alias("_t"))
+    spans = staged.select(
+        "doc_id",
+        F.explode(text.shingles_from_tokens(F.col("_t"), n)).alias("_sp"),
+    )
+    h = (
+        spans.select("doc_id", text.md5_long(F.col("_sp")).alias("hx"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SPAN_HASH_CACHE[key] = h
+    return h
+
 
 _SPANS_ORACLE = f"""
     WITH toks AS (
@@ -437,18 +468,10 @@ def docs_repeated_spans(spark, sf_dir):
     Scale shape: explode spans → distinct (doc, hash) → one groupBy(hash)
     with partial combine for the duplicate set → hash-keyed join back →
     per-doc counts. Everything is linear in Σ spans; shuffle rows carry
-    60-bit hashes, not span strings."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    staged = docs.select(
-        F.col("doc_id"), text.tokens(F.col("text")).alias("_t")
-    )
-    spans = staged.select(
-        "doc_id",
-        F.explode(text.shingles_from_tokens(F.col("_t"), _SPAN_N)).alias("_sp"),
-    )
-    h = spans.select(
-        "doc_id", text.md5_long(F.col("_sp")).alias("hx")
-    ).distinct()
+    60-bit hashes, not span strings. The distinct (doc, hash) frontier is
+    persisted once per session (``_span_doc_hashes``) and shared by this
+    query's three consumers plus corpus_source_report."""
+    h = _span_doc_hashes(spark, sf_dir, _SPAN_N)
     dup = (
         h.groupBy("hx")
         .agg(F.count(F.lit(1)).alias("n_docs"))
