@@ -495,6 +495,148 @@ def docs_repeated_spans(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Maximal repeated substring runs (variable-length exact substring dedup)
+# --------------------------------------------------------------------------
+
+
+_MAXIMAL_SPANS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), spl AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(t, i + 1, i + {_SPAN_N}), ' ')), 1, 15))::BIGINT AS hx,
+             {_SPAN_N} AS span_len
+      FROM toks, unnest(range(len(t) - {_SPAN_N - 1})) AS u(i)
+      WHERE len(t) >= {_SPAN_N}
+      UNION ALL
+      SELECT doc_id, 0,
+             ('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))::BIGINT,
+             len(t)
+      FROM toks WHERE len(t) < {_SPAN_N}
+    ), h AS (
+      SELECT DISTINCT doc_id, hx FROM spl
+    ), dup AS (
+      SELECT hx FROM h GROUP BY hx HAVING COUNT(*) >= 2
+    ), d AS (
+      SELECT s.doc_id, s.i, s.span_len FROM spl s JOIN dup USING (hx)
+    ), isl AS (
+      SELECT *, CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                       OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                          > {_SPAN_N}
+                     THEN 1 ELSE 0 END AS brk
+      FROM d
+    ), grp AS (
+      SELECT *, SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ), runs AS (
+      SELECT doc_id, g, MIN(i) AS run_start, MAX(i + span_len) AS run_end
+      FROM grp GROUP BY doc_id, g
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(SUM(run_end - run_start) AS BIGINT) AS dup_tokens,
+             CAST(MAX(run_end - run_start) AS BIGINT) AS max_run_tokens
+      FROM runs GROUP BY doc_id
+    ), nt AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT nt.doc_id, nt.n_tokens,
+           COALESCE(p.n_runs, 0) AS n_runs,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.max_run_tokens, 0) AS max_run_tokens,
+           round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / greatest(nt.n_tokens, 1), 6) AS dup_token_frac
+    FROM nt LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@register("docs_maximal_spans", oracle=_MAXIMAL_SPANS_ORACLE)
+def docs_maximal_spans(spark, sf_dir):
+    """Variable-length exact substring dedup (Lee et al. 2022 find MAXIMAL
+    repeated substrings; docs_repeated_spans fixes the length at 8 tokens).
+    This query merges adjacent corpus-duplicated 8-gram offsets into maximal
+    runs — the faithful distributed approximation of suffix-array maximality:
+    two duplicated spans whose offsets overlap or touch (gap ≤ span length)
+    belong to one run; a larger gap starts a new run. Per doc: run count,
+    tokens covered by runs, the longest run, and the covered fraction.
+
+    Scale shape: positioned spans (posexplode) → broadcast-joinable duplicate
+    hash set derived from the PERSISTED shared frontier (_span_doc_hashes) →
+    ONE window over (doc_id, offset) for gaps-and-islands (per-doc sort,
+    spillable) → two partial-combined aggregations. Linear in Σ spans; the
+    window key is doc_id so no global sort exists anywhere."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(F.col("doc_id"), text.tokens(F.col("text")).alias("_t"))
+    nt = staged.select(
+        "doc_id", F.size(F.col("_t")).cast("bigint").alias("n_tokens")
+    )
+    spl = staged.select(
+        "doc_id",
+        F.size(F.col("_t")).alias("_n"),
+        F.posexplode(text.shingles_from_tokens(F.col("_t"), _SPAN_N)).alias(
+            "i", "_sp"
+        ),
+    ).select(
+        "doc_id",
+        "i",
+        text.md5_long(F.col("_sp")).alias("hx"),
+        F.when(F.col("_n") >= _SPAN_N, F.lit(_SPAN_N))
+        .otherwise(F.col("_n"))
+        .alias("span_len"),
+    )
+    h = _span_doc_hashes(spark, sf_dir, _SPAN_N)
+    dup = (
+        h.groupBy("hx")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("hx")
+    )
+    d = spl.join(dup, "hx").select("doc_id", "i", "span_len")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = d.select(
+        "*",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.col("i") - F.lag("i").over(w) > _SPAN_N),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    grp = isl.select(
+        "*",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("g"),
+    )
+    runs = grp.groupBy("doc_id", "g").agg(
+        F.min("i").alias("run_start"),
+        F.max(F.col("i") + F.col("span_len")).alias("run_end"),
+    )
+    run_len = F.col("run_end") - F.col("run_start")
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum(run_len).cast("bigint").alias("dup_tokens"),
+        F.max(run_len).cast("bigint").alias("max_run_tokens"),
+    )
+    return nt.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_runs"), F.lit(0)).alias("n_runs"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.coalesce(F.col("max_run_tokens"), F.lit(0)).alias("max_run_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Market-basket co-occurrence (association lift)
 # --------------------------------------------------------------------------
 
