@@ -495,6 +495,205 @@ def docs_repeated_spans(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 §A1.1, the within-document half)
+# --------------------------------------------------------------------------
+
+# Published thresholds: a doc FAILS when the fraction exceeds the bound.
+_REP_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
+_REP_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gopher_repetition_oracle() -> str:
+    top_cols = ",\n             ".join(
+        f"MAX(CASE WHEN n = {n} THEN frac END) AS top{n}_frac" for n in _REP_TOP
+    )
+    dup_cols = ",\n             ".join(
+        f"MAX(CASE WHEN n = {n} THEN frac END) AS dup{n}_frac" for n in _REP_DUP
+    )
+    flag_cols = "\n           ".join(
+        f"CAST(COALESCE(top{n}_frac, 0) <= {thr} AS INTEGER) AS ok_top{n},"
+        for n, thr in _REP_TOP.items()
+    ) + "\n           " + "\n           ".join(
+        f"CAST(COALESCE(dup{n}_frac, 0) <= {thr} AS INTEGER) AS ok_dup{n},"
+        for n, thr in _REP_DUP.items()
+    )
+    ok_prod = " * ".join(
+        [f"CAST(COALESCE(top{n}_frac, 0) <= {thr} AS INTEGER)" for n, thr in _REP_TOP.items()]
+        + [f"CAST(COALESCE(dup{n}_frac, 0) <= {thr} AS INTEGER)" for n, thr in _REP_DUP.items()]
+    )
+    frac_cols = ",\n           ".join(
+        [f"round(COALESCE(top{n}_frac, 0), 6) AS top{n}_frac" for n in _REP_TOP]
+        + [f"round(COALESCE(dup{n}_frac, 0), 6) AS dup{n}_frac" for n in _REP_DUP]
+    )
+    ns = sorted(set(_REP_TOP) | set(_REP_DUP))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t,
+             greatest(len(array_to_string(t, ' ')), 1) AS doc_chars
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, doc_chars, n,
+             array_to_string(list_slice(t, i + 1, i + n), ' ') AS gram
+      FROM base, unnest([{", ".join(str(n) for n in ns)}]) AS nn(n),
+           unnest(range(len(t) - n + 1)) AS u(i)
+      WHERE len(t) >= n
+    ), cnt AS (
+      SELECT doc_id, doc_chars, n, gram, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, doc_chars, n, gram
+    ), topd AS (
+      SELECT doc_id, n,
+             round(CAST(c * len(gram) AS DOUBLE) / doc_chars, 6) AS frac,
+             row_number() OVER (
+               PARTITION BY doc_id, n
+               ORDER BY c DESC, len(gram) DESC, gram ASC) AS rn
+      FROM cnt WHERE n <= 4
+    ), topp AS (
+      SELECT doc_id, {top_cols}
+      FROM topd WHERE rn = 1 GROUP BY doc_id
+    ), dupd AS (
+      SELECT doc_id, n,
+             round(CAST(SUM(c * len(gram)) AS DOUBLE) / ANY_VALUE(doc_chars), 6)
+               AS frac
+      FROM cnt WHERE n >= 5 AND c >= 2 GROUP BY doc_id, n
+    ), dupp AS (
+      SELECT doc_id, {dup_cols}
+      FROM dupd GROUP BY doc_id
+    ), j AS (
+      SELECT d.doc_id, {", ".join(f"top{n}_frac" for n in _REP_TOP)},
+             {", ".join(f"dup{n}_frac" for n in _REP_DUP)}
+      FROM documents d
+      LEFT JOIN topp ON d.doc_id = topp.doc_id
+      LEFT JOIN dupp ON d.doc_id = dupp.doc_id
+    )
+    SELECT doc_id,
+           {frac_cols},
+           {flag_cols}
+           CAST({ok_prod} AS INTEGER) AS ok_repetition
+    FROM j
+    """
+
+
+@register("docs_gopher_repetition", oracle=_gopher_repetition_oracle())
+def docs_gopher_repetition(spark, sf_dir):
+    """The within-document half of the Gopher rule set (Rae et al. 2021
+    §A1.1): top-{2,3,4}-gram character fraction and duplicate-{5..10}-gram
+    character fraction, each flagged against the published thresholds, plus
+    the combined ok_repetition gate. (The paper's line-based rules are
+    degenerate on this corpus — the synthetic documents carry no newlines —
+    so the n-gram family IS the meaningful completion; docs_gopher_filter
+    covers the word-level half.) Char fractions use the standard published
+    approximation: occurrences × gram characters / single-space-joined doc
+    characters.
+
+    Scale shape: ONE scan builds every (n, gram) pair via a flattened
+    generator (no 9-pass union), one partial-combined count on
+    (doc, n, gram), a per-(doc, n) WindowGroupLimit for the top gram, one
+    more partial agg for the duplicate mass, then two broadcast-sized pivot
+    joins back to the doc spine. Work is linear in 9×Σ tokens."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ns = sorted(set(_REP_TOP) | set(_REP_DUP))
+    staged = docs.select(F.col("doc_id"), text.tokens(F.col("text")).alias("_t"))
+    t = F.col("_t")
+    empty = F.expr("CAST(array() AS ARRAY<STRUCT<n: INT, gram: STRING>>)")
+
+    def gram_structs(n: int):
+        def at(i):
+            return F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
+
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.struct(F.lit(n).alias("n"), at(i).alias("gram")),
+            ),
+        ).otherwise(empty)
+
+    base = staged.select(
+        "doc_id",
+        F.greatest(F.length(F.concat_ws(" ", t)), F.lit(1)).alias("doc_chars"),
+        F.explode(F.flatten(F.array(*[gram_structs(n) for n in ns]))).alias("_g"),
+    ).select(
+        "doc_id", "doc_chars", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram")
+    )
+    cnt = base.groupBy("doc_id", "doc_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    chars = F.length(F.col("gram"))
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("c").desc(), chars.desc(), F.col("gram").asc()
+    )
+    topd = (
+        cnt.filter(F.col("n") <= 4)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            F.round((F.col("c") * chars).cast("double") / F.col("doc_chars"), 6).alias(
+                "frac"
+            ),
+        )
+    )
+    topp = topd.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"top{n}_frac")
+            for n in _REP_TOP
+        ]
+    )
+    dupd = (
+        cnt.filter((F.col("n") >= 5) & (F.col("c") >= 2))
+        .groupBy("doc_id", "n", "doc_chars")
+        .agg(F.sum(F.col("c") * chars).alias("_mass"))
+        .select(
+            "doc_id",
+            "n",
+            F.round(F.col("_mass").cast("double") / F.col("doc_chars"), 6).alias(
+                "frac"
+            ),
+        )
+    )
+    dupp = dupd.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"dup{n}_frac")
+            for n in _REP_DUP
+        ]
+    )
+    j = (
+        docs.select("doc_id")
+        .join(topp, "doc_id", "left")
+        .join(dupp, "doc_id", "left")
+    )
+    fracs = {
+        **{f"top{n}_frac": thr for n, thr in _REP_TOP.items()},
+        **{f"dup{n}_frac": thr for n, thr in _REP_DUP.items()},
+    }
+    flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")  # noqa: E731
+    ok_cols = [
+        flag(F.round(F.coalesce(F.col(name), F.lit(0.0)), 6) <= F.lit(thr)).alias(
+            "ok_" + name.removesuffix("_frac")
+        )
+        for name, thr in fracs.items()
+    ]
+    ok_all = None
+    for name, thr in fracs.items():
+        f = flag(F.round(F.coalesce(F.col(name), F.lit(0.0)), 6) <= F.lit(thr))
+        ok_all = f if ok_all is None else ok_all * f
+    return j.select(
+        "doc_id",
+        *[
+            F.round(F.coalesce(F.col(name), F.lit(0.0)), 6).alias(name)
+            for name in fracs
+        ],
+        *ok_cols,
+        ok_all.cast("int").alias("ok_repetition"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Maximal repeated substring runs (variable-length exact substring dedup)
 # --------------------------------------------------------------------------
 
