@@ -331,6 +331,137 @@ def _l2sq_fixed(a: Column, b: Column) -> Column:
     return F.round(d2 * F.lit(1_000_000.0), 0).cast("bigint")
 
 
+# --- trained codebooks: seeded Lloyd iterations, exact fixed-point ---------
+#
+# The untrained PQ/IVF paths use first-K-vector codebooks (a documented
+# deterministic stand-in). These helpers run REAL Lloyd (k-means) rounds as
+# DataFrame ops, keeping every quantity an exact integer so the fit — and
+# therefore the final ANN ranking — is bit-identical across engines and
+# partition orders:
+#   * components are fixed-point micro-units (round(x * 1e6) as bigint);
+#   * distances are sums of squared integer diffs (order-independent);
+#   * centroid updates are integer means (sum div count; Spark `div` and
+#     DuckDB `//` both truncate toward zero, verified);
+#   * argmins break ties on codeword id via min(struct(d, j)).
+# Clusters that lose all members simply drop out of the next round (both
+# engines' GROUP BY semantics), shrinking K deterministically.
+
+
+def component_rows(
+    embeddings: DataFrame,
+    m_subspaces: int = 8,
+    sub_len: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, m, comp, x) fixed-point component rows: vector index split into
+    subspace ``m`` and within-subspace offset ``comp``."""
+    return embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("i", "_x"),
+    ).select(
+        "vid",
+        (F.col("i") / sub_len).cast("int").alias("m"),
+        (F.col("i") % sub_len).cast("int").alias("comp"),
+        F.round(F.col("_x").cast("double") * 1_000_000.0, 0)
+        .cast("bigint")
+        .alias("x"),
+    )
+
+
+def _pq_distances(comp: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vid, m, j, d): exact squared-L2 (in squared micro-units) from every
+    vector-subspace to every centroid of that subspace. The centroid table is
+    M×K×sub_len rows — always broadcast."""
+    diff = F.col("x") - F.col("c")
+    return (
+        comp.join(F.broadcast(cent), ["m", "comp"])
+        .groupBy("vid", "m", "j")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+
+
+def _pq_argmin(dists: DataFrame) -> DataFrame:
+    """(vid, m, j): nearest codeword per vector-subspace, ties to low j."""
+    return (
+        dists.select(
+            "vid", "m", F.struct(F.col("d"), F.col("j")).alias("_c")
+        )
+        .groupBy("vid", "m")
+        .agg(F.min("_c").alias("_b"))
+        .select("vid", "m", F.col("_b.j").alias("j"))
+    )
+
+
+def lloyd_codebook(
+    comp: DataFrame, k_codewords: int = 16, iterations: int = 2
+) -> DataFrame:
+    """Seeded Lloyd fit over fixed-point component rows: initial codebook =
+    components of the first ``k_codewords`` vectors, then ``iterations``
+    assign/update rounds. Returns (m, j, comp, c).
+
+    Scale shape per round: one broadcast join of the corpus against the tiny
+    codebook + two partial-combined aggregations — the canonical distributed
+    k-means step. Nothing is collected; the codebook stays a DataFrame."""
+    cent = comp.filter(F.col("vid") < k_codewords).select(
+        "m", F.col("vid").cast("int").alias("j"), "comp", F.col("x").alias("c")
+    )
+    for _ in range(iterations):
+        assign = _pq_argmin(_pq_distances(comp, cent))
+        cent = (
+            comp.join(assign, ["vid", "m"])
+            .groupBy("m", "j", "comp")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .select("m", "j", "comp", F.expr("s div cnt").alias("c"))
+        )
+    return cent
+
+
+def knn_pq_trained(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    m_subspaces: int = 8,
+    k_codewords: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with a LLOYD-TRAINED codebook (vs knn_pq's first-K stand-in):
+    ``iterations`` k-means rounds fit the per-subspace codewords, then the
+    corpus is encoded and queries rank candidates by asymmetric distance,
+    exactly as in knn_pq. Distances stay exact integers end-to-end, so the
+    trained fit is reproducible cross-engine. adist is reported in real
+    squared-L2 units (micro-unit² / 1e12), rounded to 6 dp."""
+    sub_len = dim // m_subspaces
+    comp = component_rows(embeddings, m_subspaces, sub_len, vec_col=vec_col)
+    cent = lloyd_codebook(comp, k_codewords, iterations)
+    dists = _pq_distances(comp, cent)
+    codes = _pq_argmin(dists)
+    qd = dists.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "m", "j", F.col("d").alias("qd")
+    )
+    adist = (
+        codes.join(F.broadcast(qd), ["m", "j"])
+        .filter(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("afix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("afix").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("afix").cast("double") / 1e12, 6).alias("adist"),
+            "rank",
+        )
+    )
+
+
 def knn_pq(
     embeddings: DataFrame,
     k: int = 5,

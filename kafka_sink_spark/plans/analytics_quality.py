@@ -591,9 +591,11 @@ def docs_gopher_repetition(spark, sf_dir):
 
     Scale shape: ONE scan builds every (n, gram) pair via a flattened
     generator (no 9-pass union), one partial-combined count on
-    (doc, n, gram), a per-(doc, n) WindowGroupLimit for the top gram, one
-    more partial agg for the duplicate mass, then two broadcast-sized pivot
-    joins back to the doc spine. Work is linear in 9×Σ tokens."""
+    (doc, n, gram), then ONE more partial-combined aggregation yields both
+    the top gram (lexicographic max(struct(count, chars)) ≡ order by count
+    DESC, chars DESC) and the duplicate mass — no window, single-consumer
+    explode subtree — before a broadcast-sized pivot join back to the doc
+    spine. Work is linear in 9×Σ tokens."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     ns = sorted(set(_REP_TOP) | set(_REP_DUP))
     staged = docs.select(F.col("doc_id"), text.tokens(F.col("text")).alias("_t"))
@@ -623,50 +625,36 @@ def docs_gopher_repetition(spark, sf_dir):
         F.count(F.lit(1)).alias("c")
     )
     chars = F.length(F.col("gram"))
-    w = Window.partitionBy("doc_id", "n").orderBy(
-        F.col("c").desc(), chars.desc(), F.col("gram").asc()
+    # ONE pass over cnt computes both signals per (doc, n): the top gram is
+    # the lexicographic max(struct(c, chars)) — identical to ordering by
+    # (c DESC, chars DESC), and the fraction depends only on those two
+    # fields — and the duplicate mass is a conditional sum. This keeps the
+    # explode subtree single-consumer (one Generate in the plan) and needs
+    # no window at all.
+    per = cnt.groupBy("doc_id", "doc_chars", "n").agg(
+        F.max(F.struct(F.col("c").alias("c"), chars.alias("chars"))).alias("_top"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * chars).otherwise(F.lit(0))
+        ).alias("_dupmass"),
     )
-    topd = (
-        cnt.filter(F.col("n") <= 4)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "n",
-            F.round((F.col("c") * chars).cast("double") / F.col("doc_chars"), 6).alias(
-                "frac"
-            ),
-        )
+    top_frac = F.round(
+        (F.col("_top.c") * F.col("_top.chars")).cast("double") / F.col("doc_chars"),
+        6,
     )
-    topp = topd.groupBy("doc_id").agg(
+    dup_frac = F.round(
+        F.col("_dupmass").cast("double") / F.col("doc_chars"), 6
+    )
+    pivoted = per.groupBy("doc_id").agg(
         *[
-            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"top{n}_frac")
+            F.max(F.when(F.col("n") == n, top_frac)).alias(f"top{n}_frac")
             for n in _REP_TOP
-        ]
-    )
-    dupd = (
-        cnt.filter((F.col("n") >= 5) & (F.col("c") >= 2))
-        .groupBy("doc_id", "n", "doc_chars")
-        .agg(F.sum(F.col("c") * chars).alias("_mass"))
-        .select(
-            "doc_id",
-            "n",
-            F.round(F.col("_mass").cast("double") / F.col("doc_chars"), 6).alias(
-                "frac"
-            ),
-        )
-    )
-    dupp = dupd.groupBy("doc_id").agg(
+        ],
         *[
-            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"dup{n}_frac")
+            F.max(F.when(F.col("n") == n, dup_frac)).alias(f"dup{n}_frac")
             for n in _REP_DUP
-        ]
+        ],
     )
-    j = (
-        docs.select("doc_id")
-        .join(topp, "doc_id", "left")
-        .join(dupp, "doc_id", "left")
-    )
+    j = docs.select("doc_id").join(pivoted, "doc_id", "left")
     fracs = {
         **{f"top{n}_frac": thr for n, thr in _REP_TOP.items()},
         **{f"dup{n}_frac": thr for n, thr in _REP_DUP.items()},

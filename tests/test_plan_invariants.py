@@ -488,3 +488,43 @@ def test_markov_one_window_shuffle_broadcast_totals(spark):
     assert "partial_count" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_trained_broadcast_centroids_no_cartesian(spark):
+    """Trained-PQ: every Lloyd round joins corpus components against a
+    BROADCAST centroid table; the argmin is a partial-aggregated
+    min(struct); no cartesian product and no global (non-windowed) sort
+    anywhere in the fit."""
+    plan = _plan(spark, "knn_pq_trained")
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 Lloyd rounds + encode/ADC
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_maximal_spans_windows_keyed_by_doc(spark):
+    """Gaps-and-islands runs one window keyed on doc_id (per-doc sort,
+    spillable) — never a global single-partition sort; the duplicate-set
+    join is hash-keyed."""
+    plan = _plan(spark, "docs_maximal_spans")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_gopher_repetition_single_generate_partial_aggs(spark):
+    """The nine gram sizes come from ONE flattened generator (single scan,
+    single Generate node), counts partial-combine, and the top-gram pick is
+    a window group limit — no 9-pass union over the corpus."""
+    plan = _plan(spark, "docs_gopher_repetition")
+    assert plan.count("Generate") == 1, plan.count("Generate")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_twins_shared_user_key(spark):
+    """The streaming twins shuffle on user_id only: session_window merges
+    per key; the interval join is an equi-join with a range predicate —
+    no nested-loop/cartesian fallback."""
+    for name in ("stream_sessionize_twin", "stream_interval_join_twin"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
