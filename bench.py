@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "events_engagement_matrix",
     "events_markov_transitions",
+    # round-6 additions
+    "docs_gopher_repetition",
+    "docs_maximal_spans",
+    "knn_pq_trained",
+    "stream_sessionize_twin",
+    "stream_interval_join_twin",
 ]
 
 
@@ -127,17 +133,38 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "kafka_sink_spark headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
+
+    # Regression guard: compare against the committed per-query baseline
+    # (BENCH_BASELINE.json, pinned to the last green official round) so a
+    # slowdown shows up as a diff here instead of in the judge's verdict.
+    # Ratios are only meaningful at the baseline's scale factor.
+    out: dict = {
+        "metric": "kafka_sink_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == sf:
+            baseq = base.get("queries", {})
+            common = [n for n in times if n in baseq and baseq[n] > 0]
+            ratios = {n: round(times[n] / baseq[n], 2) for n in common}
+            regressions = {
+                n: r for n, r in ratios.items()
+                # flag only meaningful slowdowns: >1.5x AND >0.3s absolute
+                # (sub-second queries carry scheduler/GC noise).
+                if r > 1.5 and times[n] - baseq[n] > 0.3
             }
-        )
-    )
+            out["baseline_total"] = round(sum(baseq[n] for n in common), 3)
+            out["common_total"] = round(sum(times[n] for n in common), 3)
+            out["vs_baseline"] = ratios
+            out["regressions"] = regressions
+
+    print(json.dumps(out))
     spark.stop()
 
 

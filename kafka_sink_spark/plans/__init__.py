@@ -12,79 +12,78 @@ import kafka_sink_spark.plans.analytics_training  # noqa: F401,E402  (registers 
 #
 # The verify driver checks the FIRST 50 registered queries each round, in
 # registration order, so this list decides which queries get an *official*
-# CORRECTNESS_r* row.  Round-5 ordering: (a) the five queries that errored
-# in r04 under the micros-NTZ testdata regression (fixed this round — a
-# green row re-certifies the fix driver-side), (b) the 14 operators new in
-# round 5 (first driver row each), (c) the two regression-core entries
-# r04's oversized 52-entry list pushed out of the window, then (d) a
-# timestamp-sensitive regression core (date-predicate TPC-H, events
-# family, sink temporal paths) — every query there reads the ts/date
-# columns whose parquet type changed.  The list is kept at EXACTLY 50
+# CORRECTNESS_r* row.  Round-6 ordering (freshness rotation, per the r5
+# verdict): (a) the 39 queries whose last official driver row dates to
+# r1/r2 — the whole sink codec/provided-query wave, the dedup/knn wave,
+# text_* and multimodal — all judge-replica-green since but three rounds
+# stale on the official record; (b) the five r4 micros-NTZ regression
+# fixes, kept as the timestamp-sensitive regression core; (c) one r5
+# operator (dedup_survivors: minhash → LSH → connected components →
+# anti-join end-to-end) as the r5 regression pick; (d) the five queries
+# new in round 6 (first driver row each).  The list is kept at EXACTLY 50
 # entries (window size; enforced by tests/test_catalog_contract.py);
 # everything else follows in original registration order and stays locally
-# gated by tools/driver_check.py + tests/test_entry_oracle.py — all 113
-# oracle-paired queries are green there at sf0.01 (and the 14 new ones
-# also at sf0.1).
+# gated by tools/driver_check.py + tests/test_entry_oracle.py over all
+# oracle-paired queries at sf0.01.
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- errored in r04 (micros-NTZ testdata regression; fixed this round) --
+    # -- stale since r2: sink decode/mapping/codec wave --
+    "sink_literal_fallback",
+    "sink_json_key",
+    "sink_raw_values",
+    "sink_headers",
+    "sink_quoted_identifiers",
+    "sink_topic_routing",
+    "sink_multi_table_fanout",
+    "sink_codec_locale",
+    "sink_collection_codecs",
+    "sink_udt_codecs",
+    "sink_decimal_base64",
+    "sink_schema_defaults",
+    "sink_geo_wkt",
+    "sink_now_timeuuid_invariants",
+    # -- stale since r2: sink write-path wave --
+    "sink_delete_routing",
+    "sink_null_to_unset",
+    "sink_consistency_level",
+    "sink_batching",
+    "sink_error_policy",
+    "sink_provided_query",
+    "sink_provided_list_append",
+    "sink_provided_map_entries",
+    "sink_provided_udt_partial",
+    # -- stale since r1/r2: dedup / similarity / text / multimodal wave --
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_lsh_buckets",
+    "embedding_cosine_neardup",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "text_profile",
+    "text_token_stats",
+    "text_rolling_fingerprint",
+    # -- r4 micros-NTZ regression fixes (timestamp-sensitive core) --
     "events_range_window",
     "events_asof_attribution",
     "sink_daterange_precision",
     "sink_json_map",
     "sink_upsert_replay",
-    # -- new queries this round (first driver row) --
-    "docs_gopher_filter",
-    "corpus_bigram_lift",
+    # -- r5 regression pick --
     "dedup_survivors",
-    "events_retention_cohorts",
-    "knn_pq",
-    "docs_repeated_spans",
-    "orders_market_basket",
-    "corpus_source_report",
-    "events_user_rfm",
-    "corpus_bpe_pair_counts",
-    "events_dau_wau",
-    "dedup_cluster_sizes",
-    "events_engagement_matrix",
-    "events_markov_transitions",
-    # -- pushed out of r04's window by the 52-entry list --
-    "sink_counter_accrual",
-    "sink_avro_struct_decode",
-    # -- timestamp-sensitive regression core (date-predicate TPC-H) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_part_suppliers",
-    # -- timestamp-sensitive regression core (events family) --
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_topk_per_user",
-    "events_rolling_window",
-    "events_pivot_daily",
-    "events_cube_rollup",
-    "events_funnel_conversion",
-    "events_set_ops",
-    "events_salted_rollup",
-    "events_value_band_join",
-    "events_value_ntile",
-    # -- timestamp-sensitive regression core (sink temporal paths) --
-    "sink_codec_temporals",
-    "sink_timestamp_mapping",
-    "sink_ttl_writetime",
-    # -- flagship coverage of the remaining operator families --
-    "pipeline_training_data",
-    "sink_avro_union_decode",
+    # -- new queries this round (first driver row) --
+    "docs_gopher_repetition",
+    "docs_maximal_spans",
+    "knn_pq_trained",
+    "stream_sessionize_twin",
+    "stream_interval_join_twin",
 ]
 
 
