@@ -537,26 +537,29 @@ def _gopher_repetition_oracle() -> str:
       FROM toks
     ), grams AS (
       SELECT doc_id, doc_chars, n,
-             array_to_string(list_slice(t, i + 1, i + n), ' ') AS gram
+             ('0x' || substr(md5(
+                array_to_string(list_slice(t, i + 1, i + n), ' ')), 1, 15)
+             )::BIGINT AS hx,
+             len(array_to_string(list_slice(t, i + 1, i + n), ' ')) AS chars
       FROM base, unnest([{", ".join(str(n) for n in ns)}]) AS nn(n),
            unnest(range(len(t) - n + 1)) AS u(i)
       WHERE len(t) >= n
     ), cnt AS (
-      SELECT doc_id, doc_chars, n, gram, COUNT(*) AS c
-      FROM grams GROUP BY doc_id, doc_chars, n, gram
+      SELECT doc_id, doc_chars, n, hx, chars, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, doc_chars, n, hx, chars
     ), topd AS (
       SELECT doc_id, n,
-             round(CAST(c * len(gram) AS DOUBLE) / doc_chars, 6) AS frac,
+             round(CAST(c * chars AS DOUBLE) / doc_chars, 6) AS frac,
              row_number() OVER (
                PARTITION BY doc_id, n
-               ORDER BY c DESC, len(gram) DESC, gram ASC) AS rn
+               ORDER BY c DESC, chars DESC, hx ASC) AS rn
       FROM cnt WHERE n <= 4
     ), topp AS (
       SELECT doc_id, {top_cols}
       FROM topd WHERE rn = 1 GROUP BY doc_id
     ), dupd AS (
       SELECT doc_id, n,
-             round(CAST(SUM(c * len(gram)) AS DOUBLE) / ANY_VALUE(doc_chars), 6)
+             round(CAST(SUM(c * chars) AS DOUBLE) / ANY_VALUE(doc_chars), 6)
                AS frac
       FROM cnt WHERE n >= 5 AND c >= 2 GROUP BY doc_id, n
     ), dupp AS (
@@ -589,42 +592,64 @@ def docs_gopher_repetition(spark, sf_dir):
     approximation: occurrences × gram characters / single-space-joined doc
     characters.
 
-    Scale shape: ONE scan builds every (n, gram) pair via a flattened
-    generator (no 9-pass union), one partial-combined count on
-    (doc, n, gram), then ONE more partial-combined aggregation yields both
-    the top gram (lexicographic max(struct(count, chars)) ≡ order by count
-    DESC, chars DESC) and the duplicate mass — no window, single-consumer
-    explode subtree — before a broadcast-sized pivot join back to the doc
-    spine. Work is linear in 9×Σ tokens."""
+    Scale shape: ONE positioned-token explode, ONE window keyed on doc_id
+    materializes lead(token, 1..9), and a plain projection builds all nine
+    gram sizes with concat_ws — every expression whole-stage-codegen
+    (higher-order-function lambdas are interpreted per element in Spark and
+    were 10× slower here). Grams are projected to (60-bit hash, chars)
+    BEFORE the count shuffle — fixed-width rows, never raw strings (the
+    oracle hashes identically) — then one partial-combined count on
+    (doc, n, hash) and ONE aggregation yields both the top gram
+    (lexicographic max(struct(count, chars)) ≡ order by count DESC, chars
+    DESC) and the duplicate mass before a broadcast-sized pivot join back
+    to the doc spine. Work is linear in 9×Σ tokens."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     ns = sorted(set(_REP_TOP) | set(_REP_DUP))
+    n_max = max(ns)
     staged = docs.select(F.col("doc_id"), text.tokens(F.col("text")).alias("_t"))
     t = F.col("_t")
-    empty = F.expr("CAST(array() AS ARRAY<STRUCT<n: INT, gram: STRING>>)")
-
-    def gram_structs(n: int):
-        def at(i):
-            return F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
-
-        return F.when(
-            F.size(t) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - n),
-                lambda i: F.struct(F.lit(n).alias("n"), at(i).alias("gram")),
-            ),
-        ).otherwise(empty)
-
-    base = staged.select(
+    pos = staged.select(
         "doc_id",
         F.greatest(F.length(F.concat_ws(" ", t)), F.lit(1)).alias("doc_chars"),
-        F.explode(F.flatten(F.array(*[gram_structs(n) for n in ns]))).alias("_g"),
-    ).select(
-        "doc_id", "doc_chars", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram")
+        F.posexplode(t).alias("pos", "w"),
     )
-    cnt = base.groupBy("doc_id", "doc_chars", "n", "gram").agg(
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    led = pos.select(
+        "doc_id",
+        "doc_chars",
+        "w",
+        *[F.lead("w", k).over(wnd).alias(f"_l{k}") for k in range(1, n_max)],
+    )
+    gram_cols = []
+    for n in ns:
+        gram = F.concat_ws(
+            " ", F.col("w"), *[F.col(f"_l{k}") for k in range(1, n)]
+        )
+        gram_cols.append(
+            F.when(
+                F.col(f"_l{n - 1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    text.md5_long(gram).alias("hx"),
+                    F.length(gram).alias("chars"),
+                ),
+            ).alias(f"_g{n}")
+        )
+    base = (
+        led.select("doc_id", "doc_chars", F.explode(F.array(*gram_cols)).alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select(
+            "doc_id",
+            "doc_chars",
+            F.col("_g.n").alias("n"),
+            F.col("_g.hx").alias("hx"),
+            F.col("_g.chars").alias("chars"),
+        )
+    )
+    cnt = base.groupBy("doc_id", "doc_chars", "n", "hx", "chars").agg(
         F.count(F.lit(1)).alias("c")
     )
-    chars = F.length(F.col("gram"))
+    chars = F.col("chars")
     # ONE pass over cnt computes both signals per (doc, n): the top gram is
     # the lexicographic max(struct(c, chars)) — identical to ordering by
     # (c DESC, chars DESC), and the fraction depends only on those two

@@ -510,12 +510,14 @@ def test_maximal_spans_windows_keyed_by_doc(spark):
     assert "SinglePartition" not in plan
 
 
-def test_gopher_repetition_single_generate_partial_aggs(spark):
-    """The nine gram sizes come from ONE flattened generator (single scan,
-    single Generate node), counts partial-combine, and the top-gram pick is
-    a window group limit — no 9-pass union over the corpus."""
+def test_gopher_repetition_codegen_shape(spark):
+    """The nine gram sizes come from one positioned-token explode + one
+    doc-keyed window of leads + a plain codegen projection — exactly two
+    Generate nodes (posexplode, gram unpivot), no 9-pass union, counts
+    partial-combine, shuffle rows carry hashes (no raw gram strings), and
+    no cartesian product."""
     plan = _plan(spark, "docs_gopher_repetition")
-    assert plan.count("Generate") == 1, plan.count("Generate")
+    assert plan.count("Generate") == 2, plan.count("Generate")
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
 
