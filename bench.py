@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "docs_gopher_repetition",
     "docs_maximal_spans",
     "knn_pq_trained",
+    "knn_ivf_trained",
+    "events_value_outliers",
     "stream_sessionize_twin",
     "stream_interval_join_twin",
 ]

@@ -462,6 +462,75 @@ def knn_pq_trained(
     )
 
 
+def knn_ivf_trained(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a LLOYD-TRAINED coarse quantizer (vs knn_ivf's first-K
+    stand-in): the full-dimension vectors are one 'subspace' of the same
+    fixed-point Lloyd machinery (m_subspaces=1), so the trained cell
+    assignment is bit-identical cross-engine. Queries probe their ``nprobe``
+    nearest cells and rank candidates by EXACT squared L2 (fixed-point),
+    ties to the lower neighbor id.
+
+    Scale shape: training/assignment is corpus × broadcast centroids (one
+    scan per round); the candidate join is cell-bucketed so each query
+    scores ~nprobe/C of the corpus; exact re-ranking joins the broadcast
+    query components against candidate components on the (neighbor, comp)
+    key. Nothing is O(n²)."""
+    comp = component_rows(embeddings, 1, dim, vec_col=vec_col)
+    cent = lloyd_codebook(comp, n_centroids, iterations)
+    dists = _pq_distances(comp, cent)
+    cells = _pq_argmin(dists).select(
+        F.col("vid").alias("neighbor_id"), F.col("j").alias("cell")
+    )
+    wp = Window.partitionBy("vid").orderBy(F.col("d").asc(), F.col("j").asc())
+    probes = (
+        dists.filter(F.col("vid") < n_queries)
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), F.col("j").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qc = comp.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "comp", F.col("x").alias("qx")
+    )
+    diff = F.col("qx") - F.col("x")
+    pd = (
+        cand.join(F.broadcast(qc), "query_id")
+        .join(
+            comp.select(F.col("vid").alias("neighbor_id"), "comp", "x"),
+            ["neighbor_id", "comp"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(diff * diff).alias("dfix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dfix").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dfix").cast("double") / 1e12, 6).alias("dist"),
+            "rank",
+        )
+    )
+
+
 def knn_pq(
     embeddings: DataFrame,
     k: int = 5,

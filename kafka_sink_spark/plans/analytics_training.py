@@ -155,6 +155,208 @@ def knn_pq_trained(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# IVF ANN with a Lloyd-trained coarse quantizer
+# --------------------------------------------------------------------------
+
+_IVFT_C = 8
+_IVFT_NPROBE = 2
+_IVFT_QUERIES = 10
+_IVFT_TOPK = 5
+_IVFT_ITERS = 2
+
+
+def _ivf_trained_oracle(
+    n_centroids: int = _IVFT_C,
+    nprobe: int = _IVFT_NPROBE,
+    dim: int = _PQT_DIM,
+    n_queries: int = _IVFT_QUERIES,
+    k: int = _IVFT_TOPK,
+    iterations: int = _IVFT_ITERS,
+) -> str:
+    ctes = [
+        f"""comp AS (
+      SELECT vec_id AS vid, CAST(i AS INTEGER) AS comp,
+             CAST(round(embedding[i + 1]::DOUBLE * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, unnest(range({dim})) AS u(i)
+    )""",
+        f"""c0 AS (
+      SELECT CAST(vid AS INTEGER) AS j, comp, x AS c
+      FROM comp WHERE vid < {n_centroids}
+    )""",
+    ]
+    prev = "c0"
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""d{t} AS (
+      SELECT p.vid, c.j, SUM((p.x - c.c) * (p.x - c.c)) AS d
+      FROM comp p JOIN {prev} c ON p.comp = c.comp
+      GROUP BY p.vid, c.j
+    )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vid, j FROM (
+        SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn
+        FROM d{t}) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+      SELECT a.j, p.comp, CAST(SUM(p.x) // COUNT(*) AS BIGINT) AS c
+      FROM comp p JOIN a{t} a ON p.vid = a.vid
+      GROUP BY a.j, p.comp
+    )"""
+        )
+        prev = f"c{t}"
+    ctes.append(
+        f"""df AS (
+      SELECT p.vid, c.j, SUM((p.x - c.c) * (p.x - c.c)) AS d
+      FROM comp p JOIN {prev} c ON p.comp = c.comp
+      GROUP BY p.vid, c.j
+    )"""
+    )
+    ctes.append(
+        """cells AS (
+      SELECT vid AS neighbor_id, j AS cell FROM (
+        SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn
+        FROM df) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT vid AS query_id, j AS cell FROM (
+        SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn
+        FROM df WHERE vid < {n_queries}) WHERE rn <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.query_id, c.neighbor_id
+      FROM probes p JOIN cells c ON p.cell = c.cell
+      WHERE p.query_id <> c.neighbor_id
+    )"""
+    )
+    ctes.append(
+        """pd AS (
+      SELECT cd.query_id, cd.neighbor_id, SUM((q.x - v.x) * (q.x - v.x)) AS dfix
+      FROM cand cd
+      JOIN comp q ON q.vid = cd.query_id
+      JOIN comp v ON v.vid = cd.neighbor_id AND v.comp = q.comp
+      GROUP BY 1, 2
+    )"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id,
+           round(CAST(dfix AS DOUBLE) / 1000000000000.0, 6) AS dist, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dfix, neighbor_id
+             ) AS INTEGER) AS rank
+      FROM pd
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+@register("knn_ivf_trained", oracle=_ivf_trained_oracle())
+def knn_ivf_trained(spark, sf_dir):
+    """IVF ANN with a coarse quantizer fit by real Lloyd rounds — the
+    trained twin of knn_ivf, sharing the exact fixed-point machinery with
+    knn_pq_trained (full-dim vectors are one 'subspace'). Queries probe
+    their nprobe nearest trained cells; candidates re-rank by exact
+    squared-L2. Training is corpus × broadcast centroids per round; the
+    candidate join is cell-bucketed — at 100 TB the cell id is the natural
+    partition key for the vector table and only ~nprobe/C of the corpus is
+    scored per query."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.knn_ivf_trained(
+        emb,
+        k=_IVFT_TOPK,
+        n_queries=_IVFT_QUERIES,
+        n_centroids=_IVFT_C,
+        nprobe=_IVFT_NPROBE,
+        dim=_PQT_DIM,
+        iterations=_IVFT_ITERS,
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-arithmetic distributed anomaly flags (3-sigma without floats)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS xm
+      FROM events
+    ), st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(xm) AS s,
+             SUM(CAST(xm AS HUGEINT) * xm) AS q
+      FROM b GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.value,
+           round(CAST(st.s AS DOUBLE) / st.n / 1000000.0, 6) AS mean_value,
+           round(CAST(st.n * st.q - CAST(st.s AS HUGEINT) * st.s AS DOUBLE)
+                 / st.n / st.n / 1000000000000.0, 6) AS variance_value,
+           CAST(
+             (CAST(st.n AS HUGEINT) * b.xm - st.s)
+               * (CAST(st.n AS HUGEINT) * b.xm - st.s)
+             > 9 * (st.n * st.q - CAST(st.s AS HUGEINT) * st.s)
+           AS INTEGER) AS is_outlier
+    FROM b JOIN st USING (event_type)
+    """,
+)
+def events_value_outliers(spark, sf_dir):
+    """Per-type 3-sigma outlier flags computed ENTIRELY in exact integer
+    arithmetic: with fixed-point values x (micro-units), n, S = Σx and
+    Q = Σx², the condition |x − S/n| > 3σ is equivalent to
+    (n·x − S)² > 9·(n·Q − S²) — no float mean/stddev ever crosses an
+    engine or partition boundary, so the flag is bit-deterministic (Spark
+    decimal(38,0) ≙ DuckDB HUGEINT for the wide products). The reported
+    mean/variance are single-division doubles from exact integers, rounded.
+
+    Scale shape: one partial-combined aggregation onto the tiny event_type
+    keyspace, a broadcast stats join back, then a pure projection — the
+    z-score pattern that survives any row count without a window or a
+    second scan."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    b = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("xm"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("s"),
+        F.sum(dec(F.col("xm")) * dec(F.col("xm"))).alias("q"),
+    )
+    j = b.join(F.broadcast(st), "event_type")
+    dev = dec(F.col("n")) * dec(F.col("xm")) - dec(F.col("s"))
+    var_num = dec(F.col("n")) * F.col("q") - dec(F.col("s")) * dec(F.col("s"))
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("s").cast("double") / F.col("n") / 1e6, 6).alias("mean_value"),
+        F.round(
+            var_num.cast("double") / F.col("n") / F.col("n") / 1e12, 6
+        ).alias("variance_value"),
+        F.when(dev * dev > F.lit(9) * var_num, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming operators, driver-certified via batch twins
 # --------------------------------------------------------------------------
 

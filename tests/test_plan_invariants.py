@@ -530,3 +530,22 @@ def test_stream_twins_shared_user_key(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_trained_broadcast_training_cell_bucketed(spark):
+    """Trained-IVF: Lloyd rounds join corpus against BROADCAST centroids;
+    the candidate join is cell-keyed (equi), never cartesian."""
+    plan = _plan(spark, "knn_ivf_trained")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_value_outliers_broadcast_stats_no_window(spark):
+    """Exact 3-sigma flags: one partial agg on event_type, broadcast stats
+    join back, pure projection — no window, no second shuffle of events."""
+    plan = _plan(spark, "events_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
