@@ -347,6 +347,14 @@ def _l2sq_fixed(a: Column, b: Column) -> Column:
 # engines' GROUP BY semantics), shrinking K deterministically.
 
 
+# The component table feeds every Lloyd round twice (distance join + mean
+# update) plus final encode/re-rank — 2·iterations + 2 consumers. Persist it
+# once per (session, source plan, split) so the scan+posexplode subtree
+# doesn't re-execute per consumer; at 100 TB this is the difference between
+# one corpus pass and eight.
+_COMPONENT_CACHE: dict[tuple, DataFrame] = {}
+
+
 def component_rows(
     embeddings: DataFrame,
     m_subspaces: int = 8,
@@ -355,18 +363,39 @@ def component_rows(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vid, m, comp, x) fixed-point component rows: vector index split into
-    subspace ``m`` and within-subspace offset ``comp``."""
-    return embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("i", "_x"),
-    ).select(
-        "vid",
-        (F.col("i") / sub_len).cast("int").alias("m"),
-        (F.col("i") % sub_len).cast("int").alias("comp"),
-        F.round(F.col("_x").cast("double") * 1_000_000.0, 0)
-        .cast("bigint")
-        .alias("x"),
+    subspace ``m`` and within-subspace offset ``comp``. Persisted + memoized
+    per (session, source, split) — see _COMPONENT_CACHE."""
+    from pyspark import StorageLevel
+
+    spark = embeddings.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        embeddings._jdf.queryExecution().analyzed().semanticHash(),
+        m_subspaces,
+        sub_len,
+        id_col,
+        vec_col,
     )
+    cached = _COMPONENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(F.col(vec_col)).alias("i", "_x"),
+        )
+        .select(
+            "vid",
+            (F.col("i") / sub_len).cast("int").alias("m"),
+            (F.col("i") % sub_len).cast("int").alias("comp"),
+            F.round(F.col("_x").cast("double") * 1_000_000.0, 0)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _COMPONENT_CACHE[key] = out
+    return out
 
 
 def _pq_distances(comp: DataFrame, cent: DataFrame) -> DataFrame:
