@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "docs_maximal_spans",
     "knn_pq_trained",
     "knn_ivf_trained",
+    "knn_ivf_pq",
     "events_value_outliers",
     "stream_sessionize_twin",
     "stream_interval_join_twin",

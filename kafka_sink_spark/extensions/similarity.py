@@ -431,7 +431,14 @@ def lloyd_codebook(
 
     Scale shape per round: one broadcast join of the corpus against the tiny
     codebook + two partial-combined aggregations — the canonical distributed
-    k-means step. Nothing is collected; the codebook stays a DataFrame."""
+    k-means step. Nothing is collected; the codebook stays a DataFrame.
+
+    Each round's centroid table (M×K×sub_len rows — tiny) is persisted so
+    consumers of the returned codebook (distance/encode/ADC branches, or a
+    composed index like IVF-PQ that reads it 4×) reuse the materialized
+    rows instead of re-executing the whole training lineage per branch."""
+    from pyspark import StorageLevel
+
     cent = comp.filter(F.col("vid") < k_codewords).select(
         "m", F.col("vid").cast("int").alias("j"), "comp", F.col("x").alias("c")
     )
@@ -442,6 +449,7 @@ def lloyd_codebook(
             .groupBy("m", "j", "comp")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .select("m", "j", "comp", F.expr("s div cnt").alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return cent
 
@@ -643,6 +651,150 @@ def knn_pq(
             "query_id",
             "neighbor_id",
             F.round(F.col("afix").cast("double") / 1_000_000.0, 6).alias("adist"),
+            "rank",
+        )
+    )
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_subspaces: int = 8,
+    k_codewords: int = 16,
+    dim: int = 64,
+    coarse_iterations: int = 2,
+    pq_iterations: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed index (coarse quantizer + product-quantized
+    RESIDUALS) that production ANN systems deploy at scale — Lloyd-trained
+    at both levels, exact fixed-point end-to-end.
+
+    1. Train a coarse quantizer on the full-dimension vectors and assign
+       every vector to its nearest cell (same machinery as knn_ivf_trained).
+    2. Compute per-component residuals r = x − c_cell (exact bigint
+       micro-units) and train a per-subspace PQ codebook ON THE RESIDUALS —
+       the detail the flat-PQ path cannot express, and why IVF-PQ recall
+       beats PQ at equal code size.
+    3. Encode every vector's residual as M codeword ids.
+    4. Each query probes its ``nprobe`` nearest cells; its residual is
+       recomputed PER PROBED CELL, giving a per-(query, cell) ADC table
+       (n_queries × nprobe × M × K rows — broadcast). Candidates score as
+       Σ_m ADC[query, cell(candidate), m, code(candidate, m)].
+
+    Scale shape: both training loops are corpus × broadcast-centroid joins
+    with partial-combined aggregations; encoding is one corpus pass; the
+    candidate set is cell-bucketed (~nprobe/C of the corpus per query); the
+    compressed table is M bytes/vector. No stage is O(n²) and nothing is
+    collected driver-side.
+    """
+    sub_len = dim // m_subspaces
+    from pyspark import StorageLevel
+
+    comp1 = component_rows(embeddings, 1, dim, vec_col=vec_col)
+    coarse = lloyd_codebook(comp1, n_centroids, coarse_iterations)
+    # Coarse distances feed cell assignment AND query probing — persist the
+    # (corpus × C)-row table so the assignment join runs once.
+    cdists = _pq_distances(comp1, coarse).persist(StorageLevel.MEMORY_AND_DISK)
+    cells = _pq_argmin(cdists).select("vid", F.col("j").alias("cell"))
+
+    # Residual components, re-keyed into PQ subspaces: m = comp div sub_len,
+    # within-subspace offset comp mod sub_len. Exact bigint subtraction.
+    res = (
+        comp1.join(cells, "vid")
+        .join(
+            F.broadcast(
+                coarse.select(F.col("j").alias("cell"), "comp", "c")
+            ),
+            ["cell", "comp"],
+        )
+        .select(
+            "vid",
+            "cell",
+            (F.col("comp") / sub_len).cast("int").alias("m"),
+            (F.col("comp") % sub_len).cast("int").alias("comp"),
+            (F.col("x") - F.col("c")).alias("x"),
+        )
+    )
+    # res feeds codebook training (2 consumers/round), encoding, and the
+    # query-residual path — persist once, same rationale as component_rows.
+    res = res.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pq_cent = lloyd_codebook(
+        res.select("vid", "m", "comp", "x"), k_codewords, pq_iterations
+    )
+    codes = _pq_argmin(_pq_distances(res, pq_cent)).select(
+        F.col("vid").alias("neighbor_id"), "m", F.col("j").alias("j")
+    )
+
+    wp = Window.partitionBy("vid").orderBy(F.col("d").asc(), F.col("j").asc())
+    probes = (
+        cdists.filter(F.col("vid") < n_queries)
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), F.col("j").alias("cell"))
+    )
+
+    # Query residual PER PROBED CELL (asymmetric: full-precision query minus
+    # that cell's centroid), then the (query, cell, m, j) ADC table.
+    qres = (
+        comp1.filter(F.col("vid") < n_queries)
+        .select(F.col("vid").alias("query_id"), "comp", "x")
+        .join(F.broadcast(probes), "query_id")
+        .join(
+            F.broadcast(
+                coarse.select(F.col("j").alias("cell"), "comp", "c")
+            ),
+            ["cell", "comp"],
+        )
+        .select(
+            "query_id",
+            "cell",
+            (F.col("comp") / sub_len).cast("int").alias("m"),
+            (F.col("comp") % sub_len).cast("int").alias("comp"),
+            (F.col("x") - F.col("c")).alias("qx"),
+        )
+    )
+    qdiff = F.col("qx") - F.col("c")
+    adc = (
+        qres.join(
+            F.broadcast(
+                pq_cent.select(
+                    "m", F.col("j").alias("j"), "comp", "c"
+                )
+            ),
+            ["m", "comp"],
+        )
+        .groupBy("query_id", "cell", "m", "j")
+        .agg(F.sum(qdiff * qdiff).alias("qd"))
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(
+            cells.select(F.col("vid").alias("neighbor_id"), "cell"), "cell"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    adist = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(adc), ["query_id", "cell", "m", "j"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").alias("afix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("afix").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("afix").cast("double") / 1e12, 6).alias("adist"),
             "rank",
         )
     )

@@ -442,3 +442,219 @@ def stream_interval_join_twin(spark, sf_dir):
         "probe_id",
         "gap_us",
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + product-quantized residuals (the composed index)
+# --------------------------------------------------------------------------
+
+_IVFPQ_COARSE_ITERS = 2
+_IVFPQ_PQ_ITERS = 1
+
+
+def _ivf_pq_oracle(
+    n_centroids: int = _IVFT_C,
+    nprobe: int = _IVFT_NPROBE,
+    m_subspaces: int = _PQT_M,
+    k_codewords: int = _PQT_K,
+    dim: int = _PQT_DIM,
+    n_queries: int = _PQT_QUERIES,
+    k: int = _PQT_TOPK,
+    coarse_iterations: int = _IVFPQ_COARSE_ITERS,
+    pq_iterations: int = _IVFPQ_PQ_ITERS,
+) -> str:
+    sub_len = dim // m_subspaces
+    ctes = [
+        f"""comp AS (
+      SELECT vec_id AS vid, CAST(i AS INTEGER) AS comp,
+             CAST(round(embedding[i + 1]::DOUBLE * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, unnest(range({dim})) AS u(i)
+    )""",
+        f"""c0 AS (
+      SELECT CAST(vid AS INTEGER) AS j, comp, x AS c
+      FROM comp WHERE vid < {n_centroids}
+    )""",
+    ]
+    prev = "c0"
+    for t in range(1, coarse_iterations + 1):
+        ctes.append(
+            f"""d{t} AS (
+      SELECT p.vid, c.j, SUM((p.x - c.c) * (p.x - c.c)) AS d
+      FROM comp p JOIN {prev} c ON p.comp = c.comp
+      GROUP BY p.vid, c.j
+    )"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vid, j FROM (
+        SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn
+        FROM d{t}) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+      SELECT a.j, p.comp, CAST(SUM(p.x) // COUNT(*) AS BIGINT) AS c
+      FROM comp p JOIN a{t} a ON p.vid = a.vid
+      GROUP BY a.j, p.comp
+    )"""
+        )
+        prev = f"c{t}"
+    coarse = prev
+    ctes.append(
+        f"""cdf AS (
+      SELECT p.vid, c.j, SUM((p.x - c.c) * (p.x - c.c)) AS d
+      FROM comp p JOIN {coarse} c ON p.comp = c.comp
+      GROUP BY p.vid, c.j
+    )""",
+    )
+    ctes.append(
+        """cells AS (
+      SELECT vid, j AS cell FROM (
+        SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn
+        FROM cdf) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""res AS (
+      SELECT p.vid, cl.cell,
+             CAST(p.comp // {sub_len} AS INTEGER) AS m,
+             CAST(p.comp % {sub_len} AS INTEGER) AS comp,
+             p.x - cc.c AS x
+      FROM comp p
+      JOIN cells cl ON p.vid = cl.vid
+      JOIN {coarse} cc ON cc.j = cl.cell AND cc.comp = p.comp
+    )"""
+    )
+    ctes.append(
+        f"""p0 AS (
+      SELECT m, CAST(vid AS INTEGER) AS j, comp, x AS c
+      FROM res WHERE vid < {k_codewords}
+    )"""
+    )
+    prev = "p0"
+    for t in range(1, pq_iterations + 1):
+        ctes.append(
+            f"""pd{t} AS (
+      SELECT p.vid, p.m, c.j, SUM((p.x - c.c) * (p.x - c.c)) AS d
+      FROM res p JOIN {prev} c ON p.m = c.m AND p.comp = c.comp
+      GROUP BY p.vid, p.m, c.j
+    )"""
+        )
+        ctes.append(
+            f"""pa{t} AS (
+      SELECT vid, m, j FROM (
+        SELECT vid, m, j,
+               row_number() OVER (PARTITION BY vid, m ORDER BY d, j) AS rn
+        FROM pd{t}) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""pc{t} AS (
+      SELECT p.m, a.j, p.comp, CAST(SUM(p.x) // COUNT(*) AS BIGINT) AS c
+      FROM res p JOIN pa{t} a ON p.vid = a.vid AND p.m = a.m
+      GROUP BY p.m, a.j, p.comp
+    )"""
+        )
+        prev = f"pc{t}"
+    pq = prev
+    ctes.append(
+        f"""pqdf AS (
+      SELECT p.vid, p.m, c.j, SUM((p.x - c.c) * (p.x - c.c)) AS d
+      FROM res p JOIN {pq} c ON p.m = c.m AND p.comp = c.comp
+      GROUP BY p.vid, p.m, c.j
+    )"""
+    )
+    ctes.append(
+        """codes AS (
+      SELECT vid AS neighbor_id, m, j FROM (
+        SELECT vid, m, j,
+               row_number() OVER (PARTITION BY vid, m ORDER BY d, j) AS rn
+        FROM pqdf) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT vid AS query_id, j AS cell FROM (
+        SELECT vid, j, row_number() OVER (PARTITION BY vid ORDER BY d, j) AS rn
+        FROM cdf WHERE vid < {n_queries}) WHERE rn <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        f"""qres AS (
+      SELECT q.vid AS query_id, pr.cell,
+             CAST(q.comp // {sub_len} AS INTEGER) AS m,
+             CAST(q.comp % {sub_len} AS INTEGER) AS comp,
+             q.x - cc.c AS qx
+      FROM comp q
+      JOIN probes pr ON q.vid = pr.query_id
+      JOIN {coarse} cc ON cc.j = pr.cell AND cc.comp = q.comp
+    )"""
+    )
+    ctes.append(
+        f"""adc AS (
+      SELECT r.query_id, r.cell, r.m, c.j,
+             SUM((r.qx - c.c) * (r.qx - c.c)) AS qd
+      FROM qres r JOIN {pq} c ON c.m = r.m AND c.comp = r.comp
+      GROUP BY 1, 2, 3, 4
+    )"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.query_id, p.cell, c.vid AS neighbor_id
+      FROM probes p JOIN cells c ON p.cell = c.cell
+      WHERE p.query_id <> c.vid
+    )"""
+    )
+    ctes.append(
+        """ad AS (
+      SELECT cd.query_id, cd.neighbor_id, SUM(a.qd) AS afix
+      FROM cand cd
+      JOIN codes co ON co.neighbor_id = cd.neighbor_id
+      JOIN adc a ON a.query_id = cd.query_id AND a.cell = cd.cell
+               AND a.m = co.m AND a.j = co.j
+      GROUP BY 1, 2
+    )"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id,
+           round(CAST(afix AS DOUBLE) / 1000000000000.0, 6) AS adist, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY afix, neighbor_id
+             ) AS INTEGER) AS rank
+      FROM ad
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+@register("knn_ivf_pq", oracle=_ivf_pq_oracle())
+def knn_ivf_pq(spark, sf_dir):
+    """IVF-PQ — the composed two-level index production ANN systems run at
+    100 TB (coarse quantizer routes, product-quantized RESIDUALS score):
+    both levels Lloyd-trained with the shared exact fixed-point machinery,
+    so cell assignment, residual codebook, codes and the final ADC ranking
+    all hash bit-identically cross-engine. Queries recompute their residual
+    per probed cell (asymmetric distance), matching the published IVFADC
+    formulation (Jégou et al., PAMI 2011).
+
+    Scale shape: two broadcast-centroid training loops + one encode pass;
+    candidates are cell-bucketed (~nprobe/C of the corpus per query); the
+    compressed code table is M bytes/vector. No O(n²) stage, no driver-side
+    collect (plan-pinned by tests/test_plan_invariants.py)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.knn_ivf_pq(
+        emb,
+        k=_PQT_TOPK,
+        n_queries=_PQT_QUERIES,
+        n_centroids=_IVFT_C,
+        nprobe=_IVFT_NPROBE,
+        m_subspaces=_PQT_M,
+        k_codewords=_PQT_K,
+        dim=_PQT_DIM,
+        coarse_iterations=_IVFPQ_COARSE_ITERS,
+        pq_iterations=_IVFPQ_PQ_ITERS,
+    )

@@ -549,3 +549,15 @@ def test_value_outliers_broadcast_stats_no_window(spark):
     assert "partial_count" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_two_level_broadcast_no_cartesian(spark):
+    """IVF-PQ: both training levels and the ADC/encode branches join the
+    corpus against BROADCAST centroid/probe tables; the candidate join is
+    cell-keyed (equi); argmin is a partial-aggregated min(struct); no
+    cartesian product anywhere in the composed index."""
+    plan = _plan(spark, "knn_ivf_pq")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
