@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "knn_pq_trained",
     "knn_ivf_trained",
     "knn_ivf_pq",
+    "docs_language_id",
     "events_value_outliers",
     "stream_sessionize_twin",
     "stream_interval_join_twin",

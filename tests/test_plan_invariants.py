@@ -561,3 +561,13 @@ def test_ivf_pq_two_level_broadcast_no_cartesian(spark):
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_language_id_bounded_fanout_no_global_sort(spark):
+    """Cavnar–Trenkle language ID: profile ranks come from doc-/lang-keyed
+    windows (never a single-partition global sort); the candidate fan-out
+    is the 5-row broadcast langs table; counts partial-combine."""
+    plan = _plan(spark, "docs_language_id")
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
