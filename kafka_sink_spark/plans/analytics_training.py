@@ -780,3 +780,67 @@ def docs_language_id(spark, sf_dir):
         "dist",
         (F.col("pred_lang") == F.col("lang")).cast("int").alias("is_correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup, driver-certified by executing the REAL streaming query
+# --------------------------------------------------------------------------
+
+_STREAM_DEDUP_RUNS = iter(range(1_000_000))
+
+
+@register(
+    "stream_dedup_twin",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup_twin(spark, sf_dir):
+    """The streaming exact-dedup operator (streaming/analytics.py
+    dedup_stream: dropDuplicatesWithinWatermark), certified by EXECUTING the
+    real streaming query — batch mode does not support the operator, so this
+    twin stages the events table twice into a file source (a literal
+    at-least-once replay, the duplicate class the reference sink produces),
+    replays it with trigger(availableNow=True), and returns the memory-sink
+    result. Replayed rows are exact duplicates, so the survivor is
+    deterministic and the output must hash-equal the original events table —
+    if the operator ever failed to drop the replay, the row count doubles
+    and the driver comparison fails loudly.
+
+    Scale shape: dedup state is keyed by event_id and expires at the
+    watermark — state is bounded by the duplicate horizon, not the stream
+    length; the shuffle is the same single event_id exchange batch dedup
+    would run."""
+    import tempfile
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    sel = events.select("event_id", "ts", "user_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    sel.write.mode("overwrite").parquet(src)
+    sel.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(src)
+    from kafka_sink_spark.streaming.analytics import dedup_stream
+
+    name = f"stream_dedup_twin_{next(_STREAM_DEDUP_RUNS)}"
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dedup_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
