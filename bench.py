@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "knn_ivf_trained",
     "knn_ivf_pq",
     "docs_language_id",
+    "dedup_containment",
     "events_value_outliers",
     "stream_sessionize_twin",
     "stream_interval_join_twin",

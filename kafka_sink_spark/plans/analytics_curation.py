@@ -898,3 +898,128 @@ def dedup_df_pruned_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DFP_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment near-dup (subset documents Jaccard under-scores)
+# --------------------------------------------------------------------------
+
+_CONT_MIN = 0.5  # report pairs where either direction's containment >= 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks
+    ), hs AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfh AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY h),
+    kept AS (
+      SELECT h FROM dfh, n
+      WHERE df >= 2 AND df * {_DFP_MAX_DF_RECIP} <= n_docs
+    ), hk AS (SELECT hs.doc_id, hs.h FROM hs JOIN kept USING (h)),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hk a JOIN hk b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_DFP_MIN_SHARED}
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM hs GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cand c
+      JOIN hs x ON x.doc_id = c.doc_a
+      JOIN hs y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_shared,
+           sa.sz AS size_a, sb.sz AS size_b,
+           round(CAST(i.n_shared AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
+           round(CAST(i.n_shared AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE greatest(CAST(i.n_shared AS DOUBLE) / sa.sz,
+                   CAST(i.n_shared AS DOUBLE) / sb.sz) >= {_CONT_MIN}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup: for candidate pairs, report
+    |A∩B|/|A| and |A∩B|/|B| over 3-gram shingle sets — the subset-duplicate
+    case (a doc embedded inside a longer one) that symmetric Jaccard
+    under-scores, the reason dedup pipelines track containment separately
+    (cf. Broder's containment resemblance; Lee et al. 2022 §4 discuss the
+    substring case). Pairs where either direction reaches {cmin} survive.
+
+    Scale shape, two-phase: candidates come from the DF-PRUNED inverted
+    index (posting lists capped at n_docs/{recip}, so the self-join fan-out
+    is bounded — never all-pairs); the EXACT intersection then runs only
+    for candidate pairs, as a hash-keyed join of the candidate list against
+    the full posting table on (doc, h). Set sizes are one partial-combined
+    count per doc, broadcast-joined back."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from kafka_sink_spark.extensions import dedup
+
+    hs = dedup.shingle_hashes(docs, n=3).distinct().localCheckpoint(eager=False)
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_h = hs.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        df_h.join(F.broadcast(total))
+        .filter(
+            (F.col("df") >= 2)
+            & (F.col("df") * _DFP_MAX_DF_RECIP <= F.col("n_docs"))
+        )
+        .select("h")
+    )
+    hk = hs.join(kept, "h")
+    a, b = hk.alias("a"), hk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_nk"))
+        .filter(F.col("_nk") >= _DFP_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    inter = (
+        cand.join(hs.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(hs.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ca = F.col("n_shared").cast("double") / F.col("size_a")
+    cb = F.col("n_shared").cast("double") / F.col("size_b")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .filter(F.greatest(ca, cb) >= _CONT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "size_a",
+            "size_b",
+            F.round(ca, 6).alias("cont_a_in_b"),
+            F.round(cb, 6).alias("cont_b_in_a"),
+        )
+    )

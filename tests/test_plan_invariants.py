@@ -571,3 +571,18 @@ def test_language_id_bounded_fanout_no_global_sort(spark):
     assert "partial_count" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pruned_candidates_hash_keyed(spark):
+    """Containment near-dup: candidates come from the df-pruned posting
+    self-join (equi on h, never cartesian); the exact intersection joins
+    candidates against the posting table on (doc, h); set sizes
+    partial-combine. No cartesian; the only single-partition exchange is
+    the 1-row corpus-count scalar (broadcast back, same shape as
+    dedup_df_pruned_pairs)."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    # a global sort would add another single-partition exchange; the only
+    # ones allowed are the two stages of the 1-row n_docs scalar agg
+    assert plan.count("SinglePartition") <= 2
