@@ -798,3 +798,37 @@ def knn_ivf_pq(
             "rank",
         )
     )
+
+
+def knn_exact_fixed(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by squared L2 in fixed-point micro-units — the ground
+    truth an ANN index is evaluated against. The query component table
+    (n_queries × dim rows) is broadcast against the corpus component table
+    on the component index: one linear corpus scan, one (query, neighbor)
+    partial-combined aggregation, a query-keyed top-k window. Ties break to
+    the lower neighbor id, matching every ANN ranking in this module."""
+    comp = component_rows(embeddings, 1, dim, vec_col=vec_col)
+    qc = comp.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "comp", F.col("x").alias("qx")
+    )
+    diff = F.col("qx") - F.col("x")
+    pd = (
+        comp.join(F.broadcast(qc), "comp")
+        .filter(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum(diff * diff).alias("dfix"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dfix").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dfix", "rank")
+    )

@@ -452,17 +452,18 @@ _IVFPQ_COARSE_ITERS = 2
 _IVFPQ_PQ_ITERS = 1
 
 
-def _ivf_pq_oracle(
+def _ivf_pq_ctes(
     n_centroids: int = _IVFT_C,
     nprobe: int = _IVFT_NPROBE,
     m_subspaces: int = _PQT_M,
     k_codewords: int = _PQT_K,
     dim: int = _PQT_DIM,
     n_queries: int = _PQT_QUERIES,
-    k: int = _PQT_TOPK,
     coarse_iterations: int = _IVFPQ_COARSE_ITERS,
     pq_iterations: int = _IVFPQ_PQ_ITERS,
-) -> str:
+) -> list:
+    """CTE chain ending in ``ad`` (query_id, neighbor_id, afix) — shared by
+    the knn_ivf_pq oracle and the recall-evaluation oracle."""
     sub_len = dim // m_subspaces
     ctes = [
         f"""comp AS (
@@ -615,9 +616,13 @@ def _ivf_pq_oracle(
       GROUP BY 1, 2
     )"""
     )
+    return ctes
+
+
+def _ivf_pq_oracle(k: int = _PQT_TOPK) -> str:
     return (
         "\n    WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_ivf_pq_ctes())
         + f"""
     SELECT query_id, neighbor_id,
            round(CAST(afix AS DOUBLE) / 1000000000000.0, 6) AS adist, rank
@@ -843,4 +848,97 @@ def stream_dedup_twin(spark, sf_dir):
         "user_id",
         "event_type",
         "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the composed index vs exact top-k
+# --------------------------------------------------------------------------
+
+
+def _ivf_pq_recall_oracle(
+    k: int = _PQT_TOPK, n_queries: int = _PQT_QUERIES
+) -> str:
+    ctes = _ivf_pq_ctes()
+    ctes.append(
+        f"""ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY afix, neighbor_id) AS rn
+        FROM ad) WHERE rn <= {k}
+    )"""
+    )
+    ctes.append(
+        f"""ex AS (
+      SELECT q.vid AS query_id, v.vid AS neighbor_id,
+             SUM((q.x - v.x) * (q.x - v.x)) AS d
+      FROM comp q JOIN comp v ON v.comp = q.comp AND v.vid <> q.vid
+      WHERE q.vid < {n_queries}
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        f"""ex5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+        FROM ex) WHERE rn <= {k}
+    )"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_overlap,
+           round(COUNT(a.neighbor_id) / {k}.0, 6) AS recall_at_k
+    FROM ex5 e
+    LEFT JOIN ann a ON a.query_id = e.query_id
+                   AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+    )
+
+
+@register("knn_ivf_pq_recall", oracle=_ivf_pq_recall_oracle())
+def knn_ivf_pq_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@{k} of the composed IVF-PQ index
+    against EXACT fixed-point top-{k} — the measure-don't-guess harness
+    every production ANN deployment runs before trusting an index
+    (nprobe/M/K tuning is a recall-vs-cost trade; this query is the recall
+    side of that curve). Both rankings share tie-breaking (low neighbor
+    id), so the overlap count is deterministic and hashes cross-engine.
+    On this synthetic corpus recall is intrinsically low (isotropic random
+    vectors have no cluster structure, and nprobe/C = 1/4 of the corpus
+    bounds what cell-probing can reach) — the point is the harness, which
+    reports that honestly rather than a cherry-picked number.
+
+    Scale shape: the exact side is one broadcast-query linear corpus scan
+    (ground truth over a QUERY SAMPLE — n_queries × corpus, never corpus²);
+    the ANN side reuses the knn_ivf_pq pipeline; the comparison is a
+    (query, neighbor)-keyed left join of two k-row-per-query tables."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ann = similarity.knn_ivf_pq(
+        emb,
+        k=_PQT_TOPK,
+        n_queries=_PQT_QUERIES,
+        n_centroids=_IVFT_C,
+        nprobe=_IVFT_NPROBE,
+        m_subspaces=_PQT_M,
+        k_codewords=_PQT_K,
+        dim=_PQT_DIM,
+        coarse_iterations=_IVFPQ_COARSE_ITERS,
+        pq_iterations=_IVFPQ_PQ_ITERS,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    exact = similarity.knn_exact_fixed(
+        emb, k=_PQT_TOPK, n_queries=_PQT_QUERIES, dim=_PQT_DIM
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_overlap"))
+        .select(
+            "query_id",
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.round(F.col("n_overlap") / float(_PQT_TOPK), 6).alias("recall_at_k"),
+        )
     )
