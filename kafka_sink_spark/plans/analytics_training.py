@@ -942,3 +942,93 @@ def knn_ivf_pq_recall(spark, sf_dir):
             F.round(F.col("n_overlap") / float(_PQT_TOPK), 6).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Remaining streaming operators, driver-certified
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_hourly_rollup_twin",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS bucket_start_us, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_millionths
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup_twin(spark, sf_dir):
+    """The streaming tumbling-window rollup (streaming/analytics.py
+    hourly_rollup_stream: 1-hour window + watermark), executed on batch
+    input and oracle-paired — the window STRUCT grouping and integer-ized
+    sum are identical batch or streaming, so this row certifies the
+    operator the availableNow replays exercise in the unit suite. Scale
+    shape: one partial-combined aggregation on (window, event_type); the
+    watermark bounds streaming state to ~2h of open windows."""
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    from kafka_sink_spark.streaming.analytics import hourly_rollup_stream
+
+    return hourly_rollup_stream(events).select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value_millionths",
+    )
+
+
+_STREAM_PROFILE_RUNS = iter(range(1_000_000))
+
+
+@register(
+    "stream_profile_twin",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events_total,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_profile_twin(spark, sf_dir):
+    """The CUSTOM STATEFUL operator (streaming/analytics.py
+    running_user_profile: applyInPandasWithState, per-user state tuple,
+    update mode), certified by executing the real streaming query —
+    applyInPandasWithState does not run in batch, so this twin replays the
+    events table with trigger(availableNow=True) and reduces the update-mode
+    emissions to the final state per user (running totals are monotone, so
+    max() IS the last emission). The oracle is the plain batch aggregate the
+    final state must equal on complete data.
+
+    Scale shape: state is one tuple per user (bounded by key cardinality,
+    not stream length); Arrow batches keep the Python hop vectorized; the
+    only shuffle is the user_id exchange any per-user aggregate needs."""
+    import tempfile
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    sel = events.select("user_id", "event_id")
+    src = tempfile.mkdtemp(prefix="stream_profile_src_")
+    sel.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, event_id long").parquet(src)
+    from kafka_sink_spark.streaming.analytics import running_user_profile
+
+    name = f"stream_profile_twin_{next(_STREAM_PROFILE_RUNS)}"
+    q = (
+        running_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_profile_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events_total").alias("n_events_total"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+    )
