@@ -6,6 +6,7 @@ import kafka_sink_spark.plans.analytics_tpch2  # noqa: F401,E402  (registers int
 import kafka_sink_spark.plans.analytics_curation  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_quality  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_training  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_corpus  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
