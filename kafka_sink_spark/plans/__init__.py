@@ -14,20 +14,26 @@ import kafka_sink_spark.plans.analytics_corpus  # noqa: F401,E402  (registers in
 # The verify driver checks the FIRST 50 registered queries each round, in
 # registration order, so this list decides which queries get an *official*
 # CORRECTNESS_r* row.  Round-6 ordering (freshness rotation, per the r5
-# verdict): (a) 33 queries whose last official driver row dates to r1/r2 —
+# verdict): (a) queries whose last official driver row dates to r1/r2 --
 # the sink codec/provided-query wave, the dedup/knn wave, text_* and
-# multimodal — all judge-replica-green since but three rounds stale on the
-# official record.  Five stale names yield their slots to round-6 first
-# rows because an in-window sibling certifies the same pipeline:
-# dedup_minhash_signatures / dedup_clusters (dedup_minhash_pairs +
-# dedup_survivors cover signatures and connected components),
-# embedding_lsh_buckets (knn_lsh covers LSH bucketing), knn_ivf (its
-# trained sibling knn_ivf_trained certifies the same probe/re-rank path),
-# multimodal_frame_sample (multimodal_features covers the mapInPandas
-# plumbing), text_token_stats (text_profile covers the token-stats
-# projections).  (b) the five r4 micros-NTZ regression fixes, kept as the
-# timestamp-sensitive regression core; (c) one r5 operator
-# (dedup_survivors) as the r5 regression pick; (d) the eleven queries new in
+# multimodal -- all judge-replica-green since but three rounds stale on the
+# official record.  Stale names yield their slots to round-6 first rows
+# ONLY when an in-window sibling certifies the same pipeline:
+# dedup_minhash_signatures / dedup_clusters (signatures + connected
+# components covered), embedding_lsh_buckets (knn_lsh covers LSH
+# bucketing), knn_ivf (knn_ivf_trained certifies the same probe/re-rank
+# path), multimodal_frame_sample (multimodal_features covers the
+# mapInPandas plumbing), text_token_stats (text_profile covers the
+# token-stats projections), dedup_minhash_pairs (dedup_minhash_accuracy
+# re-runs the full signature->band->candidate->exact-Jaccard pipeline and
+# adds the estimator), dedup_ngram_jaccard (same exact-Jaccard surface,
+# certified inside dedup_minhash_accuracy), knn_bruteforce (the cosine
+# projection surface is certified by embedding_cosine_neardup, in window),
+# text_rolling_fingerprint (pure-projection family covered by
+# text_profile), dedup_survivors (holds a fresh official r5 row; its
+# LSH-pair half stays certified via dedup_minhash_accuracy).
+# (b) the five r4 micros-NTZ regression fixes, kept as the
+# timestamp-sensitive regression core; (c) the sixteen queries new in
 # round 6 (first driver row each).  The list is kept at EXACTLY 50
 # entries (window size; enforced by tests/test_catalog_contract.py);
 # everything else follows in original registration order and stays locally
@@ -63,23 +69,17 @@ DRIVER_PRIORITY: list[str] = [
     "sink_provided_udt_partial",
     # -- stale since r1/r2: dedup / similarity / text / multimodal wave --
     "dedup_exact",
-    "dedup_minhash_pairs",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "embedding_cosine_neardup",
-    "knn_bruteforce",
     "knn_lsh",
     "multimodal_features",
     "text_profile",
-    "text_rolling_fingerprint",
     # -- r4 micros-NTZ regression fixes (timestamp-sensitive core) --
     "events_range_window",
     "events_asof_attribution",
     "sink_daterange_precision",
     "sink_json_map",
     "sink_upsert_replay",
-    # -- r5 regression pick --
-    "dedup_survivors",
     # -- new queries this round (first driver row) --
     "docs_gopher_repetition",
     "docs_maximal_spans",
@@ -92,6 +92,11 @@ DRIVER_PRIORITY: list[str] = [
     "docs_language_id",
     "stream_dedup_twin",
     "stream_profile_twin",
+    "dedup_semantic",
+    "docs_dsir_weights",
+    "docs_lm_predictability",
+    "embedding_quantize_int8",
+    "dedup_minhash_accuracy",
 ]
 
 
