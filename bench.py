@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     "events_value_outliers",
     "stream_sessionize_twin",
     "stream_interval_join_twin",
+    # round-6c corpus wave
+    "dedup_semantic",
+    "docs_dsir_weights",
+    "docs_lm_predictability",
+    "embedding_quantize_int8",
+    "dedup_minhash_accuracy",
 ]
 
 

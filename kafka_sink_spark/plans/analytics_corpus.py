@@ -165,10 +165,15 @@ def dedup_semantic(spark, sf_dir):
     dot products join components on the (pair, comp) key — linear in
     candidate-pair volume. The removal rule is one aggregation over the
     undirected neighbor list; no iteration, no collect."""
+    from pyspark import StorageLevel
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     comp = similarity.component_rows(emb, 1, _SEM_DIM)
     cent = similarity.lloyd_codebook(comp, _SEM_C, _SEM_ITERS)
     dists = similarity._pq_distances(comp, cent)
+    # The cell-assignment table feeds FIVE consumers (both pair sides, both
+    # removal-rank lookups, the output spine) — persist the n-row result so
+    # the corpus × centroid distance aggregation underneath runs once, not 5×.
     cl = (
         dists.select(
             "vid", F.struct(F.col("d"), F.col("j")).alias("_c")
@@ -178,19 +183,42 @@ def dedup_semantic(spark, sf_dir):
         .select(
             "vid", F.col("_b.j").alias("cell"), F.col("_b.d").alias("dcent")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n2 = comp.groupBy("vid").agg(F.sum(F.col("x") * F.col("x")).alias("na2"))
+    # Pairwise dot products run on FIXED-POINT ARRAYS (zip_with + aggregate,
+    # one codegen projection per pair) rather than re-joining the 64×-exploded
+    # component table per pair side — same exact integers (the lambda applies
+    # component_rows' rounding formula), ~3× less shuffle volume: a pair row
+    # carries two 64-long arrays once instead of 2×64 shuffled component rows.
+    xv = F.expr(
+        "transform(embedding, e -> cast(round(cast(e as double) * 1000000.0, 0)"
+        " as bigint))"
+    )
+    fixed = emb.select(F.col("vec_id").alias("vid"), xv.alias("xv"))
+    n2 = fixed.select(
+        "vid",
+        F.aggregate(
+            F.col("xv"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("na2"),
+    )
     a, b = cl.alias("a"), cl.alias("b")
     prs = a.join(
         b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid"))
     ).select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"))
-    qa = comp.select(F.col("vid").alias("va"), "comp", F.col("x").alias("xa"))
-    qb = comp.select(F.col("vid").alias("vb"), "comp", F.col("x").alias("xb"))
+    fa = fixed.select(F.col("vid").alias("va"), F.col("xv").alias("xa"))
+    fb = fixed.select(F.col("vid").alias("vb"), F.col("xv").alias("xb"))
     dots = (
-        prs.join(qa, "va")
-        .join(qb, ["vb", "comp"])
-        .groupBy("va", "vb")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        prs.join(fa, "va")
+        .join(fb, "vb")
+        .select(
+            "va",
+            "vb",
+            F.aggregate(
+                F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     t2, d2 = _SEM_TAU_NUM**2, _SEM_TAU_DEN**2

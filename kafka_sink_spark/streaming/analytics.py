@@ -66,6 +66,37 @@ def hourly_rollup_stream(
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """SLIDING-window rollup (1-hour window every 15 minutes): each event
+    contributes to window/slide = 4 overlapping buckets — the dashboard
+    smoothing shape tumbling windows can't express. Same watermark-bounded
+    state and integer-ized sum as hourly_rollup_stream; streaming state
+    holds ~(watermark + window)/slide open windows per key, so it stays
+    bounded regardless of stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_millionths"),
+        )
+        .select(
+            F.col("bucket.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value_millionths",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
