@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "docs_lm_predictability",
     "embedding_quantize_int8",
     "dedup_minhash_accuracy",
+    # round-6d series wave
+    "stream_sliding_rollup_twin",
+    "events_ewma",
+    "knn_label_vote",
+    "corpus_vocab_growth",
 ]
 
 

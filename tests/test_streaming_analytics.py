@@ -70,6 +70,38 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
     assert got == exp
 
 
+def test_sliding_rollup_stream_matches_batch_twin(spark, tmp_path):
+    """The REAL sliding-window streaming query (availableNow replay) must
+    emit exactly the batch twin's buckets — certifying the 4x overlap
+    expansion under streaming execution, not just batch."""
+    from kafka_sink_spark.streaming.analytics import sliding_rollup_stream
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, tmp_path)
+    out = _run_to_memory(
+        spark,
+        sliding_rollup_stream(stream),
+        "sliding_stream_out",
+        str(tmp_path / "ckpt_sliding"),
+        mode="complete",
+    )
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value_millionths"])
+        for r in out.collect()
+    }
+    twin = QUERIES["stream_sliding_rollup_twin"](spark, SF_DIR).select(
+        F.timestamp_micros(F.col("bucket_start_us")).alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value_millionths",
+    )
+    exp = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], r["sum_value_millionths"])
+        for r in twin.collect()
+    }
+    assert got == exp
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     stream = _event_stream(spark, tmp_path)
     out = _run_to_memory(
