@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "events_ewma",
     "knn_label_vote",
     "corpus_vocab_growth",
+    "events_ewma_anomaly",
+    "corpus_bpe_merge_apply",
 ]
 
 

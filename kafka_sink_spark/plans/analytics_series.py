@@ -178,6 +178,227 @@ def events_ewma(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# EWMA-residual anomaly flags (composed forecaster + exact z-score)
+# --------------------------------------------------------------------------
+
+
+def _ewma_prev_sql(h: int = _EWMA_H) -> tuple:
+    """(num, den) SQL expressions for the PREVIOUS-events EWMA (lags 1..h-1,
+    excluding the current event) — the one-step-ahead forecast."""
+    num = " + ".join(
+        f"COALESCE(l{j} * {1 << (h - 1 - j)}, 0)" for j in range(1, h)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NULL THEN 0 ELSE {1 << (h - 1 - j)} END"
+        for j in range(1, h)
+    )
+    return num, den
+
+
+def _ewma_anomaly_oracle(h: int = _EWMA_H) -> str:
+    lags = ",\n             ".join(
+        f"lag(vm, {j}) OVER w AS l{j}" for j in range(1, h)
+    )
+    num, den = _ewma_prev_sql(h)
+    return f"""
+    WITH b AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ), l AS (
+      SELECT event_id, user_id, event_type, value, vm,
+             {lags}
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+      SELECT event_id, event_type, value,
+             CAST(({num}) // ({den}) AS DOUBLE) / 1000000.0 AS predicted,
+             vm - ({num}) // ({den}) AS res
+      FROM l WHERE l1 IS NOT NULL
+    ), st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(res) AS s,
+             SUM(CAST(res AS HUGEINT) * res) AS q
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value, r.predicted,
+           CAST(r.res AS BIGINT) AS residual_fixed,
+           CAST(
+             (CAST(st.n AS HUGEINT) * r.res - st.s)
+               * (CAST(st.n AS HUGEINT) * r.res - st.s)
+             > 9 * (st.n * st.q - CAST(st.s AS HUGEINT) * st.s)
+           AS INTEGER) AS is_anomaly
+    FROM r JOIN st USING (event_type)
+    """
+
+
+@register("events_ewma_anomaly", oracle=_ewma_anomaly_oracle())
+def events_ewma_anomaly(spark, sf_dir):
+    """Forecast-residual anomaly detection — the composed shape a monitoring
+    pipeline runs: the dyadic EWMA over each user's PREVIOUS events (lags
+    1..15, excluding the current one) is the one-step-ahead forecast, the
+    residual is the fixed-point surprise, and the flag is the exact-integer
+    3-sigma test of events_value_outliers applied to residuals per event
+    type ((n·r − S)² > 9(n·Q − S²), wide products in decimal(38,0) ≙
+    HUGEINT). First events per user have no forecast and are excluded.
+    Residuals may be negative, so nothing divides them — the predicted
+    value's truncating division has a non-negative numerator by the data's
+    value domain, and the z-test is multiplication-only.
+
+    Scale shape: the same single user-keyed window as events_ewma, one
+    partial-combined residual-stats aggregation onto the tiny event_type
+    keyspace, a broadcast join back, then pure projection."""
+    h = _EWMA_H
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    b = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    led = b.select(
+        "event_id",
+        "event_type",
+        "value",
+        "vm",
+        *[F.lag("vm", j).over(w).alias(f"l{j}") for j in range(1, h)],
+    )
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(1, h):
+        num = num + F.coalesce(F.col(f"l{j}") * F.lit(1 << (h - 1 - j)), F.lit(0))
+        den = den + F.when(
+            F.col(f"l{j}").isNotNull(), F.lit(1 << (h - 1 - j))
+        ).otherwise(F.lit(0))
+    r = (
+        led.filter(F.col("l1").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "vm",
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.expr("_num div _den").cast("double") / 1e6).alias("predicted"),
+            (F.col("vm") - F.expr("_num div _den")).alias("res"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("res").alias("s"),
+        F.sum(dec(F.col("res")) * dec(F.col("res"))).alias("q"),
+    )
+    j = r.join(F.broadcast(st), "event_type")
+    dev = dec(F.col("n")) * dec(F.col("res")) - dec(F.col("s"))
+    var_num = dec(F.col("n")) * F.col("q") - dec(F.col("s")) * dec(F.col("s"))
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        "predicted",
+        F.col("res").cast("bigint").alias("residual_fixed"),
+        F.when(dev * dev > F.lit(9) * var_num, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge application: the step after the pair count
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_bpe_merge_apply",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ), p AS (
+      SELECT substr(w, i + 1, 1) AS c1, substr(w, i + 2, 1) AS c2
+      FROM w, unnest(range(len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ), top1 AS (
+      SELECT c1 || c2 AS pair FROM (
+        SELECT c1, c2, COUNT(*) AS n_pairs
+        FROM p GROUP BY c1, c2
+        ORDER BY n_pairs DESC, c1 ASC, c2 ASC LIMIT 1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w.w)) AS BIGINT) AS symbols_before,
+           CAST(SUM(len(w.w) - len(replace(w.w, t.pair, '0'))) AS BIGINT)
+             AS n_merges,
+           CAST(SUM(len(replace(w.w, t.pair, '0'))) AS BIGINT)
+             AS symbols_after
+    FROM w CROSS JOIN top1 t
+    GROUP BY doc_id
+    """,
+)
+def corpus_bpe_merge_apply(spark, sf_dir):
+    """The APPLY half of a BPE merge round (corpus_bpe_pair_counts is the
+    count half): the winning pair (count desc, ties lexicographic — the
+    published Sennrich et al. 2016 rule) is merged into every word as a
+    single symbol, and each document reports its symbol count before/after
+    and the number of merges. Merging is leftmost non-overlapping — both
+    engines' literal replace() — and counted by the length delta (each
+    merge shrinks the word by exactly one symbol), so the whole round is
+    integer arithmetic on string lengths.
+
+    Scale shape: the winning pair is a broadcast single-row aggregate
+    (the scalar-subquery crossJoin shape used across the catalog); the
+    apply pass is one codegen projection over the word explode + one
+    partial-combined per-doc aggregation. Iterated BPE = this query in a
+    loop with the growing merge table broadcast each round."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS c1, substring(w, i + 1, 1) AS c2))"
+                )
+            ).alias("pp")
+        )
+        .select(F.col("pp.c1").alias("c1"), F.col("pp.c2").alias("c2"))
+    )
+    top1 = (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("c1").asc(), F.col("c2").asc())
+        .limit(1)
+        .select(F.concat(F.col("c1"), F.col("c2")).alias("pair"))
+    )
+    merged_len = F.length(F.expr("replace(w, pair, '0')"))
+    return (
+        words.crossJoin(F.broadcast(top1))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("symbols_before"),
+            F.sum(F.length("w") - merged_len).cast("bigint").alias("n_merges"),
+            F.sum(merged_len).cast("bigint").alias("symbols_after"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # k-NN label-vote classification eval
 # --------------------------------------------------------------------------
 

