@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "corpus_vocab_growth",
     "events_ewma_anomaly",
     "corpus_bpe_merge_apply",
+    "pipeline_curation_v2",
 ]
 
 

@@ -436,9 +436,7 @@ def docs_dsir_weights(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@register(
-    "docs_lm_predictability",
-    oracle=f"""
+_LM_ORACLE = f"""
     WITH bg AS (
       {_BIGRAM_SQL}
     ), pc AS (
@@ -459,8 +457,10 @@ def docs_dsir_weights(spark, sf_dir):
              AS predictability,
            CAST(min_p_fixed AS DOUBLE) / 1000000.0 AS min_bigram_prob
     FROM scored
-    """,
-)
+    """
+
+
+@register("docs_lm_predictability", oracle=_LM_ORACLE)
 def docs_lm_predictability(spark, sf_dir):
     """Per-document language-model predictability — the transcendental-free
     stand-in for the KenLM perplexity filter of CCNet (Wenzek et al. 2020)
@@ -753,4 +753,68 @@ def dedup_minhash_accuracy(spark, sf_dir):
         (F.abs(F.col("est_fixed") - F.col("jac_fixed")).cast("double") / 1e6).alias(
             "abs_err"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# The composed round-6 curation pipeline (capstone)
+# --------------------------------------------------------------------------
+
+
+def _curation_v2_oracle() -> str:
+    from kafka_sink_spark.plans.analytics_quality import _survivors_oracle
+
+    return f"""
+    WITH surv AS (
+      SELECT doc_id FROM ({_survivors_oracle()})
+    ), gop AS (
+      SELECT doc_id FROM ({_GOPHER_ORACLE}) WHERE ok_all = 1
+    ), dw AS (
+      SELECT doc_id, dsir_weight FROM ({_dsir_oracle()})
+    ), lm AS (
+      SELECT doc_id, predictability FROM ({_LM_ORACLE})
+    )
+    SELECT d.doc_id, d.source, dw.dsir_weight, lm.predictability
+    FROM documents d
+    JOIN surv USING (doc_id)
+    JOIN gop USING (doc_id)
+    JOIN dw USING (doc_id)
+    JOIN lm USING (doc_id)
+    """
+
+
+@register("pipeline_curation_v2", oracle=_curation_v2_oracle())
+def pipeline_curation_v2(spark, sf_dir):
+    """The composed end-to-end curation pipeline with the round-6 signal
+    stack — what a training-data run actually chains: MinHash near-dup
+    removal (cluster survivors only) ∧ Gopher word-level quality gate, then
+    each surviving doc annotated with its DSIR importance weight (the
+    resampling probability) and bigram-LM predictability (the perplexity
+    gate's score). pipeline_training_data is the v1 of this shape
+    (profile → filter → exact dedup); v2 swaps in the published selection
+    machinery.
+
+    Scale shape: a conjunction of independently scale-audited subplans
+    joined on the doc_id spine — survivors' anti-join scales with duplicate
+    volume, the Gopher gate is projection-only, DSIR/LM are single-explode
+    + broadcast-stats pipelines; the final joins are equi on doc_id. The
+    subplans' shared tokenize substrates are persisted inside their
+    builders, so composition does not multiply corpus scans."""
+    from kafka_sink_spark.plans.analytics_quality import _SURV_THRESHOLD
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    surv = dedup.dedup_survivors(docs, threshold=_SURV_THRESHOLD).select("doc_id")
+    gop = (
+        text.gopher_flags(docs, **_GOPHER)
+        .filter(F.col("ok_all") == 1)
+        .select("doc_id")
+    )
+    dw = docs_dsir_weights(spark, sf_dir).select("doc_id", "dsir_weight")
+    lm = docs_lm_predictability(spark, sf_dir).select("doc_id", "predictability")
+    return (
+        docs.select("doc_id", "source")
+        .join(surv, "doc_id")
+        .join(gop, "doc_id")
+        .join(dw, "doc_id")
+        .join(lm, "doc_id")
     )
