@@ -279,21 +279,42 @@ _BIGRAM_SQL = """
 """
 
 
+# The bigram table feeds BOTH docs_dsir_weights and docs_lm_predictability
+# (and their composition in pipeline_curation_v2) — memoize the persisted
+# result per (session, source plan) like similarity._COMPONENT_CACHE, so a
+# composed run tokenizes the corpus once, not once per consumer.
+_BIGRAM_CACHE: dict = {}
+
+
 def _doc_bigrams(docs):
-    """(doc_id, w1, w2) — one row per adjacent whitespace-token pair.
-    transform over the token array keeps the whole expression codegen; the
-    single explode is the only fan-out."""
+    """(doc_id, w1, w2) — one row per adjacent whitespace-token pair,
+    PERSISTED and memoized per (session, source plan). transform over the
+    token array keeps the whole expression codegen; the single explode is
+    the only fan-out."""
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        docs._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    cached = _BIGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
     t = text.tokens(F.col("text"))
     pairs = F.expr(
         "transform(sequence(1, size(_t) - 1), "
         "i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))"
     )
-    return (
+    out = (
         docs.select("doc_id", t.alias("_t"))
         .filter(F.size("_t") >= 2)
         .select("doc_id", F.explode(pairs).alias("_p"))
         .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _BIGRAM_CACHE[key] = out
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -477,10 +498,8 @@ def docs_lm_predictability(spark, sf_dir):
     table on the (w1,w2) key (broadcastable for real vocabularies) and
     reduces per doc. One tokenize pass, persisted across the count and
     score consumers."""
-    from pyspark import StorageLevel
-
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    bg = _doc_bigrams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bg = _doc_bigrams(docs)  # persisted + memoized inside
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     mc = pc.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     pf = pc.join(mc, "w1").select(

@@ -101,6 +101,60 @@ def test_dsir_weights_positive_and_target_upweighted(spark):
         assert means[1] > means[0], means
 
 
+def test_semantic_planted_identical_vectors_keep_one(spark, tmp_path):
+    """Planted fixture: identical vectors MUST land in one cluster, pair
+    above any τ, and keep exactly one survivor per identical group (the
+    lowest id at equal centroid distance)."""
+    import pyspark.sql.functions as F
+
+    # one-hot base vectors: mutually orthogonal (cos = 0 < τ), so the ONLY
+    # τ-similar pairs are the planted identical duplicates (cos = 1)
+    base = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(40)]
+    rows = [(i, base[i], 0) for i in range(40)]
+    # vectors 40..44 duplicate vector 0; 45..46 duplicate vector 1
+    rows += [(40 + d, base[0], 0) for d in range(5)]
+    rows += [(45 + d, base[1], 0) for d in range(2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = str(tmp_path / "sfsem")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    out = {r.vec_id: r for r in QUERIES["dedup_semantic"](spark, sf).collect()}
+    grp0 = [0] + [40 + d for d in range(5)]
+    grp1 = [1, 45, 46]
+    for grp in (grp0, grp1):
+        kept = [v for v in grp if not out[v].is_removed]
+        # every member sees the rest of its identical group as neighbors
+        for v in grp:
+            assert out[v].n_dup_neighbors >= len(grp) - 1, (v, out[v])
+        assert kept == [min(grp)], (grp, kept)
+
+
+def test_bpe_merge_apply_overlapping_pair_fixture(spark, tmp_path):
+    """Planted fixture: the corpus's top pair is 'aa'; 'aaaa' merges twice
+    (leftmost non-overlapping), 'aaa' merges once — the exact replace()
+    semantics both engines must share."""
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa aaa xy", "en", "s", 11),
+            (1, "aa aa zq", "en", "s", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sfbpe")
+    os.makedirs(sf, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r for r in QUERIES["corpus_bpe_merge_apply"](spark, sf).collect()}
+    # doc 0: 'aaaa'(2 merges) + 'aaa'(1) + 'xy'(0) = 3; doc 1: 'aa'+'aa' = 2
+    assert out[0].n_merges == 3, out[0]
+    assert out[1].n_merges == 2, out[1]
+    assert out[0].symbols_after == out[0].symbols_before - 3
+    assert out[1].symbols_after == out[1].symbols_before - 2
+
+
 # ---------------------------------------------------------------------------
 # plan invariants
 # ---------------------------------------------------------------------------
