@@ -569,3 +569,54 @@ def corpus_vocab_growth(spark, sf_dir):
         F.col("n_new_words").cast("bigint").alias("n_new_words"),
         (F.col("prefix") + F.col("cum_in_b")).cast("bigint").alias("vocab_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming stateful EWMA, driver-certified by executing the real query
+# --------------------------------------------------------------------------
+
+_STREAM_EWMA_RUNS = iter(range(1_000_000))
+
+
+@register("stream_ewma_twin", oracle=_ewma_oracle())
+def stream_ewma_twin(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming EWMA (streaming/analytics.py
+    running_ewma: applyInPandasWithState, per-user state = the last ≤15
+    fixed-point values), certified by EXECUTING the real streaming query —
+    the events table replays through a file source with
+    trigger(availableNow=True) and the append-mode emissions (one row per
+    event) must hash-equal the BATCH events_ewma oracle, because both sides
+    run the identical exact-integer formula (Python ``//`` ≡ Spark ``div``
+    on the non-negative numerator). This is the strongest stateful-operator
+    certification in the catalog: a Python state machine reproducing a
+    window-function query bit-for-bit.
+
+    Scale shape: state is a fixed ≤15-long array per user (bounded by key
+    cardinality, not stream length); Arrow batches keep the Python hop
+    vectorized; the only shuffle is the user_id exchange the batch window
+    needs anyway."""
+    import tempfile
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    sel = events.select("event_id", "ts", "user_id", "value")
+    src = tempfile.mkdtemp(prefix="stream_ewma_src_")
+    sel.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(src)
+    from kafka_sink_spark.streaming.analytics import running_ewma
+
+    name = f"stream_ewma_twin_{next(_STREAM_EWMA_RUNS)}"
+    q = (
+        running_ewma(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ewma_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name)

@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -162,6 +165,92 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             outputStructType=RUNNING_PROFILE_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- stateful bounded-horizon EWMA -----------------------------------------
+
+_EWMA_H = 16  # current event + up to 15 predecessors; weight of lag j: 2^(15-j)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_window", IntegerType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("vals", ArrayType(LongType()))]
+)
+
+
+def _ewma_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user bounded-horizon dyadic EWMA: state is the last ≤15
+    fixed-point values (most recent last), so state is FIXED-WIDTH per key
+    regardless of stream length, and the arithmetic is exact Python ints —
+    emissions reproduce the batch ``events_ewma`` rows bit-for-bit (Python
+    ``//`` ≡ Spark ``div`` for the non-negative numerator)."""
+    import math
+
+    (user_id,) = key
+    prev = list(state.get[0]) if state.exists else []
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        if prev:
+            state.update((prev,))
+        return
+    pdf = pd.concat(frames, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    out = {"event_id": [], "user_id": [], "value": [], "n_window": [], "ewma": []}
+    h = _EWMA_H
+    for r in pdf.itertuples(index=False):
+        vm = math.floor(float(r.value) * 1_000_000.0)
+        num = vm * (1 << (h - 1))
+        den = 1 << (h - 1)
+        nwin = 1
+        for j, pv in enumerate(reversed(prev), start=1):  # j=1: most recent
+            w = 1 << (h - 1 - j)
+            num += int(pv) * w
+            den += w
+            nwin += 1
+        out["event_id"].append(int(r.event_id))
+        out["user_id"].append(int(user_id))
+        out["value"].append(float(r.value))
+        out["n_window"].append(nwin)
+        out["ewma"].append((num // den) / 1e6)
+        prev.append(vm)
+        if len(prev) > h - 1:
+            prev.pop(0)
+    state.update((prev,))
+    yield pd.DataFrame(out)
+
+
+def running_ewma(events: DataFrame) -> DataFrame:
+    """The STREAMING form of the batch ``events_ewma`` catalog query: a
+    custom stateful operator (``applyInPandasWithState``) holding each
+    user's last ≤15 fixed-point values. Emissions are one row per event and
+    — because the arithmetic is the same exact-integer formula — equal the
+    batch query's rows exactly on time-ordered input (replay batches must
+    not interleave out of time order across micro-batch boundaries; within
+    a batch the function sorts). State: one ≤15-long array per user."""
+    return (
+        events.select("event_id", "ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -102,6 +102,46 @@ def test_sliding_rollup_stream_matches_batch_twin(spark, tmp_path):
     assert got == exp
 
 
+def test_running_ewma_state_survives_microbatch_boundary(spark, tmp_path):
+    """The stateful EWMA must carry its ≤15-value state ACROSS micro-batches:
+    the events split into two time-ordered files, replayed one file per
+    trigger, and the union of emissions must equal the batch events_ewma
+    result exactly — any state loss at the boundary would reset n_window
+    and shift every post-boundary ewma."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_spark.session import load_tables
+    from kafka_sink_spark.streaming.analytics import running_ewma
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    sel = events.select("event_id", "ts", "user_id", "value")
+    src = str(tmp_path / "ewma_src")
+    # two single-file writes in TIME order (per-user order is what matters;
+    # the ts split guarantees it): the file source processes them oldest
+    # mtime first with maxFilesPerTrigger=1 → two micro-batches.
+    tcut = sel.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    sel.filter(F.col("ts") <= tcut).coalesce(1).write.mode("append").parquet(src)
+    sel.filter(F.col("ts") > tcut).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(
+        spark,
+        running_ewma(stream),
+        "ewma_stream_out",
+        str(tmp_path / "ckpt_ewma"),
+        mode="append",
+    )
+    got = {r["event_id"]: (r["n_window"], r["ewma"]) for r in out.collect()}
+    exp = {
+        r["event_id"]: (r["n_window"], r["ewma"])
+        for r in QUERIES["events_ewma"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     stream = _event_stream(spark, tmp_path)
     out = _run_to_memory(
