@@ -134,6 +134,16 @@ def test_label_vote_broadcast_queries_partial_votes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ewma_horizon_constants_agree():
+    """The batch query and the stateful streaming operator implement the
+    same formula from two modules — their horizon constants must match or
+    stream_ewma_twin silently diverges from its oracle."""
+    from kafka_sink_spark.plans import analytics_series
+    from kafka_sink_spark.streaming import analytics as streaming_analytics
+
+    assert analytics_series._EWMA_H == streaming_analytics._EWMA_H
+
+
 def test_ewma_anomaly_excludes_heads_and_flags_consistently(spark):
     """First events per user have no forecast (excluded), so row count is
     n_events - n_users; flags must be symmetric in the residual: every
