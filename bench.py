@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "events_ewma_anomaly",
     "corpus_bpe_merge_apply",
     "pipeline_curation_v2",
+    # round-6e mining wave
+    "corpus_heavy_hitters",
+    "docs_winnowing",
+    "docs_chunk_overlap",
+    "parts_copurchase_pagerank",
 ]
 
 
