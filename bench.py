@@ -125,6 +125,11 @@ BENCH_QUERIES = [
     "docs_winnowing",
     "docs_chunk_overlap",
     "parts_copurchase_pagerank",
+    # round-6f stats wave
+    "embedding_power_iteration",
+    "docs_train_split_report",
+    "events_user_skew_topk",
+    "events_gap_median",
 ]
 
 
