@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "docs_train_split_report",
     "events_user_skew_topk",
     "events_gap_median",
+    # round-6g paths wave
+    "docs_keyword_topk",
+    "lineitem_zorder_layout",
+    "events_top_paths",
 ]
 
 

@@ -10,6 +10,7 @@ import kafka_sink_spark.plans.analytics_corpus  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_series  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_mining  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_stats  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_paths  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
