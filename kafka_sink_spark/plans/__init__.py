@@ -24,13 +24,15 @@ import kafka_sink_spark.plans.analytics_paths  # noqa: F401,E402  (registers int
 # (a) all 34 round-6 additions take window slots;
 # (b) the five r4 micros-NTZ regression fixes stay as the
 #     timestamp-sensitive regression core;
-# (c) the remaining 11 slots go to the stalest (r1/r2-certified) queries,
-#     one per operator family for breadth: UDT + collection + locale
-#     codecs, provided-query, delete routing, batching, topic routing,
-#     exact dedup, LSH ANN, multimodal, text profile.  The other stale
-#     names (sink_headers, sink_geo_wkt, the remaining provided_* ...)
-#     stay judge-replica-green via tools/driver_check and lead the r7
-#     rotation.
+# (c) the remaining 8 slots go to the stalest (r1/r2-certified) queries,
+#     one per operator family for breadth: UDT + collection codecs,
+#     provided-query, delete routing, batching, topic routing, multimodal,
+#     text profile.  (dedup_exact / knn_lsh / sink_codec_locale ceded
+#     their slots to the 6g first rows: the dedup and ANN families are
+#     certified in-window by dedup_semantic + dedup_minhash_accuracy and
+#     the five trained-ANN queries, and the codec family by the UDT +
+#     collection rows.)  The other stale names stay judge-replica-green
+#     via tools/driver_check and lead the r7 rotation.
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
@@ -41,13 +43,10 @@ DRIVER_PRIORITY: list[str] = [
     # -- stalest re-certs, one per operator family --
     "sink_udt_codecs",
     "sink_collection_codecs",
-    "sink_codec_locale",
     "sink_provided_query",
     "sink_delete_routing",
     "sink_batching",
     "sink_topic_routing",
-    "dedup_exact",
-    "knn_lsh",
     "multimodal_features",
     "text_profile",
     # -- r4 micros-NTZ regression fixes (timestamp-sensitive core) --
@@ -95,6 +94,10 @@ DRIVER_PRIORITY: list[str] = [
     "docs_train_split_report",
     "events_user_skew_topk",
     "events_gap_median",
+    # -- round-6g paths wave (first driver row) --
+    "docs_keyword_topk",
+    "lineitem_zorder_layout",
+    "events_top_paths",
 ]
 
 
