@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     "docs_keyword_topk",
     "lineitem_zorder_layout",
     "events_top_paths",
+    # round-6h fusion wave
+    "knn_rank_fusion",
+    "orders_open_backlog",
+    "events_anomaly_seasonal",
 ]
 
 

@@ -11,6 +11,7 @@ import kafka_sink_spark.plans.analytics_series  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_mining  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_stats  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_paths  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_fusion  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -24,15 +25,17 @@ import kafka_sink_spark.plans.analytics_paths  # noqa: F401,E402  (registers int
 # (a) all 34 round-6 additions take window slots;
 # (b) the five r4 micros-NTZ regression fixes stay as the
 #     timestamp-sensitive regression core;
-# (c) the remaining 8 slots go to the stalest (r1/r2-certified) queries,
-#     one per operator family for breadth: UDT + collection codecs,
-#     provided-query, delete routing, batching, topic routing, multimodal,
-#     text profile.  (dedup_exact / knn_lsh / sink_codec_locale ceded
-#     their slots to the 6g first rows: the dedup and ANN families are
-#     certified in-window by dedup_semantic + dedup_minhash_accuracy and
-#     the five trained-ANN queries, and the codec family by the UDT +
-#     collection rows.)  The other stale names stay judge-replica-green
-#     via tools/driver_check and lead the r7 rotation.
+# (c) the remaining 5 slots go to the stalest (r1/r2-certified) queries,
+#     one per operator family for breadth: UDT codecs (the deepest codec
+#     row), partition-key batching (the write-physical row), topic
+#     routing, multimodal, text profile.  Slots ceded to round-6 first
+#     rows by stale names whose family stays certified in-window:
+#     dedup_exact / knn_lsh (dedup_semantic + dedup_minhash_accuracy +
+#     five trained-ANN rows), sink_codec_locale / sink_collection_codecs
+#     (sink_udt_codecs + sink_json_map), sink_delete_routing
+#     (sink_upsert_replay exercises delete-on-null), sink_provided_query
+#     (r2-certified, judge-replica-green).  All ceded names stay gated by
+#     tools/driver_check and lead the r7 rotation.
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
@@ -42,9 +45,6 @@ import kafka_sink_spark.plans.analytics_paths  # noqa: F401,E402  (registers int
 DRIVER_PRIORITY: list[str] = [
     # -- stalest re-certs, one per operator family --
     "sink_udt_codecs",
-    "sink_collection_codecs",
-    "sink_provided_query",
-    "sink_delete_routing",
     "sink_batching",
     "sink_topic_routing",
     "multimodal_features",
@@ -98,6 +98,10 @@ DRIVER_PRIORITY: list[str] = [
     "docs_keyword_topk",
     "lineitem_zorder_layout",
     "events_top_paths",
+    # -- round-6h fusion wave (first driver row) --
+    "knn_rank_fusion",
+    "orders_open_backlog",
+    "events_anomaly_seasonal",
 ]
 
 

@@ -1,0 +1,324 @@
+"""Round-6h wave: hybrid retrieval fusion, interval-stabbing backlog, and
+seasonal anomaly baselines.
+
+- ``knn_rank_fusion``  Reciprocal Rank Fusion (Cormack et al. 2009,
+  public) of two retrieval rankings per query — exact cosine order and
+  exact squared-L2 order (genuinely different on unnormalized vectors) —
+  with the RRF score in exact integers: Σ 1e6 div (60 + rank).  This is
+  the hybrid-search combiner every retrieval stack runs over its dense +
+  sparse (or multi-metric) candidate lists.
+- ``orders_open_backlog``  the open-orders-per-day curve via interval
+  stabbing: each order contributes +1 at o_orderdate and −1 the day after
+  its last l_shipdate; the running sum of day deltas is the backlog.
+  The running sum is the same TWO-PHASE distributed prefix sum proven by
+  corpus_vocab_growth — no global single-partition sort of the calendar.
+- ``events_anomaly_seasonal``  3-sigma outliers against a SEASONAL
+  baseline — the (event_type, hour-of-day) cell — using the all-integer
+  z-score identity from events_value_outliers: (n·x − S)² > 9·(n·Q − S²).
+  An event that is normal globally but anomalous at 3am is exactly what
+  the global 3-sigma flag misses.
+
+Determinism per the package convention: integers end-to-end; the only
+floats are rounded 6-dp divisions of exact integers computed in identical
+order in both engines.
+
+Reference anchor: datastax/kafka-sink has no analytics surface (sink/src/main
+is record mapping + DSE writes, see SURVEY.md §2); this module extends the
+north-star inventory in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.extensions.similarity import as_double, cosine
+from kafka_sink_spark.plans.analytics import _dot_sql, _norm_sql
+from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.session import load_tables
+
+# --------------------------------------------------------------------------
+# Reciprocal Rank Fusion over cosine + squared-L2 rankings
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOPK = 5
+_RRF_QUERIES = 10
+_RRF_DIM = 64
+
+
+def _dist2_sql(a: str, b: str, dim: int) -> str:
+    """Exact integer squared L2 distance between milli-quantized vectors."""
+    terms = []
+    for i in range(dim):
+        qa = f"CAST(FLOOR(CAST({a}[{i + 1}] AS DOUBLE) * 1000.0) AS BIGINT)"
+        qb = f"CAST(FLOOR(CAST({b}[{i + 1}] AS DOUBLE) * 1000.0) AS BIGINT)"
+        terms.append(f"(({qa}) - ({qb})) * (({qa}) - ({qb}))")
+    return " + ".join(terms)
+
+
+_RRF_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {_RRF_QUERIES}
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             round(({_dot_sql('qe', 'ce', _RRF_DIM)})
+                   / ({_norm_sql('qe', _RRF_DIM)} * {_norm_sql('ce', _RRF_DIM)}),
+                   6) AS cos_sim,
+             CAST({_dist2_sql('qe', 'ce', _RRF_DIM)} AS BIGINT) AS dist2
+      FROM q, c WHERE query_id <> neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS BIGINT) AS rank_cos,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id
+             ) AS BIGINT) AS rank_l2
+      FROM s
+    ), f AS (
+      SELECT query_id, neighbor_id, rank_cos, rank_l2,
+             CAST(1000000 // ({_RRF_K} + rank_cos)
+                  + 1000000 // ({_RRF_K} + rank_l2) AS BIGINT) AS fused_score
+      FROM r
+    )
+    SELECT query_id, neighbor_id, fused_score, rank_cos, rank_l2,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY fused_score DESC, neighbor_id
+      ) AS rk FROM f
+    ) WHERE rk <= {_RRF_TOPK}
+    """
+
+
+@register("knn_rank_fusion", oracle=_RRF_ORACLE)
+def knn_rank_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of two exact rankings per query: cosine
+    similarity (rounded 6 dp, the catalog's stable cross-engine order) and
+    squared L2 distance computed in EXACT integers over milli-quantized
+    vectors (no float sum order can flip an L2 rank).  RRF score is
+    1e6 div (60+rank_cos) + 1e6 div (60+rank_l2) — exact integers, so the
+    fused ranking is bit-deterministic.
+
+    Scale shape: broadcast query block × one corpus scan computes both
+    scores in a single projection; all three row_number windows share the
+    query_id partitioning (one Exchange); in a production index the two
+    input rankings would each come from their own ANN structure (IVF-PQ,
+    inverted lists) and the fusion join would be rank-list-sized, never
+    corpus-sized — here both lists are exact so the fusion itself is
+    oracle-checkable end to end.
+    """
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    milli = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x.cast("double") * 1000.0).cast("long")
+    )
+    q = emb.where(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        milli(F.col("embedding")).alias("qm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        milli(F.col("embedding")).alias("cm"),
+    )
+    s = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.aggregate(
+                F.zip_with(F.col("qm"), F.col("cm"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id")
+    )
+    r = s.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).cast("long").alias("rank_cos"),
+        F.row_number().over(w_l2).cast("long").alias("rank_l2"),
+    ).withColumn(
+        "fused_score",
+        F.expr(
+            f"1000000 div ({_RRF_K} + rank_cos) + 1000000 div ({_RRF_K} + rank_l2)"
+        ),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("fused_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w_f).cast("long"))
+        .where(F.col("rank") <= _RRF_TOPK)
+        .select(
+            "query_id", "neighbor_id", "fused_score", "rank_cos", "rank_l2", "rank"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog via interval stabbing + two-phase prefix sum
+# --------------------------------------------------------------------------
+
+_BL_BUCKET = 64  # days per prefix-sum bucket
+
+
+_BACKLOG_ORACLE = """
+    WITH cl AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ), o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d, cl.close_d
+      FROM orders JOIN cl ON o_orderkey = cl.l_orderkey
+    ), d AS (
+      SELECT start_d AS day, 1 AS delta FROM o
+      UNION ALL
+      SELECT close_d + 1 AS day, -1 AS delta FROM o
+    ), g AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_opened,
+             CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_closed,
+             SUM(delta) AS net
+      FROM d GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_opened, n_closed,
+           CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM g
+    """
+
+
+@register("orders_open_backlog", oracle=_BACKLOG_ORACLE)
+def orders_open_backlog(spark, sf_dir):
+    """Concurrent open orders per day, by interval stabbing: every order is
+    open from o_orderdate through its last line's l_shipdate, so it
+    contributes +1 at the start day and −1 the day after close; the running
+    sum of per-day deltas IS the backlog curve (sampled at every day the
+    curve changes).  The classic sweep-line rewrite of "how many intervals
+    cover each point" — linear, where the naive day×order theta-join is
+    quadratic.
+
+    Scale shape: an order-keyed max (partial-combined), a co-keyed
+    orders⋈closes join, a 2× delta fan-out, a day-keyed partial-combined
+    aggregate, then the running sum as the TWO-PHASE prefix sum (bucketed
+    within-day-range cumulative + broadcast bucket prefixes) — the oracle's
+    global ORDER BY window is the semantic spec; Spark never sorts the
+    calendar in one partition.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    cl = (
+        li["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_d"))
+    )
+    o = li["orders"].select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_d")
+    ).join(cl, F.col("o_orderkey") == F.col("l_orderkey"))
+    d = o.select(F.col("start_d").alias("day"), F.lit(1).alias("delta")).unionAll(
+        o.select(F.date_add("close_d", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    g = d.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed"),
+        F.sum("delta").alias("net"),
+    ).withColumn("b", F.expr(f"datediff(day, DATE'1970-01-01') div {_BL_BUCKET}"))
+    win_in = (
+        Window.partitionBy("b")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = g.withColumn("cum_in_b", F.sum("net").over(win_in))
+    btot = g.groupBy("b").agg(F.sum("net").alias("bt"))
+    win_pre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = btot.select(
+        "b", F.coalesce(F.sum("bt").over(win_pre), F.lit(0)).alias("prefix")
+    )
+    return within.join(F.broadcast(bpre), "b").select(
+        F.col("day").cast("string").alias("day"),
+        "n_opened",
+        "n_closed",
+        (F.col("prefix") + F.col("cum_in_b")).cast("long").alias("open_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal (event_type × hour-of-day) 3-sigma anomaly flags
+# --------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+    WITH b AS (
+      SELECT event_id, event_type, hour(ts) AS hour_of_day,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS xm
+      FROM events
+    ), st AS (
+      SELECT event_type, hour_of_day,
+             COUNT(*) AS n, SUM(xm) AS s,
+             SUM(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS q
+      FROM b GROUP BY event_type, hour_of_day
+    )
+    SELECT b.event_id, b.event_type, b.hour_of_day,
+           CAST(st.n AS BIGINT) AS n_cell,
+           round(CAST(st.s AS DOUBLE) / st.n / 1e6, 6) AS cell_mean
+    FROM b JOIN st USING (event_type, hour_of_day)
+    WHERE (st.n * CAST(b.xm AS HUGEINT) - st.s)
+          * (st.n * CAST(b.xm AS HUGEINT) - st.s)
+          > 9 * (st.n * st.q - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT))
+    """
+
+
+@register("events_anomaly_seasonal", oracle=_SEASONAL_ORACLE)
+def events_anomaly_seasonal(spark, sf_dir):
+    """Events anomalous AGAINST THEIR SEASON: the 3-sigma test runs per
+    (event_type, hour-of-day) cell, so a value that is unremarkable
+    globally but extreme for its hour is flagged — and a globally-extreme
+    value that is normal for its hour is not.  Same all-integer z-score
+    identity as events_value_outliers ((n·x − S)² > 9·(n·Q − S²), wide
+    products in decimal(38,0) ≙ HUGEINT), just a finer baseline keyspace
+    (|event types| × 24 cells).
+
+    Scale shape: one partial-combined aggregation onto the tiny cell
+    keyspace, a broadcast stats join back, a pure-projection filter.  Only
+    flagged events are emitted.
+    """
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    b = events.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("xm"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = b.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("s"),
+        F.sum(dec(F.col("xm")) * dec(F.col("xm"))).alias("q"),
+    )
+    j = b.join(F.broadcast(st), ["event_type", "hour_of_day"])
+    dev = dec(F.col("n")) * dec(F.col("xm")) - dec(F.col("s"))
+    var_num = dec(F.col("n")) * F.col("q") - dec(F.col("s")) * dec(F.col("s"))
+    return j.where(dev * dev > F.lit(9) * var_num).select(
+        "event_id",
+        "event_type",
+        F.col("hour_of_day").cast("long").alias("hour_of_day"),
+        F.col("n").cast("long").alias("n_cell"),
+        F.round(F.col("s").cast("double") / F.col("n") / 1e6, 6).alias("cell_mean"),
+    )
