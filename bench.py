@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "knn_rank_fusion",
     "orders_open_backlog",
     "events_anomaly_seasonal",
+    # round-6i inference wave
+    "events_ab_test",
+    "events_trend_slope",
+    "parts_label_propagation",
 ]
 
 

@@ -12,6 +12,7 @@ import kafka_sink_spark.plans.analytics_mining  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_stats  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_paths  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_fusion  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_inference  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -25,17 +26,19 @@ import kafka_sink_spark.plans.analytics_fusion  # noqa: F401,E402  (registers in
 # (a) all 34 round-6 additions take window slots;
 # (b) the five r4 micros-NTZ regression fixes stay as the
 #     timestamp-sensitive regression core;
-# (c) the remaining 5 slots go to the stalest (r1/r2-certified) queries,
-#     one per operator family for breadth: UDT codecs (the deepest codec
-#     row), partition-key batching (the write-physical row), topic
-#     routing, multimodal, text profile.  Slots ceded to round-6 first
-#     rows by stale names whose family stays certified in-window:
-#     dedup_exact / knn_lsh (dedup_semantic + dedup_minhash_accuracy +
-#     five trained-ANN rows), sink_codec_locale / sink_collection_codecs
-#     (sink_udt_codecs + sink_json_map), sink_delete_routing
-#     (sink_upsert_replay exercises delete-on-null), sink_provided_query
-#     (r2-certified, judge-replica-green).  All ceded names stay gated by
-#     tools/driver_check and lead the r7 rotation.
+# (c) the remaining 2 slots go to the stalest queries whose families have
+#     no other in-window certification: sink_udt_codecs (the deepest codec
+#     row) and multimodal_features (the only mapInPandas multimodal row).
+#     Every other stale name ceded its slot to a round-6 first row because
+#     an in-window sibling certifies the same code path: dedup_exact /
+#     knn_lsh (dedup_semantic + dedup_minhash_accuracy + five trained-ANN
+#     rows), sink_codec_locale / sink_collection_codecs (sink_udt_codecs +
+#     sink_json_map), sink_delete_routing (sink_upsert_replay exercises
+#     delete-on-null), text_profile (docs_gopher_*, docs_language_id,
+#     docs_winnowing, docs_keyword_topk all run the same text helpers),
+#     sink_batching / sink_topic_routing / sink_provided_query
+#     (r2-certified, judge-replica-green this round).  All ceded names
+#     stay gated by tools/driver_check and lead the r7 rotation.
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
@@ -43,12 +46,9 @@ import kafka_sink_spark.plans.analytics_fusion  # noqa: F401,E402  (registers in
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- stalest re-certs, one per operator family --
+    # -- stalest re-certs (families with no other in-window certification) --
     "sink_udt_codecs",
-    "sink_batching",
-    "sink_topic_routing",
     "multimodal_features",
-    "text_profile",
     # -- r4 micros-NTZ regression fixes (timestamp-sensitive core) --
     "events_range_window",
     "events_asof_attribution",
@@ -102,6 +102,10 @@ DRIVER_PRIORITY: list[str] = [
     "knn_rank_fusion",
     "orders_open_backlog",
     "events_anomaly_seasonal",
+    # -- round-6i inference wave (first driver row) --
+    "events_ab_test",
+    "events_trend_slope",
+    "parts_label_propagation",
 ]
 
 
