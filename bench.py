@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "events_ab_test",
     "events_trend_slope",
     "parts_label_propagation",
+    "stream_enrich_twin",
 ]
 
 

@@ -76,7 +76,10 @@ DRIVER_PRIORITY: list[str] = [
     "knn_ivf_pq_recall",
     "pipeline_curation_v2",
     # -- round-6d series wave (first driver row) --
-    "stream_hourly_rollup_twin",
+    # (stream_hourly_rollup_twin ceded its slot to stream_enrich_twin: the
+    # tumbling rollup is the slide=window special case of the in-window
+    # sliding twin, and its batch twin holds an official row; the
+    # stream-static join shape had no certification at all.)
     "stream_sliding_rollup_twin",
     "events_ewma",
     "events_ewma_anomaly",
@@ -106,6 +109,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_ab_test",
     "events_trend_slope",
     "parts_label_propagation",
+    "stream_enrich_twin",
 ]
 
 

@@ -293,3 +293,65 @@ def parts_label_propagation(spark, sf_dir):
         F.min("node").alias("min_part"),
         F.max("node").alias("max_part"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join, certified via a REAL availableNow replay
+# --------------------------------------------------------------------------
+
+_STREAM_ENRICH_RUNS = iter(range(1_000_000))
+
+
+@register(
+    "stream_enrich_twin",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_millionths
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_twin(spark, sf_dir):
+    """The STREAM-STATIC enrichment operator (streaming/analytics.py
+    enrich_rollup_stream), certified by EXECUTING the real streaming query:
+    the events table is staged into a file source, read as a stream, joined
+    per micro-batch against the static customer dimension (broadcast), and
+    rolled up per (market segment, event type); the availableNow final
+    state from the memory sink is returned and must hash-equal the plain
+    batch join the oracle runs.  This is the one core Structured Streaming
+    join shape (stream ⋈ static) the stream-stream interval-join twin
+    doesn't cover.
+
+    Scale shape: the static side is dimension-sized and broadcast — no
+    streaming state for the join at all; aggregation state is the
+    segment×type keyspace (tens of rows) regardless of stream length.
+    """
+    import tempfile
+
+    from kafka_sink_spark.streaming.analytics import enrich_rollup_stream
+
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    sel = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="stream_enrich_src_")
+    sel.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(src)
+    name = f"stream_enrich_twin_{next(_STREAM_ENRICH_RUNS)}"
+    q = (
+        enrich_rollup_stream(stream, t["customer"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_enrich_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name).select(
+        "mktsegment", "event_type", "n_events", "sum_value_millionths"
+    )

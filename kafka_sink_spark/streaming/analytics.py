@@ -312,3 +312,33 @@ def dedup_stream(records: DataFrame, keys: list, watermark: str = "1 hour") -> D
     records are exactly such within-horizon duplicates).
     """
     return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_rollup_stream(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAM-STATIC enrichment join + segment rollup: each micro-batch of
+    events joins the static (broadcast) customer dimension on
+    user_id = c_custkey, then rolls up per (market segment, event type) —
+    the canonical Structured Streaming enrichment pattern (the static side
+    is re-resolvable per micro-batch, needs no watermark, and adds no
+    streaming state; aggregation state is the tiny segment×type keyspace).
+
+    Integer-ized sum per the package convention so the availableNow final
+    output hash-equals the batch/oracle result on complete data.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_value_millionths"
+            ),
+        )
+    )

@@ -269,3 +269,51 @@ def test_gopher_filter_stream_matches_batch(spark, tmp_path):
     got = {r["doc_id"]: r.asDict() for r in out.collect()}
     want = {r["doc_id"]: r.asDict() for r in gopher_flags(docs).collect()}
     assert got == want
+
+
+def test_enrich_rollup_stream_across_microbatches(spark, tmp_path):
+    """The stream-static enrichment rollup must accumulate ACROSS
+    micro-batches (two files, one per trigger) and its complete-mode final
+    state must equal the plain batch join+rollup — proving the static side
+    re-resolves per micro-batch and the aggregation state carries over."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_spark.session import load_tables
+    from kafka_sink_spark.streaming.analytics import enrich_rollup_stream
+
+    t = load_tables(spark, SF_DIR, ("events", "customer"))
+    sel = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    src = str(tmp_path / "enrich_src")
+    tcut = sel.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    sel.filter(F.col("ts") <= tcut).coalesce(1).write.mode("append").parquet(src)
+    sel.filter(F.col("ts") > tcut).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_to_memory(
+        spark,
+        enrich_rollup_stream(stream, t["customer"]),
+        "enrich_stream_out",
+        str(tmp_path / "ckpt_enrich"),
+        mode="complete",
+    )
+    got = {
+        (r.mktsegment, r.event_type): (r.n_events, r.sum_value_millionths)
+        for r in out.collect()
+    }
+    exp = {
+        (r.c_mktsegment, r.event_type): (r.n, r.s)
+        for r in t["events"]
+        .join(t["customer"], F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
