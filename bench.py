@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "events_trend_slope",
     "parts_label_propagation",
     "stream_enrich_twin",
+    # round-6j frontier wave
+    "parts_price_size_skyline",
+    "supplier_revenue_hhi",
+    "corpus_skipgram_cooccurrence",
 ]
 
 
