@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "parts_price_size_skyline",
     "supplier_revenue_hhi",
     "corpus_skipgram_cooccurrence",
+    # round-6k measures wave
+    "docs_simpson_diversity",
+    "events_chisq_contingency",
+    "orders_shipping_sla",
 ]
 
 

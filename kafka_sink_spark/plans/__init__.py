@@ -14,6 +14,7 @@ import kafka_sink_spark.plans.analytics_paths  # noqa: F401,E402  (registers int
 import kafka_sink_spark.plans.analytics_fusion  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_inference  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_frontier  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_measures  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
