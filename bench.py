@@ -151,6 +151,11 @@ BENCH_QUERIES = [
     "docs_simpson_diversity",
     "events_chisq_contingency",
     "orders_shipping_sla",
+    # round-6l matching wave
+    "parts_copurchase_triangles",
+    "customer_fuzzy_pairs",
+    "events_scd2_state",
+    "events_mad_outliers",
 ]
 
 
