@@ -156,6 +156,10 @@ BENCH_QUERIES = [
     "customer_fuzzy_pairs",
     "events_scd2_state",
     "events_mad_outliers",
+    # round-6m association wave
+    "dedup_ppjoin_pairs",
+    "orders_itemset_triples",
+    "events_countmin_accuracy",
 ]
 
 
