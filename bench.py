@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "dedup_ppjoin_pairs",
     "orders_itemset_triples",
     "events_countmin_accuracy",
+    "lineitem_bloom_fpr",
 ]
 
 

@@ -360,3 +360,150 @@ orders_itemset_triples.__doc__ = orders_itemset_triples.__doc__.replace(
 events_countmin_accuracy.__doc__ = events_countmin_accuracy.__doc__.format(
     d=_CM_D, w=_CM_W, k=_CM_TOPK
 )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter false-positive-rate harness
+# --------------------------------------------------------------------------
+
+_BF_M = 4096  # bits
+_BF_K = 3  # hash rows
+# member set: parts returned at full quantity — selective enough (≈18% of
+# parts at sf0.01) that the non-member probe population is large and the
+# measured FPR is statistically meaningful.
+_BF_COND = "l_returnflag = 'R' AND l_quantity >= 50"
+
+
+_BLOOM_ORACLE = f"""
+    WITH members AS (
+      SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE {_BF_COND}
+    ), bits AS (
+      SELECT DISTINCT i,
+             ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':'
+                  || CAST(pk AS VARCHAR)), 1, 15))::BIGINT % {_BF_M} AS bit
+      FROM members, unnest(range({_BF_K})) AS u(i)
+    ), probes AS (
+      SELECT p.p_partkey AS pk, i,
+             ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || ':'
+                  || CAST(p.p_partkey AS VARCHAR)), 1, 15))::BIGINT % {_BF_M}
+               AS bit
+      FROM part p, unnest(range({_BF_K})) AS u(i)
+    ), verdicts AS (
+      SELECT pr.pk,
+             CAST(COUNT(b.bit) AS BIGINT) = {_BF_K} AS positive,
+             MAX(CASE WHEN m.pk IS NOT NULL THEN 1 ELSE 0 END) = 1 AS member
+      FROM probes pr
+      LEFT JOIN bits b ON b.i = pr.i AND b.bit = pr.bit
+      LEFT JOIN members m ON m.pk = pr.pk
+      GROUP BY pr.pk
+    )
+    SELECT CAST({_BF_M} AS BIGINT) AS m_bits, CAST({_BF_K} AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN NOT member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonmembers,
+           CAST(SUM(CASE WHEN member AND NOT positive THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg,
+           CAST(SUM(CASE WHEN NOT member AND positive THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT member AND positive THEN 1 ELSE 0 END)
+                * 1000000
+                // SUM(CASE WHEN NOT member THEN 1 ELSE 0 END) AS BIGINT)
+             AS fpr_ppm
+    FROM verdicts
+    """
+
+
+@register("lineitem_bloom_fpr", oracle=_BLOOM_ORACLE)
+def lineitem_bloom_fpr(spark, sf_dir):
+    """Bloom-filter false-positive-rate harness: a PARTITIONED Bloom
+    filter — k={k} hash rows, each with its OWN m={m}-bit array (the
+    (row, bit) keying below; the variant cache-blocked Bloom filters
+    use) — is built over the part keys returned at full quantity and
+    probed with EVERY part key; the report compares sketch verdicts to
+    ground truth — members, non-members, false positives, the measured
+    FPR in ppm, and false negatives (which a Bloom filter can never
+    produce — the column is a structural invariant, asserted = 0 in
+    tests).  The partitioned FPR is Π_i(load_i) ≈ (n/m)^k for n ≪ m;
+    the measured rate lands on it (≈600 ppm at sf0.01), verified in the
+    verify harness.  Completes the sketch family's estimate-vs-exact discipline
+    (KMV distinct-count, MinHash Jaccard, Count-Min frequency,
+    Misra-Gries heavy hitters — and the engine-native runtime bloom
+    injection pinned by tests/test_runtime_filter.py).
+
+    Scale shape: the bit table is ≤ m rows REGARDLESS of member count
+    (distinct bits, mergeable across partitions — the same property
+    Spark's runtime bloom filters rely on); probes join the bit table by
+    (row, bit) — broadcast-sized by construction — plus one broadcast
+    membership semi-join for ground truth.  Everything else is
+    partial-combined counting into a single summary row.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    members = (
+        t["lineitem"]
+        .where(F.expr(_BF_COND))
+        .select(F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+
+    def _bits(df):
+        return df.select(
+            "pk", F.explode(F.sequence(F.lit(0), F.lit(_BF_K - 1))).alias("i")
+        ).select(
+            "pk",
+            "i",
+            F.expr(
+                f"CAST(conv(substr(md5(concat('bf', CAST(i AS STRING), ':', "
+                f"CAST(pk AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_BF_M}"
+            ).alias("bit"),
+        )
+
+    bits = _bits(members).select("i", "bit").distinct()
+    probes = _bits(t["part"].select(F.col("p_partkey").alias("pk")))
+    verdicts = (
+        probes.join(
+            F.broadcast(
+                bits.select(
+                    F.col("i").alias("set_i"), F.col("bit").alias("set_bit")
+                )
+            ),
+            (probes.i == F.col("set_i")) & (probes.bit == F.col("set_bit")),
+            "left",
+        )
+        .groupBy("pk")
+        .agg((F.count("set_bit") == _BF_K).alias("positive"))
+        .join(
+            F.broadcast(members.withColumn("member", F.lit(True))), "pk", "left"
+        )
+        .select("pk", "positive", F.coalesce("member", F.lit(False)).alias("member"))
+    )
+    n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    summary = verdicts.agg(
+        F.lit(_BF_M).cast("long").alias("m_bits"),
+        F.lit(_BF_K).cast("long").alias("k"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(~F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonmembers"),
+        F.sum(F.when(F.col("member") & ~F.col("positive"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        F.sum(F.when(~F.col("member") & F.col("positive"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return summary.crossJoin(F.broadcast(n_bits)).select(
+        "m_bits",
+        "k",
+        "bits_set",
+        "n_members",
+        "n_nonmembers",
+        "n_false_neg",
+        "n_false_pos",
+        F.expr("(n_false_pos * 1000000) div n_nonmembers").alias("fpr_ppm"),
+    )
+
+
+lineitem_bloom_fpr.__doc__ = lineitem_bloom_fpr.__doc__.format(m=_BF_M, k=_BF_K)

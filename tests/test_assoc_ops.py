@@ -147,3 +147,57 @@ def test_countmin_never_undercounts(spark):
     for r in rows:
         assert r.cm_est >= r.exact_cnt
         assert r.overcount == r.cm_est - r.exact_cnt
+
+
+# --------------------------------------------------------------------------
+# lineitem_bloom_fpr
+# --------------------------------------------------------------------------
+
+
+def test_bloom_matches_reference_python(spark):
+    from kafka_sink_spark.plans.analytics_assoc import _BF_K, _BF_M
+
+    t = load_tables(spark, SF_DIR, ("lineitem", "part"))
+    members = {
+        r.l_partkey
+        for r in t["lineitem"].collect()
+        if r.l_returnflag == "R" and r.l_quantity >= 50
+    }
+    bits = {(i, _md5_60(f"bf{i}:{pk}") % _BF_M) for pk in members for i in range(_BF_K)}
+    universe = [r.p_partkey for r in t["part"].collect()]
+    fp = fn = tp = 0
+    for pk in universe:
+        positive = all((i, _md5_60(f"bf{i}:{pk}") % _BF_M) in bits for i in range(_BF_K))
+        if pk in members:
+            tp += positive
+            fn += not positive
+        else:
+            fp += positive
+    n_non = len(universe) - len(members)
+    row = QUERIES["lineitem_bloom_fpr"](spark, SF_DIR).collect()[0]
+    assert (
+        row.m_bits,
+        row.k,
+        row.bits_set,
+        row.n_members,
+        row.n_nonmembers,
+        row.n_false_neg,
+        row.n_false_pos,
+        row.fpr_ppm,
+    ) == (
+        _BF_M,
+        _BF_K,
+        len(bits),
+        len(members),
+        n_non,
+        fn,
+        fp,
+        fp * 1_000_000 // n_non,
+    )
+
+
+def test_bloom_never_false_negative(spark):
+    """Structural Bloom invariant: every member probe is positive."""
+    row = QUERIES["lineitem_bloom_fpr"](spark, SF_DIR).collect()[0]
+    assert row.n_false_neg == 0
+    assert row.bits_set <= row.m_bits
