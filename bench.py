@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "orders_itemset_triples",
     "events_countmin_accuracy",
     "lineitem_bloom_fpr",
+    "stream_countmin_twin",
 ]
 
 

@@ -1,5 +1,5 @@
 """Round-6m wave: exact set-similarity joins, association mining one level
-deeper, and a sketch-accuracy harness — three more published large-scale
+deeper, and sketch-accuracy harnesses — five more published large-scale
 techniques in the catalog's exact-integer, oracle-twinned style.
 
 - ``dedup_ppjoin_pairs``  EXACT all-pairs similarity join (Jaccard ≥ 0.5
@@ -19,6 +19,13 @@ techniques in the catalog's exact-integer, oracle-twinned style.
   exact counts it approximates: per heavy key, the sketch estimate, the
   overcount, and the relative error in ppm — the same
   estimate-vs-exact harness discipline as ``dedup_minhash_accuracy``.
+- ``lineitem_bloom_fpr``  partitioned Bloom filter (k hash rows × m bits)
+  built and probed against ground truth: measured FPR in ppm on the
+  (n/m)^k curve, zero false negatives as a structural invariant.
+- ``stream_countmin_twin``  the SAME Count-Min counters built by a real
+  Structured Streaming availableNow replay (streaming/analytics.py
+  countmin_stream) — mergeable sketch state across micro-batches,
+  certified ≡ the batch counter table.
 
 Determinism per the package convention: 60-bit md5-prefix hashes
 (``conv(substr(md5,1,15),16,10)`` ⇔ ``('0x'||substr(md5,1,15))::BIGINT``),
@@ -507,3 +514,68 @@ def lineitem_bloom_fpr(spark, sf_dir):
 
 
 lineitem_bloom_fpr.__doc__ = lineitem_bloom_fpr.__doc__.format(m=_BF_M, k=_BF_K)
+
+
+# --------------------------------------------------------------------------
+# Streaming Count-Min twin (real availableNow replay)
+# --------------------------------------------------------------------------
+
+_STREAM_CM_RUNS = iter(range(1_000_000))
+
+
+_STREAM_CM_ORACLE = f"""
+    WITH b AS (
+      SELECT i,
+             ('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || ':'
+                  || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {_CM_W}
+               AS bucket
+      FROM events, unnest(range({_CM_D})) AS u(i)
+    )
+    SELECT CAST(i AS BIGINT) AS i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY i, bucket
+    """
+
+
+@register("stream_countmin_twin", oracle=_STREAM_CM_ORACLE)
+def stream_countmin_twin(spark, sf_dir):
+    """The STREAMING Count-Min counter build (streaming/analytics.py
+    countmin_stream), certified by executing the real streaming query:
+    the events table replays through a file stream with
+    ``trigger(availableNow=True)`` in update mode, and the per-counter
+    max emission (counts are monotone) must equal the batch/oracle
+    counter table.  Together with ``events_countmin_accuracy`` (which
+    reads the same counters back against exact per-key counts) this
+    certifies the full sketch lifecycle: mergeable build under
+    micro-batch semantics, then read-out error against ground truth.
+
+    Scale shape: streaming state is exactly d×w counter rows — constant
+    in stream length and key cardinality; the only shuffle is the
+    (i, bucket) exchange of any streaming aggregation.
+    """
+    import tempfile
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    src = tempfile.mkdtemp(prefix="stream_cm_src_")
+    events.select("user_id").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long").parquet(src)
+    from kafka_sink_spark.streaming.analytics import countmin_stream
+
+    name = f"stream_cm_twin_{next(_STREAM_CM_RUNS)}"
+    q = (
+        countmin_stream(stream, d=_CM_D, w=_CM_W)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_cm_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.table(name)
+        .groupBy("i", "bucket")
+        .agg(F.max("cnt").cast("long").alias("cnt"))
+        .select(F.col("i").cast("long").alias("i"), "bucket", "cnt")
+    )

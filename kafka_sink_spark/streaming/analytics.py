@@ -342,3 +342,34 @@ def enrich_rollup_stream(
             ),
         )
     )
+
+
+def countmin_stream(events: DataFrame, d: int = 3, w: int = 64) -> DataFrame:
+    """Mergeable Count-Min counter table over a stream of keyed events.
+
+    Each event increments one bucket per hash row (d rows × w counters,
+    md5-derived — the same bucket expression as the batch
+    ``events_countmin_accuracy`` harness), so the counter table is a plain
+    streaming aggregation: associative, mergeable across micro-batches and
+    partitions, with state bounded at d·w rows REGARDLESS of key
+    cardinality or stream length — the defining property that makes
+    sketches the right streaming state.  In update mode each micro-batch
+    emits the touched counters; counts are monotone, so the final value
+    per counter is the max emission (what the availableNow twin reduces
+    with).
+    """
+    return (
+        events.select(
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"),
+            F.col("user_id"),
+        )
+        .select(
+            "i",
+            F.expr(
+                f"CAST(conv(substr(md5(concat('cm', CAST(i AS STRING), ':', "
+                f"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {w}"
+            ).alias("bucket"),
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

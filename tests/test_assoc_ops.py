@@ -201,3 +201,25 @@ def test_bloom_never_false_negative(spark):
     row = QUERIES["lineitem_bloom_fpr"](spark, SF_DIR).collect()[0]
     assert row.n_false_neg == 0
     assert row.bits_set <= row.m_bits
+
+
+# --------------------------------------------------------------------------
+# stream_countmin_twin
+# --------------------------------------------------------------------------
+
+
+def test_stream_countmin_equals_batch_counters(spark):
+    """The availableNow streaming replay's final counter table must equal
+    the batch-computed counters (mergeable sketch state across
+    micro-batches)."""
+    events = load_tables(spark, SF_DIR, ("events",))["events"].collect()
+    counters = defaultdict(int)
+    for r in events:
+        for i in range(_CM_D):
+            counters[(i, _md5_60(f"cm{i}:{r.user_id}") % _CM_W)] += 1
+    got = {
+        (r.i, r.bucket): r.cnt
+        for r in QUERIES["stream_countmin_twin"](spark, SF_DIR).collect()
+    }
+    assert got == dict(counters)
+    assert sum(got.values()) == len(events) * _CM_D
