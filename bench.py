@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "events_countmin_accuracy",
     "lineitem_bloom_fpr",
     "stream_countmin_twin",
+    "lineitem_histogram_quantiles",
 ]
 
 

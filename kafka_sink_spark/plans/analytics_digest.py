@@ -1,0 +1,195 @@
+"""Round-6n wave: distributed exact quantiles without a global sort, and
+the histogram-digest estimate they calibrate — the quantile entry in the
+catalog's sketch-accuracy harness family (KMV distinct-count, MinHash
+Jaccard, Count-Min frequency, Misra-Gries heavy hitters, Bloom membership,
+and now histogram quantiles).
+
+``lineitem_histogram_quantiles``: p50/p90/p99 of the extended price in
+exact integer cents, computed the scalable way — bucket counts + a bounded
+prefix sum locate the target bucket, then rank selection happens INSIDE
+that one bucket (a tiny fraction of the data), never a global sort of the
+fact table.  Next to each exact value, the fixed-width histogram's
+mid-bucket estimate and its signed error in ppm — the
+estimate-vs-ground-truth readout a query optimizer's histogram statistics
+or an approx_percentile user would want certified.
+
+Determinism per the package convention: fixed-point cents, truncating
+integer division, lower quantiles selected by rank (never interpolated
+floats).
+
+Reference anchor: datastax/kafka-sink has no analytics surface (sink/src/main
+is record mapping + DSE writes, see SURVEY.md §2); this module extends the
+north-star inventory in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.session import load_tables
+
+_HQ_BUCKETS = 1024
+_HQ_QS = (50, 90, 99)
+
+
+_HQ_ORACLE = f"""
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ), stats AS (
+      SELECT MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n,
+             ((MAX(c) - MIN(c)) // {_HQ_BUCKETS}) + 1 AS width
+      FROM v
+    ), hist AS (
+      SELECT (v.c - stats.lo) // stats.width AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v, stats GROUP BY 1
+    ), cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (ORDER BY bucket) - cnt AS cum_before
+      FROM hist
+    ), targets AS (
+      SELECT q, ((q * (stats.n - 1)) // 100) + 1 AS r, stats.n, stats.lo,
+             stats.width
+      FROM stats, unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS u(q)
+    ), located AS (
+      SELECT t.q, t.r, t.n, t.lo, t.width, c.bucket, c.cum_before
+      FROM targets t JOIN cum c ON c.cum_before < t.r AND t.r <= c.cum
+    ), exact AS (
+      SELECT l.q, l.r, l.n, l.lo, l.width, l.bucket, l.cum_before,
+             MAX(CASE WHEN rk = l.r - l.cum_before THEN bc END) AS exact_cents
+      FROM located l JOIN (
+        SELECT (v.c - stats.lo) // stats.width AS bucket, v.c AS bc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY (v.c - stats.lo) // stats.width ORDER BY v.c
+               ) AS rk
+        FROM v, stats
+      ) b ON b.bucket = l.bucket
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    )
+    SELECT CAST(q AS BIGINT) AS q, n, exact_cents,
+           lo + bucket * width + width // 2 AS est_cents,
+           -- symmetric truncation: abs-error division on non-negative
+           -- operands only (DuckDB // floors negatives, Spark div
+           -- truncates — splitting on sign keeps the engines identical)
+           CASE WHEN lo + bucket * width + width // 2 >= exact_cents
+                THEN (lo + bucket * width + width // 2 - exact_cents)
+                     * 1000000 // exact_cents
+                ELSE -((exact_cents - lo - bucket * width - width // 2)
+                       * 1000000 // exact_cents)
+           END AS err_ppm
+    FROM exact
+    """
+
+
+@register("lineitem_histogram_quantiles", oracle=_HQ_ORACLE)
+def lineitem_histogram_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 of the lineitem extended price (integer cents)
+    WITHOUT a global sort, plus the {b}-bucket fixed-width histogram's
+    mid-bucket estimate and its signed error in ppm.
+
+    The exact path is the scalable two-phase rank selection: (1) one
+    partial-combined bucket-count aggregate + a bounded prefix sum over
+    ≤{b} rows locates the bucket holding rank r = ⌊q·(n−1)/100⌋ + 1;
+    (2) rank selection runs INSIDE that single bucket only (≈n/{b} of the
+    data), where a per-bucket window picks the (r − cum_before)-th value.
+    A global ORDER BY of the fact table — what a naive exact quantile
+    plans — never happens; the only single-partition work is the ≤{b}-row
+    cumulative histogram, the same bounded shape as the catalog's
+    two-phase prefix sums.  The histogram estimate next to it is what a
+    cost optimizer's statistics (or an approx-percentile sketch with
+    {b} centroids) would answer; the harness certifies its error against
+    ground truth instead of assuming it.
+
+    Scale shape: two scans of the value column (hist build; selected-
+    bucket rank), one broadcast of the 3-row target table, windows only
+    over single buckets.  At any n the per-bucket rank window touches
+    ~n/{b} rows per selected bucket.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("c")
+    )
+    stats = v.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        "lo",
+        "hi",
+        "n",
+        F.expr(f"((hi - lo) div {_HQ_BUCKETS}) + 1").alias("width"),
+    )
+    vb = v.crossJoin(F.broadcast(stats)).select(
+        "c", "lo", "n", "width", F.expr("(c - lo) div width").alias("bucket")
+    )
+    hist = vb.groupBy("bucket").agg(F.count("*").cast("long").alias("cnt"))
+    cum_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        (F.sum("cnt").over(cum_w) - F.col("cnt")).alias("cum_before"),
+    )
+    targets = (
+        stats.select(
+            "lo",
+            "n",
+            "width",
+            F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q"),
+        )
+        .select(
+            "lo",
+            "n",
+            "width",
+            "q",
+            F.expr("((q * (n - 1)) div 100) + 1").alias("r"),
+        )
+    )
+    located = targets.join(
+        F.broadcast(cum),
+        (F.col("cum_before") < F.col("r")) & (F.col("r") <= F.col("cum")),
+    )
+    ranked = vb.select(
+        "bucket",
+        F.col("c").alias("bc"),
+        F.row_number()
+        .over(Window.partitionBy("bucket").orderBy("c"))
+        .alias("rk"),
+    ).join(
+        F.broadcast(located.select("bucket").distinct()), "bucket", "left_semi"
+    )
+    exact = (
+        located.join(ranked, "bucket")
+        .where(F.col("rk") == F.col("r") - F.col("cum_before"))
+        .select(
+            F.col("q").cast("long").alias("q"),
+            "n",
+            F.col("bc").alias("exact_cents"),
+            F.expr("lo + bucket * width + width div 2").alias("est_cents"),
+        )
+    )
+    return exact.select(
+        "q",
+        "n",
+        "exact_cents",
+        "est_cents",
+        # Symmetric truncation: divide absolute error (non-negative), then
+        # apply the sign — Spark `div` truncates while DuckDB `//` floors,
+        # so a signed numerator would diverge between the engines.
+        F.when(
+            F.col("est_cents") >= F.col("exact_cents"),
+            F.expr("((est_cents - exact_cents) * 1000000) div exact_cents"),
+        )
+        .otherwise(
+            -F.expr("((exact_cents - est_cents) * 1000000) div exact_cents")
+        )
+        .alias("err_ppm"),
+    )
+
+
+lineitem_histogram_quantiles.__doc__ = lineitem_histogram_quantiles.__doc__.format(
+    b=_HQ_BUCKETS
+)
