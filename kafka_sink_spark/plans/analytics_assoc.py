@@ -52,6 +52,31 @@ from kafka_sink_spark.session import load_tables
 
 _PP_T_PPM = 500_000  # Jaccard threshold 0.5
 
+_SH_CACHE: dict = {}
+
+
+def _distinct_shingles(spark, sf_dir: str):
+    """Distinct (doc_id, shingle-hash) postings, persisted and reused: the
+    PPJoin plan consumes this table FOUR times (sizes, document
+    frequencies, the ranked prefix build, and the verification set
+    arrays), so materializing it once collapses four tokenize+explode+
+    distinct recomputations into one — the shared-frontier discipline of
+    the span-dup family (VERDICT r5)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = (
+        shingle_hashes(docs, "text")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SH_CACHE[key] = sh
+    return sh
+
 
 _PPJOIN_ORACLE = rf"""
     WITH toks AS (
@@ -101,8 +126,7 @@ def dedup_ppjoin_pairs(spark, sf_dir):
     (probabilistic, fixed-cost) with the exact-answer path of the same
     family.
     """
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sh = shingle_hashes(docs, "text").distinct()
+    sh = _distinct_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("m"))
     dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     pos_w = Window.partitionBy("doc_id").orderBy("df", "h")
