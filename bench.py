@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "lineitem_bloom_fpr",
     "stream_countmin_twin",
     "lineitem_histogram_quantiles",
+    "orders_priority_sample",
 ]
 
 

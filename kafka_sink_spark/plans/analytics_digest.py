@@ -1,8 +1,9 @@
-"""Round-6n wave: distributed exact quantiles without a global sort, and
-the histogram-digest estimate they calibrate — the quantile entry in the
-catalog's sketch-accuracy harness family (KMV distinct-count, MinHash
-Jaccard, Count-Min frequency, Misra-Gries heavy hitters, Bloom membership,
-and now histogram quantiles).
+"""Round-6n wave: distributed exact quantiles without a global sort, the
+histogram-digest estimate they calibrate, and one-pass weighted sampling
+with an unbiased total estimator — the quantile and sampling entries in
+the catalog's estimate-vs-ground-truth harness family (KMV distinct-count,
+MinHash Jaccard, Count-Min frequency, Misra-Gries heavy hitters, Bloom
+membership, histogram quantiles, priority sampling).
 
 ``lineitem_histogram_quantiles``: p50/p90/p99 of the extended price in
 exact integer cents, computed the scalable way — bucket counts + a bounded
@@ -12,6 +13,11 @@ fact table.  Next to each exact value, the fixed-width histogram's
 mid-bucket estimate and its signed error in ppm — the
 estimate-vs-ground-truth readout a query optimizer's histogram statistics
 or an approx_percentile user would want certified.
+
+``orders_priority_sample``: priority sampling (Duffield et al. 2007) of
+32 orders weighted by value, in exact fixed point, with the
+Horvitz-Thompson total estimate emitted next to the exact total and its
+signed error in ppm.
 
 Determinism per the package convention: fixed-point cents, truncating
 integer division, lower quantiles selected by rank (never interpolated
@@ -193,3 +199,142 @@ def lineitem_histogram_quantiles(spark, sf_dir):
 lineitem_histogram_quantiles.__doc__ = lineitem_histogram_quantiles.__doc__.format(
     b=_HQ_BUCKETS
 )
+
+
+# --------------------------------------------------------------------------
+# Priority sampling + Horvitz-Thompson total estimation
+# --------------------------------------------------------------------------
+
+_PS_K = 32
+_POW30 = 1 << 30  # 2^30: the fixed-point denominator of the uniform draw
+
+
+_PS_ORACLE = f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS w_cents,
+             (('0x' || substr(md5('ps:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                ::BIGINT // {_POW30}) + 1 AS u30
+      FROM orders
+    ), p AS (
+      SELECT o_orderkey, w_cents,
+             (w_cents * {_POW30}) // u30 AS priority,
+             ROW_NUMBER() OVER (
+               ORDER BY (w_cents * {_POW30}) // u30 DESC, o_orderkey) AS rk
+      FROM w
+    ), tau AS (
+      SELECT priority // {_POW30} AS tau_cents FROM p WHERE rk = {_PS_K} + 1
+    ), tot AS (
+      SELECT CAST(SUM(w_cents) AS BIGINT) AS exact_total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM w
+    ), s AS (
+      SELECT p.rk, p.o_orderkey, p.w_cents,
+             GREATEST(p.w_cents, tau.tau_cents) AS ht_cents
+      FROM p, tau WHERE p.rk <= {_PS_K}
+    ), est AS (
+      SELECT CAST(SUM(ht_cents) AS BIGINT) AS est_total FROM s
+    )
+    SELECT CAST(s.rk AS BIGINT) AS rk, s.o_orderkey, s.w_cents, s.ht_cents,
+           tot.n, tot.exact_total, est.est_total,
+           CASE WHEN est.est_total >= tot.exact_total
+                THEN (est.est_total - tot.exact_total) * 1000000
+                     // tot.exact_total
+                ELSE -((tot.exact_total - est.est_total) * 1000000
+                       // tot.exact_total)
+           END AS err_ppm
+    FROM s, tot, est
+    """
+
+
+@register("orders_priority_sample", oracle=_PS_ORACLE)
+def orders_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield, Lund & Thorup 2007) of {k} orders
+    weighted by order value, with the Horvitz-Thompson total estimate it
+    supports: each order draws a deterministic fixed-point uniform
+    ``u = (md5_60 div 2^30 + 1) / 2^30``, gets priority ``w div u``
+    (computed as ``w·2^30 div u30`` — exact bigint, no floats), the top-k
+    priorities form the sample, the (k+1)-th priority sets the threshold
+    τ, and each sampled order's estimator is ``max(w, τ)`` — the weighted
+    sample whose totals are provably unbiased, here CERTIFIED by emitting
+    the estimate next to the exact total with signed error in ppm (same
+    sign-split truncation as the quantile harness).
+
+    Scale shape: one scan computes weights+priorities; top-(k+1) is a
+    TakeOrderedAndProject (per-partition top-k + k-row merge — never a
+    global sort); the threshold and totals are single-row broadcasts.
+    Weighted sampling this way needs no second pass and no global
+    shuffle — the canonical one-pass weighted-sample-without-replacement
+    at any scale.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = orders.select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("w_cents"),
+        F.expr(
+            f"(conv(substr(md5(concat('ps:', CAST(o_orderkey AS STRING))), 1, 15),"
+            f" 16, 10) div {_POW30}) + 1"
+        )
+        .cast("long")
+        .alias("u30"),
+    ).select(
+        "o_orderkey",
+        "w_cents",
+        F.expr(f"(w_cents * {_POW30}) div u30").alias("priority"),
+    )
+    topk1 = (
+        w.orderBy(F.col("priority").desc(), F.col("o_orderkey"))
+        .limit(_PS_K + 1)
+        .select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("priority").desc(), F.col("o_orderkey")))
+            .alias("rk"),
+        )
+    )
+    tau = topk1.where(F.col("rk") == _PS_K + 1).select(
+        F.expr(f"priority div {_POW30}").alias("tau_cents")
+    )
+    tot = w.agg(
+        F.sum("w_cents").cast("long").alias("exact_total"),
+        F.count("*").cast("long").alias("n"),
+    )
+    s = (
+        topk1.where(F.col("rk") <= _PS_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "o_orderkey",
+            "w_cents",
+            F.greatest("w_cents", "tau_cents").alias("ht_cents"),
+        )
+    )
+    est = s.agg(F.sum("ht_cents").cast("long").alias("est_total"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "rk",
+            "o_orderkey",
+            "w_cents",
+            "ht_cents",
+            "n",
+            "exact_total",
+            "est_total",
+            F.when(
+                F.col("est_total") >= F.col("exact_total"),
+                F.expr(
+                    "((est_total - exact_total) * 1000000) div exact_total"
+                ),
+            )
+            .otherwise(
+                -F.expr(
+                    "((exact_total - est_total) * 1000000) div exact_total"
+                )
+            )
+            .alias("err_ppm"),
+        )
+    )
+
+
+orders_priority_sample.__doc__ = orders_priority_sample.__doc__.format(k=_PS_K)

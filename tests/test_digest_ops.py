@@ -66,3 +66,76 @@ def test_no_global_sort_of_fact_table(spark):
         .toString()
     )
     assert "rangepartitioning" not in plan
+
+
+# --------------------------------------------------------------------------
+# orders_priority_sample
+# --------------------------------------------------------------------------
+
+
+def test_priority_sample_matches_reference_python(spark):
+    import hashlib
+
+    from kafka_sink_spark.plans.analytics_digest import _POW30, _PS_K
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"].collect()
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for r in orders:
+        w = int(math.floor(r.o_totalprice * 100))
+        u30 = md5_60(f"ps:{r.o_orderkey}") // _POW30 + 1
+        rows.append((w * _POW30 // u30, r.o_orderkey, w))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    tau = rows[_PS_K][0] // _POW30
+    exact_total = sum(w for _, _, w in rows)
+    est_total = sum(max(w, tau) for _, _, w in rows[:_PS_K])
+    diff = est_total - exact_total
+    err = (
+        (diff * 1_000_000) // exact_total
+        if diff >= 0
+        else -((-diff * 1_000_000) // exact_total)
+    )
+    expected = {
+        rk: (okey, w, max(w, tau), len(rows), exact_total, est_total, err)
+        for rk, (_, okey, w) in enumerate(rows[:_PS_K], 1)
+    }
+    got = {
+        r.rk: (
+            r.o_orderkey,
+            r.w_cents,
+            r.ht_cents,
+            r.n,
+            r.exact_total,
+            r.est_total,
+            r.err_ppm,
+        )
+        for r in QUERIES["orders_priority_sample"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_priority_sample_ht_properties(spark):
+    """HT estimators are never below the raw weight, and the sample is
+    exactly k rows (given n > k)."""
+    from kafka_sink_spark.plans.analytics_digest import _PS_K
+
+    rows = QUERIES["orders_priority_sample"](spark, SF_DIR).collect()
+    assert len(rows) == _PS_K
+    for r in rows:
+        assert r.ht_cents >= r.w_cents
+        assert r.n > _PS_K
+
+
+def test_priority_sample_plan_uses_takeordered(spark):
+    """Top-(k+1) selection must be TakeOrderedAndProject (per-partition
+    top-k + merge), not a global sort of the orders table."""
+    plan = (
+        QUERIES["orders_priority_sample"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
