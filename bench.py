@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "stream_countmin_twin",
     "lineitem_histogram_quantiles",
     "orders_priority_sample",
+    # round-6o novelty wave
+    "docs_ngram_novelty",
+    "events_cusum_changepoint",
 ]
 
 

@@ -1,0 +1,207 @@
+"""Round-6o wave: corpus novelty scoring and change-point detection — a
+curation-ordering signal and the classic sequential-drift detector, both in
+the catalog's exact-integer, oracle-twinned style.
+
+- ``docs_ngram_novelty``  per-document novelty: the fraction of a
+  document's distinct 3-gram shingles whose FIRST corpus occurrence (by
+  doc_id order) is this document — the "how much new text does this doc
+  contribute" signal dataset-curation orderings rank by (the streaming
+  complement of dedup: a doc full of already-seen shingles is redundant
+  even if no single pair crosses a near-dup threshold).
+- ``events_cusum_changepoint``  CUSUM change-point location (Page 1954)
+  per event type: the time index maximizing |Σ_{i≤t}(v_i − mean)|, with
+  the mean cross-multiplied away (D_t = n·S_t − t·total) so the entire
+  statistic is exact wide-integer arithmetic — no float mean crosses a
+  partition or engine boundary.
+
+Determinism per the package convention: decimal(38,0) ≙ HUGEINT for the
+wide products, truncating division on non-negative operands (sign split
+where a difference can be negative), ties broken on time order.
+
+Reference anchor: datastax/kafka-sink has no analytics surface (sink/src/main
+is record mapping + DSE writes, see SURVEY.md §2); this module extends the
+north-star inventory in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.plans.analytics_assoc import _distinct_shingles
+from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.session import load_tables
+
+# --------------------------------------------------------------------------
+# Per-document n-gram novelty
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                      i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks)
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+    ), firsts AS (
+      SELECT h, MIN(doc_id) AS first_doc FROM h GROUP BY h
+    )
+    SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM h JOIN firsts f ON f.h = h.h
+    GROUP BY h.doc_id
+    """
+
+
+@register("docs_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def docs_ngram_novelty(spark, sf_dir):
+    """Per-document shingle novelty: of a document's distinct 3-gram
+    shingles, how many appear in NO earlier document (first corpus
+    occurrence by doc_id order), as a count and a ppm rate.  This is the
+    ordering-aware redundancy signal curation pipelines rank by — a
+    document can evade every pairwise near-dup threshold and still be 0%
+    novel because its content is scattered across many predecessors;
+    conversely high-novelty docs are the ones worth keeping first.
+
+    Scale shape: reuses the persisted distinct (doc, shingle) postings
+    (shared with dedup_ppjoin_pairs); one partial-combined min-aggregate
+    assigns each shingle its first document, one hash-join back to the
+    postings, one per-doc count rollup — linear, three shuffles on the
+    same 60-bit hash key.  The "earlier" order is doc_id (ingestion
+    order); any total order column slots in unchanged.
+    """
+    sh = _distinct_shingles(spark, sf_dir)
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point location per event type
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+    WITH v AS (
+      SELECT event_type, event_id, ts,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ), c AS (
+      SELECT event_type, event_id, ts,
+             ROW_NUMBER() OVER w AS t,
+             SUM(CAST(v_us AS HUGEINT)) OVER w AS s,
+             SUM(CAST(v_us AS HUGEINT)) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), d AS (
+      SELECT event_type, event_id, ts, t, n,
+             ABS(n * s - t * total) AS abs_d
+      FROM c
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY abs_d DESC, t) AS rk
+      FROM d
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS t_at_max,
+           event_id AS changepoint_event_id, ts AS changepoint_ts,
+           CAST(abs_d // n AS BIGINT) AS max_cusum_dev_us
+    FROM r WHERE rk = 1
+    """
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point location per event type (Page 1954 / the
+    binary-segmentation pivot): the time index t maximizing
+    |Σ_{i≤t}(v_i − v̄)| over the type's time-ordered values.  The mean is
+    cross-multiplied away — D_t = n·S_t − t·total — so the statistic is
+    exact decimal(38,0)/HUGEINT arithmetic end-to-end; the reported
+    magnitude divides back by n into micro-value units (non-negative, so
+    truncation agrees cross-engine).  Ties break on earliest t.
+
+    Scale shape: one type-keyed window pass produces the running sum,
+    rank, and per-type totals over a single hash partitioning; the argmax
+    is a per-type WindowGroupLimit rank (top-1), never a global sort.
+    Each series' cumsum is inherently sequential — at production scale
+    the partition key IS the series key, exactly as here.
+    """
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    v = events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tw = Window.partitionBy("event_type")
+    dec = "CAST(v_us AS DECIMAL(38,0))"
+    c = v.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("t"),
+        F.sum(F.expr(dec)).over(w).alias("s"),
+        F.sum(F.expr(dec)).over(tw).alias("total"),
+        F.count("*").over(tw).alias("n"),
+    )
+    d = c.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "t",
+        "n",
+        F.abs(F.col("n") * F.col("s") - F.col("t") * F.col("total")).alias(
+            "abs_d"
+        ),
+    )
+    r = d.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("abs_d").desc(), F.col("t")
+            )
+        )
+        .alias("rk"),
+    )
+    return r.where(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("t").cast("long").alias("t_at_max"),
+        F.col("event_id").alias("changepoint_event_id"),
+        F.col("ts").alias("changepoint_ts"),
+        F.expr("CAST(abs_d div n AS BIGINT)").alias("max_cusum_dev_us"),
+    )
