@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     # round-6o novelty wave
     "docs_ngram_novelty",
     "events_cusum_changepoint",
+    "orders_benford_digits",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Round-6o wave: corpus novelty scoring and change-point detection — a
-curation-ordering signal and the classic sequential-drift detector, both in
-the catalog's exact-integer, oracle-twinned style.
+"""Round-6o wave: corpus novelty scoring, change-point detection, and
+digit-law conformance — a curation-ordering signal, the classic
+sequential-drift detector, and the classic fraud screen, all in the
+catalog's exact-integer, oracle-twinned style.
 
 - ``docs_ngram_novelty``  per-document novelty: the fraction of a
   document's distinct 3-gram shingles whose FIRST corpus occurrence (by
@@ -13,6 +14,10 @@ the catalog's exact-integer, oracle-twinned style.
   the mean cross-multiplied away (D_t = n·S_t − t·total) so the entire
   statistic is exact wide-integer arithmetic — no float mean crosses a
   partition or engine boundary.
+- ``orders_benford_digits``  Benford first-digit conformance with the
+  expectation entering as nine fixed ppm literals (summing to exactly
+  1e6) and exact integer chi-square cells — no logarithm is ever
+  evaluated.
 
 Determinism per the package convention: decimal(38,0) ≙ HUGEINT for the
 wide products, truncating division on non-negative operands (sign split
@@ -204,4 +209,97 @@ def events_cusum_changepoint(spark, sf_dir):
         F.col("event_id").alias("changepoint_event_id"),
         F.col("ts").alias("changepoint_ts"),
         F.expr("CAST(abs_d div n AS BIGINT)").alias("max_cusum_dev_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) in ppm; the published Benford probabilities. The rounded
+# constants sum to exactly 1_000_000, so the expected distribution is an
+# exact integer measure.
+_BENFORD_PPM = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+assert sum(_BENFORD_PPM.values()) == 1_000_000
+
+_BENFORD_CASE = (
+    "CASE "
+    + " ".join(f"WHEN digit = {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+_BENFORD_ORACLE = f"""
+    WITH w AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), o AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs FROM w GROUP BY digit
+    ), t AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o
+    ), x AS (
+      SELECT o.digit, o.obs, t.n, {_BENFORD_CASE} AS exp_ppm
+      FROM o, t
+    )
+    SELECT digit, obs, n,
+           obs * 1000000 // n AS obs_ppm,
+           exp_ppm,
+           CAST((CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * exp_ppm)
+                * (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * exp_ppm)
+                // (CAST(n AS HUGEINT) * exp_ppm) AS BIGINT) AS chisq_cell_ppm
+    FROM x
+    """
+
+
+@register("orders_benford_digits", oracle=_BENFORD_ORACLE)
+def orders_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit conformance of order totals: observed
+    first-significant-digit counts against the published Benford
+    probabilities log10(1+1/d) — the classic fraud/data-quality screen —
+    with each digit's chi-square contribution in exact integer ppm.  The
+    Benford expectation enters as NINE FIXED PPM LITERALS that sum to
+    exactly 1e6 (no logs evaluated anywhere), and the chi-square cell
+    ((obs·1e6 − n·exp)² div (n·exp), decimal38 ≙ HUGEINT for the square)
+    follows the same cross-multiplied integer identity as
+    ``events_chisq_contingency`` — bit-identical cross-engine.
+
+    Scale shape: one projection (first digit of the fixed-point cents
+    string), one 9-key partial-combined count, a single-row total
+    broadcast.  Linear at any scale; the digit keyspace is constant.
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    o = w.groupBy("digit").agg(F.count("*").cast("long").alias("obs"))
+    t = o.agg(F.sum("obs").cast("long").alias("n"))
+    dec = "CAST(obs AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * exp_ppm"
+    return (
+        o.crossJoin(F.broadcast(t))
+        .select("digit", "obs", "n", F.expr(_BENFORD_CASE).alias("exp_ppm"))
+        .select(
+            "digit",
+            "obs",
+            "n",
+            F.expr("obs * 1000000 div n").alias("obs_ppm"),
+            "exp_ppm",
+            F.expr(
+                f"CAST(({dec}) * ({dec})"
+                " div (CAST(n AS DECIMAL(38,0)) * exp_ppm) AS BIGINT)"
+            ).alias("chisq_cell_ppm"),
+        )
     )

@@ -103,3 +103,41 @@ def test_cusum_one_row_per_type(spark):
     for r in rows:
         assert 1 <= r.t_at_max <= r.n
         assert r.max_cusum_dev_us >= 0
+
+
+# --------------------------------------------------------------------------
+# orders_benford_digits
+# --------------------------------------------------------------------------
+
+
+def test_benford_matches_reference_python(spark):
+    from kafka_sink_spark.plans.analytics_novelty import _BENFORD_PPM
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"].collect()
+    obs = defaultdict(int)
+    for r in orders:
+        obs[int(str(int(math.floor(r.o_totalprice * 100)))[0])] += 1
+    n = sum(obs.values())
+    expected = {}
+    for d, c in obs.items():
+        exp = _BENFORD_PPM[d]
+        diff = c * 1_000_000 - n * exp
+        expected[d] = (c, n, c * 1_000_000 // n, exp, diff * diff // (n * exp))
+    got = {
+        r.digit: (r.obs, r.n, r.obs_ppm, r.exp_ppm, r.chisq_cell_ppm)
+        for r in QUERIES["orders_benford_digits"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_benford_constants_are_a_probability_measure(spark):
+    from kafka_sink_spark.plans.analytics_novelty import _BENFORD_PPM
+
+    assert sum(_BENFORD_PPM.values()) == 1_000_000
+    assert sorted(_BENFORD_PPM) == list(range(1, 10))
+    # monotone decreasing, as Benford requires
+    vals = [_BENFORD_PPM[d] for d in range(1, 10)]
+    assert vals == sorted(vals, reverse=True)
+    rows = QUERIES["orders_benford_digits"](spark, SF_DIR).collect()
+    assert all(1 <= r.digit <= 9 for r in rows)
+    assert all(r.chisq_cell_ppm >= 0 for r in rows)

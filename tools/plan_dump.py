@@ -105,6 +105,7 @@ HEADLINERS = [
     "orders_priority_sample",  # TakeOrderedAndProject top-k, broadcast scalars
     "docs_ngram_novelty",  # reuses the persisted shingle postings
     "events_cusum_changepoint",  # one type-keyed window pass + top-1 rank
+    "orders_benford_digits",  # 9-key count + single-row broadcast
 ]
 
 
