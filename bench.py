@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "docs_ngram_novelty",
     "events_cusum_changepoint",
     "orders_benford_digits",
+    "lineitem_price_gini",
 ]
 
 

@@ -338,3 +338,124 @@ def orders_priority_sample(spark, sf_dir):
 
 
 orders_priority_sample.__doc__ = orders_priority_sample.__doc__.format(k=_PS_K)
+
+
+# --------------------------------------------------------------------------
+# Exact Gini coefficient without a global sort
+# --------------------------------------------------------------------------
+
+_GINI_BUCKETS = 1024
+
+
+_GINI_ORACLE = f"""
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), stats AS (
+      SELECT MIN(c) AS lo, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS w,
+             ((MAX(c) - MIN(c)) // {_GINI_BUCKETS}) + 1 AS width
+      FROM v
+    ), vb AS (
+      SELECT v.c, v.l_orderkey, v.l_linenumber,
+             (v.c - stats.lo) // stats.width AS b
+      FROM v, stats
+    ), hist AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM vb GROUP BY b
+    ), cum AS (
+      SELECT b, SUM(cnt) OVER (ORDER BY b) - cnt AS cb FROM hist
+    ), local_ AS (
+      SELECT b, c, ROW_NUMBER() OVER (
+               PARTITION BY b ORDER BY c, l_orderkey, l_linenumber) AS r
+      FROM vb
+    ), t AS (
+      SELECT SUM((CAST(cum.cb AS HUGEINT) + local_.r) * local_.c) AS t
+      FROM local_ JOIN cum ON cum.b = local_.b
+    )
+    SELECT stats.n, CAST(stats.w AS BIGINT) AS total_cents,
+           CAST((2 * t.t * 1000000) // (stats.n * stats.w)
+                - ((stats.n + 1) * 1000000) // stats.n AS BIGINT) AS gini_ppm
+    FROM stats, t
+    """
+
+
+@register("lineitem_price_gini", oracle=_GINI_ORACLE)
+def lineitem_price_gini(spark, sf_dir):
+    """EXACT Gini coefficient of the extended-price distribution —
+    G = 2·Σᵢ i·w₍ᵢ₎/(n·W) − (n+1)/n over the ascending-sorted weights —
+    WITHOUT ever globally sorting the fact table.  The rank-weighted sum
+    Σ i·w₍ᵢ₎ decomposes by value bucket: global rank = (rows in lower
+    buckets) + (rank within my bucket), so one bucket histogram + a
+    bounded ≤{b}-row prefix sum supplies the offsets and a
+    bucket-partitioned window supplies the local ranks — the same
+    two-phase discipline as lineitem_histogram_quantiles, here powering
+    an inequality/concentration measure (the per-item Lorenz companion
+    to supplier_revenue_hhi's share-based concentration).  All arithmetic
+    is decimal(38,0) ≙ HUGEINT; the output applies the two truncating
+    divisions in the same order in both engines.
+
+    Equal values may permute ranks within a tie group, but Σ i·w over a
+    tie group is invariant (same w, consecutive i), so the statistic is
+    well-defined; ties still break deterministically on (orderkey,
+    linenumber).
+
+    Scale shape: one scan builds buckets + histogram (partial-combined);
+    the only single-partition work is the ≤{b}-row cumulative histogram;
+    local ranks are bucket-partitioned windows (~n/{b} rows each); the
+    offset join is a broadcast of ≤{b} rows; the final reduction is one
+    map-side-combined sum.  A global ORDER BY never appears.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    v = li.select(
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    stats = v.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0))")).alias("w"),
+    ).select(
+        "lo",
+        "n",
+        "w",
+        F.expr(f"((hi - lo) div {_GINI_BUCKETS}) + 1").alias("width"),
+    )
+    vb = v.crossJoin(F.broadcast(stats)).select(
+        "c",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("(c - lo) div width").alias("b"),
+    )
+    hist = vb.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    cum_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "b", (F.sum("cnt").over(cum_w) - F.col("cnt")).alias("cb")
+    )
+    local = vb.select(
+        "b",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("b").orderBy("c", "l_orderkey", "l_linenumber")
+        )
+        .alias("r"),
+    )
+    t = (
+        local.join(F.broadcast(cum), "b")
+        .agg(
+            F.sum(
+                F.expr("(CAST(cb AS DECIMAL(38,0)) + r) * c")
+            ).alias("t")
+        )
+    )
+    return stats.crossJoin(t).select(
+        "n",
+        F.col("w").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((2 * t * 1000000) div (CAST(n AS DECIMAL(38,0)) * w)"
+            " - ((n + 1) * 1000000) div n AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

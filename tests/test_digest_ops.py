@@ -139,3 +139,29 @@ def test_priority_sample_plan_uses_takeordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+# lineitem_price_gini
+# --------------------------------------------------------------------------
+
+
+def test_gini_matches_reference_python(spark):
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"].collect()
+    cents = sorted(int(math.floor(r.l_extendedprice * 100)) for r in li)
+    n = len(cents)
+    total = sum(cents)
+    t = sum(i * c for i, c in enumerate(cents, 1))
+    expected = (n, total, (2 * t * 1_000_000) // (n * total) - ((n + 1) * 1_000_000) // n)
+    row = QUERIES["lineitem_price_gini"](spark, SF_DIR).collect()[0]
+    assert (row.n, row.total_cents, row.gini_ppm) == expected
+
+
+def test_gini_bounds_and_plan(spark):
+    """Gini of a positive distribution lies in [0, 1e6); the plan must
+    contain no range-partitioned exchange (no global sort)."""
+    df = QUERIES["lineitem_price_gini"](spark, SF_DIR)
+    row = df.collect()[0]
+    assert 0 <= row.gini_ppm < 1_000_000
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan

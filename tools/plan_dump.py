@@ -106,6 +106,7 @@ HEADLINERS = [
     "docs_ngram_novelty",  # reuses the persisted shingle postings
     "events_cusum_changepoint",  # one type-keyed window pass + top-1 rank
     "orders_benford_digits",  # 9-key count + single-row broadcast
+    "lineitem_price_gini",  # two-phase rank-weighted sum, no global sort
 ]
 
 
