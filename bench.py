@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "orders_benford_digits",
     "lineitem_price_gini",
+    "events_runs_test",
 ]
 
 

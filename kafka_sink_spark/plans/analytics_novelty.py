@@ -303,3 +303,130 @@ def orders_benford_digits(spark, sf_dir):
             ).alias("chisq_cell_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per event type
+# --------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+    WITH v AS (
+      SELECT event_type, event_id, ts,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v_us
+      FROM events
+    ), r1 AS (
+      SELECT event_type, event_id, ts, v_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY v_us, event_id) AS vrk,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM v
+    ), med AS (
+      SELECT event_type,
+             MAX(CASE WHEN vrk = (cnt + 1) // 2 THEN v_us END) AS median_us
+      FROM r1 GROUP BY event_type
+    ), s AS (
+      SELECT v.event_type, v.event_id, v.ts,
+             CASE WHEN v.v_us > med.median_us THEN 1 ELSE 0 END AS sgn
+      FROM v JOIN med ON med.event_type = v.event_type
+    ), chg AS (
+      SELECT event_type, sgn,
+             CASE WHEN lag(sgn) OVER w IS DISTINCT FROM sgn
+                  THEN 1 ELSE 0 END AS is_new_run
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(sgn) AS BIGINT) AS n_above,
+             CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n_below,
+             CAST(SUM(is_new_run) AS BIGINT) AS runs
+      FROM chg GROUP BY event_type
+    )
+    SELECT event_type, n, n_above, n_below, runs,
+           CAST(1000000 + (2 * n_above * n_below * 1000000) // n AS BIGINT)
+             AS expected_runs_ppm,
+           CAST((CAST(runs * n - (n + 2 * n_above * n_below) AS HUGEINT)
+                 * (runs * n - (n + 2 * n_above * n_below)) * (n - 1)) * 1000000
+                // (CAST(2 * n_above * n_below AS HUGEINT)
+                    * (2 * n_above * n_below - n) * n * n) AS BIGINT)
+             AS z2_ppm
+    FROM agg
+    """
+
+
+@register("events_runs_test", oracle=_RUNS_ORACLE)
+def events_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per event type: split the time-ordered
+    series at its exact lower median (above / not-above), count maximal
+    same-sign runs R, and emit the squared z statistic against the
+    under-randomness expectation E[R] = 1 + 2·n₁·n₂/n — entirely in
+    cross-multiplied exact integers: D = R·n − (n + 2n₁n₂) is exact, and
+    z² = D²·(n−1) / (2n₁n₂·(2n₁n₂−n)·n²) is emitted in ppm with
+    decimal(38,0) ≙ HUGEINT wide products, no float mean/variance
+    anywhere (the same discipline as events_ab_test's z² and the χ²
+    cells).  z² > 4e6 ppm ⇒ the sequence is non-random at ~5% —
+    clustering (too few runs) or oscillation (too many) both trip it;
+    the randomness screen that complements the CUSUM location test.
+
+    Scale shape: one type-keyed rank window for the exact median, one
+    broadcast of the per-type medians, one type-keyed lag window sharing
+    the same hash partitioning, and a partial-combined per-type rollup —
+    linear, two window passes, no joins beyond the broadcast.
+    """
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    v = events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("v_us"),
+    )
+    r1 = v.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v_us", "event_id"))
+        .alias("vrk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("vrk") == F.expr("(cnt + 1) div 2"), F.col("v_us"))
+        ).alias("median_us")
+    )
+    s = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.when(F.col("v_us") > F.col("median_us"), 1).otherwise(0).alias("sgn"),
+    )
+    lag_w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    chg = s.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(lag_w).eqNullSafe(F.col("sgn")), 1
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    agg = chg.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("sgn").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("sgn")).cast("long").alias("n_below"),
+        F.sum("is_new_run").cast("long").alias("runs"),
+    )
+    dbig = "CAST(runs * n - (n + 2 * n_above * n_below) AS DECIMAL(38,0))"
+    return agg.select(
+        "event_type",
+        "n",
+        "n_above",
+        "n_below",
+        "runs",
+        F.expr(
+            "CAST(1000000 + (2 * n_above * n_below * 1000000) div n AS BIGINT)"
+        ).alias("expected_runs_ppm"),
+        F.expr(
+            f"CAST(({dbig} * (runs * n - (n + 2 * n_above * n_below))"
+            " * (n - 1)) * 1000000"
+            " div (CAST(2 * n_above * n_below AS DECIMAL(38,0))"
+            " * (2 * n_above * n_below - n) * n * n) AS BIGINT)"
+        ).alias("z2_ppm"),
+    )

@@ -141,3 +141,44 @@ def test_benford_constants_are_a_probability_measure(spark):
     rows = QUERIES["orders_benford_digits"](spark, SF_DIR).collect()
     assert all(1 <= r.digit <= 9 for r in rows)
     assert all(r.chisq_cell_ppm >= 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# events_runs_test
+# --------------------------------------------------------------------------
+
+
+def test_runs_test_matches_reference_python(spark):
+    events = load_tables(spark, SF_DIR, ("events",))["events"].collect()
+    by_type = defaultdict(list)
+    for r in events:
+        by_type[r.event_type].append(
+            (r.ts, r.event_id, int(math.floor(r.value * 1_000_000)))
+        )
+    expected = {}
+    for t, rows in by_type.items():
+        n = len(rows)
+        med = sorted(v for _, _, v in rows)[(n + 1) // 2 - 1]
+        signs = [1 if v > med else 0 for _, _, v in sorted(rows)]
+        n1 = sum(signs)
+        n2 = n - n1
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        exp_ppm = 1_000_000 + (2 * n1 * n2 * 1_000_000) // n
+        d = runs * n - (n + 2 * n1 * n2)
+        z2 = d * d * (n - 1) * 1_000_000 // (2 * n1 * n2 * (2 * n1 * n2 - n) * n * n)
+        expected[t] = (n, n1, n2, runs, exp_ppm, z2)
+    got = {
+        r.event_type: (r.n, r.n_above, r.n_below, r.runs, r.expected_runs_ppm, r.z2_ppm)
+        for r in QUERIES["events_runs_test"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_runs_test_invariants(spark):
+    rows = QUERIES["events_runs_test"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_above + r.n_below == r.n
+        assert 1 <= r.runs <= r.n
+        assert r.z2_ppm >= 0
+        # the lower median guarantees at least half the values are <= it
+        assert r.n_below >= r.n_above

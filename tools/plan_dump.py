@@ -107,6 +107,7 @@ HEADLINERS = [
     "events_cusum_changepoint",  # one type-keyed window pass + top-1 rank
     "orders_benford_digits",  # 9-key count + single-row broadcast
     "lineitem_price_gini",  # two-phase rank-weighted sum, no global sort
+    "events_runs_test",  # two type-keyed windows + broadcast medians
 ]
 
 
