@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from kafka_sink_spark.extensions.dedup import shingle_hashes
 from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.plans.stream_twin import finish_stream_twin
 from kafka_sink_spark.session import load_tables
 
 # --------------------------------------------------------------------------
@@ -353,8 +354,8 @@ def events_countmin_accuracy(spark, sf_dir):
     ).select(
         "*",
         F.expr(
-            f"conv(substr(md5(concat('cm', CAST(i AS STRING), ':', "
-            f"CAST(user_id AS STRING))), 1, 15), 16, 10) % {_CM_W}"
+            f"CAST(conv(substr(md5(concat('cm', CAST(i AS STRING), ':', "
+            f"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_CM_W}"
         )
         .cast("long")
         .alias("bucket"),
@@ -585,21 +586,20 @@ def stream_countmin_twin(spark, sf_dir):
     from kafka_sink_spark.streaming.analytics import countmin_stream
 
     name = f"stream_cm_twin_{next(_STREAM_CM_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_cm_ck_")
     q = (
         countmin_stream(stream, d=_CM_D, w=_CM_W)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_cm_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    return (
+    result = (
         spark.table(name)
         .groupBy("i", "bucket")
         .agg(F.max("cnt").cast("long").alias("cnt"))
         .select(F.col("i").cast("long").alias("i"), "bucket", "cnt")
     )
+    return finish_stream_twin(spark, q, name, result, (src, ck))

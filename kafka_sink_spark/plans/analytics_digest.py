@@ -272,8 +272,8 @@ def orders_priority_sample(spark, sf_dir):
         "o_orderkey",
         F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("w_cents"),
         F.expr(
-            f"(conv(substr(md5(concat('ps:', CAST(o_orderkey AS STRING))), 1, 15),"
-            f" 16, 10) div {_POW30}) + 1"
+            f"(CAST(conv(substr(md5(concat('ps:', CAST(o_orderkey AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) div {_POW30}) + 1"
         )
         .cast("long")
         .alias("u30"),

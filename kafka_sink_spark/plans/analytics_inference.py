@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from kafka_sink_spark.plans.analytics_mining import _copurchase_edges
 from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.plans.stream_twin import finish_stream_twin
 from kafka_sink_spark.session import load_tables
 
 # --------------------------------------------------------------------------
@@ -340,18 +341,17 @@ def stream_enrich_twin(spark, sf_dir):
         "event_id long, ts timestamp, user_id long, event_type string, value double"
     ).parquet(src)
     name = f"stream_enrich_twin_{next(_STREAM_ENRICH_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_enrich_ck_")
     q = (
         enrich_rollup_stream(stream, t["customer"])
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_enrich_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    return spark.table(name).select(
+    result = spark.table(name).select(
         "mktsegment", "event_type", "n_events", "sum_value_millionths"
     )
+    return finish_stream_twin(spark, q, name, result, (src, ck))

@@ -347,7 +347,7 @@ _RUNS_ORACLE = """
            CAST((CAST(runs * n - (n + 2 * n_above * n_below) AS HUGEINT)
                  * (runs * n - (n + 2 * n_above * n_below)) * (n - 1)) * 1000000
                 // (CAST(2 * n_above * n_below AS HUGEINT)
-                    * (2 * n_above * n_below - n) * n * n) AS BIGINT)
+                    * (2 * n_above * n_below - n)) AS BIGINT)
              AS z2_ppm
     FROM agg
     """
@@ -359,8 +359,9 @@ def events_runs_test(spark, sf_dir):
     series at its exact lower median (above / not-above), count maximal
     same-sign runs R, and emit the squared z statistic against the
     under-randomness expectation E[R] = 1 + 2·n₁·n₂/n — entirely in
-    cross-multiplied exact integers: D = R·n − (n + 2n₁n₂) is exact, and
-    z² = D²·(n−1) / (2n₁n₂·(2n₁n₂−n)·n²) is emitted in ppm with
+    cross-multiplied exact integers: D = R·n − (n + 2n₁n₂) = n·(R − E[R])
+    is exact, and with Var(R) = 2n₁n₂·(2n₁n₂−n)/(n²·(n−1)) the n²
+    cancels, giving z² = D²·(n−1) / (2n₁n₂·(2n₁n₂−n)) emitted in ppm with
     decimal(38,0) ≙ HUGEINT wide products, no float mean/variance
     anywhere (the same discipline as events_ab_test's z² and the χ²
     cells).  z² > 4e6 ppm ⇒ the sequence is non-random at ~5% —
@@ -427,6 +428,6 @@ def events_runs_test(spark, sf_dir):
             f"CAST(({dbig} * (runs * n - (n + 2 * n_above * n_below))"
             " * (n - 1)) * 1000000"
             " div (CAST(2 * n_above * n_below AS DECIMAL(38,0))"
-            " * (2 * n_above * n_below - n) * n * n) AS BIGINT)"
+            " * (2 * n_above * n_below - n)) AS BIGINT)"
         ).alias("z2_ppm"),
     )

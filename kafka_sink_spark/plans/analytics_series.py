@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from kafka_sink_spark.extensions import similarity, text
 from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.plans.stream_twin import finish_stream_twin
 from kafka_sink_spark.session import load_tables
 from kafka_sink_spark.streaming.analytics import sliding_rollup_stream
 
@@ -607,16 +608,14 @@ def stream_ewma_twin(spark, sf_dir):
     from kafka_sink_spark.streaming.analytics import running_ewma
 
     name = f"stream_ewma_twin_{next(_STREAM_EWMA_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_ewma_ck_")
     q = (
         running_ewma(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ewma_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    return spark.table(name)
+    return finish_stream_twin(spark, q, name, spark.table(name), (src, ck))

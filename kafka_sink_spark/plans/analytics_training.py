@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from kafka_sink_spark.extensions import similarity
 from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.plans.stream_twin import finish_stream_twin
 from kafka_sink_spark.session import load_tables
 from kafka_sink_spark.streaming.analytics import (
     interval_join_stream,
@@ -830,25 +831,24 @@ def stream_dedup_twin(spark, sf_dir):
     from kafka_sink_spark.streaming.analytics import dedup_stream
 
     name = f"stream_dedup_twin_{next(_STREAM_DEDUP_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_dedup_ck_")
     q = (
         dedup_stream(stream, ["event_id"])
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dedup_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    return spark.table(name).select(
+    result = spark.table(name).select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",
         "event_type",
         "value",
     )
+    return finish_stream_twin(spark, q, name, result, (src, ck))
 
 
 # --------------------------------------------------------------------------
@@ -1012,19 +1012,17 @@ def stream_profile_twin(spark, sf_dir):
     from kafka_sink_spark.streaming.analytics import running_user_profile
 
     name = f"stream_profile_twin_{next(_STREAM_PROFILE_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_profile_ck_")
     q = (
         running_user_profile(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_profile_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    return (
+    result = (
         spark.table(name)
         .groupBy("user_id")
         .agg(
@@ -1032,3 +1030,4 @@ def stream_profile_twin(spark, sf_dir):
             F.max("last_event_id").alias("last_event_id"),
         )
     )
+    return finish_stream_twin(spark, q, name, result, (src, ck))

@@ -165,7 +165,7 @@ def test_runs_test_matches_reference_python(spark):
         runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
         exp_ppm = 1_000_000 + (2 * n1 * n2 * 1_000_000) // n
         d = runs * n - (n + 2 * n1 * n2)
-        z2 = d * d * (n - 1) * 1_000_000 // (2 * n1 * n2 * (2 * n1 * n2 - n) * n * n)
+        z2 = d * d * (n - 1) * 1_000_000 // (2 * n1 * n2 * (2 * n1 * n2 - n))
         expected[t] = (n, n1, n2, runs, exp_ppm, z2)
     got = {
         r.event_type: (r.n, r.n_above, r.n_below, r.runs, r.expected_runs_ppm, r.z2_ppm)
