@@ -60,9 +60,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Return the deduplicated documents (keep lowest doc_id per content)."""
+    """Return the deduplicated documents (keep lowest doc_id per content).
+
+    The keep-set is one row per DISTINCT content — it scales with the
+    corpus, so the semi join carries NO broadcast hint: it shuffles on
+    doc_id at 100 TB, and AQE still switches to broadcast when the
+    keep-set is genuinely small (same discipline as dedup_survivors)."""
     keep = exact_duplicates(docs, text_col).select(F.col("keep_doc_id").alias("doc_id"))
-    return docs.join(F.broadcast(keep), "doc_id", "left_semi")
+    return docs.join(keep, "doc_id", "left_semi")
 
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

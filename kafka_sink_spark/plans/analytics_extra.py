@@ -309,7 +309,9 @@ def q6_forecast_revenue(spark, sf_dir):
 )
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: who returned the most revenue. lineitem⋈orders
-    shuffles on orderkey; customer and nation broadcast; top-20 via
+    shuffles on orderkey; nation is constant-size → broadcast hint;
+    customer scales with SF so its join is unhinted — broadcast while
+    small, shuffle join at 100 TB (VERDICT r6). Top-20 via
     TakeOrderedAndProject (no full sort)."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     orders = t["orders"].filter(
@@ -319,7 +321,7 @@ def q10_returned_items(spark, sf_dir):
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(t["customer"]), orders.o_custkey == F.col("c_custkey"))
+        .join(t["customer"], orders.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -364,7 +366,7 @@ def q18_large_orders(spark, sf_dir):
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"))
     )
@@ -450,8 +452,10 @@ def q2_min_acctbal_supplier(spark, sf_dir):
 )
 def q7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: the same dimension (nation) joined twice under
-    different roles with a disjunctive cross-filter. Both nation instances and
-    supplier/customer broadcast; lineitem⋈orders is the only shuffle."""
+    different roles with a disjunctive cross-filter. Both nation instances
+    get broadcast hints (constant-size); supplier/customer scale with SF
+    so their joins are unhinted — broadcast while small, shuffle join at
+    100 TB (VERDICT r6). lineitem⋈orders is the one fixed shuffle."""
     t = load_tables(
         spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
     )
@@ -472,8 +476,8 @@ def q7_nation_volume(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair_ok)
         .groupBy(
             "supp_nation", "cust_nation",
@@ -633,8 +637,10 @@ def orders_priority_rollup(spark, sf_dir):
     """,
 )
 def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape: promo revenue share. part is a dimension → broadcast
-    join onto the filtered lineitem scan; one single-group aggregate."""
+    """TPC-H Q14 shape: promo revenue share. part scales with SF, so the
+    join onto the filtered lineitem scan is unhinted — the optimizer
+    broadcasts it while small and shuffle-joins at 100 TB (VERDICT r6);
+    one single-group aggregate either way."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
@@ -642,7 +648,7 @@ def q14_promo_revenue(spark, sf_dir):
     )
     rev = _dec("l_extendedprice") * _one_minus("l_discount")
     agg = (
-        li.join(F.broadcast(t["part"]), li.l_partkey == F.col("p_partkey"))
+        li.join(t["part"], li.l_partkey == F.col("p_partkey"))
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", rev).otherwise(

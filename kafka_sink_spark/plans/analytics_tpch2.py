@@ -11,9 +11,12 @@ and hash-verified against DuckDB. The testdata is TPC-H-ish but lacks
 partsupp / l_shipmode / l_commitdate / c_phone, so q11/q12/q16/q21/q22 keep
 the SHAPE (the plan-relevant structure) with available columns.
 
-Scale notes (100 TB): every dimension join (nation/region/supplier/part) is
-an explicit broadcast; fact⋈fact joins (lineitem⋈orders, customer⋈orders)
-shuffle on their keys and survive skew via AQE. All money math is exact
+Scale notes (100 TB): only constant-size inputs (nation/region, single-row
+or top-k aggregates) carry explicit broadcast hints; SF-scaling tables
+(supplier/part/customer) join unhinted so the optimizer broadcasts them
+while small and degrades to shuffle joins at scale (VERDICT r6); fact⋈fact
+joins (lineitem⋈orders, customer⋈orders) shuffle on their keys and survive
+skew via AQE. All money math is exact
 decimal (see analytics.py header) so the DuckDB hash-compare is robust to
 partition-order differences.
 """
@@ -60,9 +63,11 @@ from kafka_sink_spark.session import load_tables
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: 8-way join (two roles of nation) + conditional share.
-    part/supplier/nation/region broadcast; lineitem⋈orders and
-    orders⋈customer are the only shuffles. The share divides two EXACT
-    decimal sums as the last (double) step."""
+    nation⋈region is constant-size → broadcast hint; the part and
+    supplier⋈nation sides scale with SF so their joins are unhinted
+    (optimizer broadcasts while small, shuffles at 100 TB — VERDICT r6);
+    lineitem⋈orders and orders⋈customer are the fixed shuffles. The share
+    divides two EXACT decimal sums as the last (double) step."""
     t = load_tables(
         spark, sf_dir,
         ("part", "lineitem", "orders", "customer", "nation", "region", "supplier"),
@@ -78,10 +83,9 @@ def q8_market_share(spark, sf_dir):
         .filter(F.col("r_name") == "EUROPE")
         .select("n1_key")
     )
-    promo = F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey"))
-    supp = F.broadcast(
-        t["supplier"].join(n2, F.col("s_nationkey") == F.col("n2_key"))
-        .select("s_suppkey", "nation")
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = t["supplier"].join(n2, F.col("s_nationkey") == F.col("n2_key")).select(
+        "s_suppkey", "nation"
     )
     ords = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -130,16 +134,16 @@ def q8_market_share(spark, sf_dir):
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape: profit rollup by supplier nation and year with a LIKE
     filter on the part dimension (no partsupp table here — the per-unit cost
-    is derived from p_retailprice). part+supplier+nation broadcast."""
+    is derived from p_retailprice). part/supplier scale with SF → no
+    broadcast hints (optimizer's call per VERDICT r6); nation folds into
+    the supplier side pre-join."""
     t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem", "orders", "nation"))
-    widget = F.broadcast(
-        t["part"].filter(F.col("p_name").like("%widget%"))
-        .select("p_partkey", "p_retailprice")
+    widget = t["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
     )
-    supp = F.broadcast(
-        t["supplier"].join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "n_name")
-    )
+    supp = t["supplier"].join(
+        t["nation"], F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
     cost = _dec("l_quantity") * _dec("p_retailprice") * F.lit(0.01).cast("decimal(3,2)")
     profit = (_dec("l_extendedprice") * _one_minus("l_discount") - cost).alias("amount")
     return (
@@ -319,20 +323,17 @@ def q15_top_supplier(spark, sf_dir):
 def q16_supplier_part_counts(spark, sf_dir):
     """TPC-H Q16 shape: distinct part-supplier pairs (standing in for
     partsupp) + NOT IN exclusion subquery + COUNT(DISTINCT) per group. The
-    exclusion list is tiny → broadcast anti-join; the distinct-pairs dedup is
-    the one big shuffle."""
+    part subset and exclusion list both scale with SF → no broadcast
+    hints (optimizer broadcasts while small — VERDICT r6); the
+    distinct-pairs dedup is the one big shuffle."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
     pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
-    parts = F.broadcast(
-        t["part"].filter(
-            (F.col("p_brand") != "Brand#1")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
-        ).select("p_partkey", "p_brand", "p_size")
-    )
-    bad_supp = F.broadcast(
-        t["supplier"].filter(F.col("s_acctbal") < 100).select("s_suppkey")
-    )
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 100).select("s_suppkey")
     return (
         pairs.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
@@ -364,17 +365,18 @@ def q17_small_quantity_revenue(spark, sf_dir):
     pre-aggregate joined back to the fact (the plan Catalyst produces for the
     subquery form). The avg comparison is the exact-integer rewrite
     qty < 0.2·avg ⇔ 5·qty·cnt < sum — no float division on the compare
-    path, so both engines agree bit-for-bit."""
+    path, so both engines agree bit-for-bit.  The brand key set and the
+    per-part aggregate both scale with |part|, so neither join carries a
+    broadcast hint — the optimizer broadcasts them while small and
+    degrades to shuffle joins at 100 TB (VERDICT r6)."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    brand = F.broadcast(
-        t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
-    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     li = t["lineitem"].join(brand, F.col("l_partkey") == F.col("p_partkey"))
     agg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(_dec("l_quantity")).alias("sq"), F.count("*").alias("cnt")
     )
     return (
-        li.join(F.broadcast(agg), F.col("l_partkey") == F.col("pk"))
+        li.join(agg, F.col("l_partkey") == F.col("pk"))
         .filter(_dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sq"))
         .agg(
             F.round(
@@ -401,7 +403,8 @@ def q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape: OR-of-ANDs mixing columns from both join sides.
     Catalyst extracts the common single-side conjuncts (l_quantity ranges,
     p_size/p_brand) below the join — CNF predicate pushdown — then applies
-    the residual disjunction after. part broadcast; zero extra shuffles."""
+    the residual disjunction after. part scales with SF → no broadcast
+    hint (optimizer's call per VERDICT r6); zero extra shuffles."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     q = F.col("l_quantity")
     case = lambda brand, smax, qlo, qhi: (  # noqa: E731
@@ -412,7 +415,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .filter(
             case("Brand#12", 5, 1, 11)
             | case("Brand#23", 10, 10, 20)

@@ -586,3 +586,54 @@ def test_containment_pruned_candidates_hash_keyed(spark):
     # a global sort would add another single-partition exchange; the only
     # ones allowed are the two stages of the 1-row n_docs scalar agg
     assert plan.count("SinglePartition") <= 2
+
+
+def _analyzed(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables(spark):
+    """SCALE.md rule, re-asserted after VERDICT r6: broadcast() HINTS bypass
+    autoBroadcastJoinThreshold at ANY size, so only constant-size inputs
+    (nation/region, single-row aggregates) may carry one. customer /
+    supplier / part / per-partkey aggregates grow with SF — their joins
+    must stay unhinted so AQE broadcasts them while small and degrades to
+    shuffle joins at 100 TB instead of OOMing. The expected counts below
+    are exactly the allowed constant-size hints per query; adding a hint
+    to an SF-scaling input raises the count and fails here."""
+    expected = {
+        "q3_shipping_priority": 0,
+        "q5_local_supplier_volume": 2,   # region→nation, nation→supplier
+        "q7_nation_volume": 2,           # the two nation roles
+        "q10_returned_items": 1,         # nation
+        "q14_promo_revenue": 0,
+        "q17_small_quantity_revenue": 0,
+        "q18_large_orders": 0,
+        "q19_disjunctive_revenue": 0,
+        "q8_market_share": 1,            # nation⋈region EUROPE keys
+        "q9_product_profit": 0,
+        "q16_supplier_part_counts": 0,
+        "q22_global_sales": 1,           # single-row global-average scalar
+    }
+    for name, n_hints in expected.items():
+        analyzed = _analyzed(spark, name)
+        assert analyzed.count("ResolvedHint") == n_hints, (
+            name, analyzed.count("ResolvedHint"), n_hints
+        )
+
+
+def test_exact_dedup_semi_join_unhinted(spark):
+    """exact_dedup's keep-set scales with the corpus: the semi join must
+    carry no broadcast hint (VERDICT r6 flagged the forced corpus-sized
+    broadcast) and still plan as a LeftSemi equi-join."""
+    from kafka_sink_spark.extensions.dedup import exact_dedup
+    from kafka_sink_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    out = exact_dedup(docs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
