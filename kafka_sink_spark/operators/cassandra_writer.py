@@ -146,6 +146,34 @@ def _apply_consistency(prepared: dict, consistency_level: str) -> None:
             pass
 
 
+def _estimate_statement_bytes(params: dict) -> int:
+    """Deterministic payload estimate of ONE statement: the UTF-8/binary
+    length of every bound value (None/UNSET bind no payload). Feeds the
+    KAF-99 batchSizeInBytesHistogram equivalent, which the reference
+    updates once PER STATEMENT in a batch
+    (SimpleEndToEndSimulacronIT.java:888-895: a 2-statement batch yields
+    histogram count 2, with min≠max when the payloads differ) — an
+    observability histogram, so an estimate of the bound data (not the
+    exact protocol framing) is the honest measurable here."""
+    total = 0
+    for v in params.values():
+        if v is None or v is UNSET:
+            continue
+        if isinstance(v, (bytes, bytearray)):
+            total += len(v)
+        elif isinstance(v, str):
+            total += len(v.encode("utf-8"))
+        else:
+            total += len(str(v))
+    return total
+
+
+def _pow2_bucket(n: int) -> int:
+    """Smallest power of two ≥ n (0 stays 0) — bounds the bytes histogram
+    to ~60 buckets at any scale."""
+    return 0 if n <= 0 else 1 << (n - 1).bit_length()
+
+
 def write_routed(
     routed: DataFrame,
     table: TableConfig,
@@ -155,7 +183,13 @@ def write_routed(
 ) -> dict[str, int]:
     """Execute a routed DataFrame against Cassandra. Returns aggregate stats
     {'rows', 'batches', 'singles'} (a batch = one unlogged BATCH frame;
-    a single = one standalone EXECUTE).
+    a single = one standalone EXECUTE) plus the KAF-99 histogram inputs:
+    'batch_size_hist' {records_per_frame: n_frames} (bounded by
+    maxNumberOfRecordsInBatch), 'batch_bytes_hist' {power-of-two estimated
+    statement payload bytes: n_statements} (one update per statement, like
+    the reference's batchSizeInBytesHistogram), and 'bytes_stats'
+    {min, max, sum, n} of the exact per-statement estimates (the
+    Dropwizard-snapshot signals the pow-2 buckets can't carry).
 
     ``session_factory`` is called once per partition ON THE EXECUTOR and must
     return an object with ``prepare(cql) -> stmt`` and
@@ -190,9 +224,16 @@ def write_routed(
             while len(futures) >= max_inflight:
                 futures.pop(0).result()
 
+        size_hist: dict[int, int] = {}
+        bytes_hist: dict[int, int] = {}
+        bytes_stats = {"min": None, "max": None, "sum": 0, "n": 0}
+
         def submit(stmts: list[tuple[str, dict]]) -> tuple[int, int]:
             """One key-run → unlogged batch frames of ≤ max_batch; a chunk of
-            one goes as a standalone EXECUTE. Returns (batch_frames, singles).
+            one goes as a standalone EXECUTE. Returns (batch_frames, singles)
+            and observes every frame into the bounded size histogram (KAF-99:
+            a single EXECUTE is a frame of size 1) and every statement into
+            the bytes histogram/stats.
             """
             batch_frames = singles = 0
             for i in range(0, len(stmts), max_batch):
@@ -210,6 +251,17 @@ def write_routed(
                         counter=bool(schema_ref.counters),
                     )
                     batch_frames += 1
+                size_hist[len(chunk)] = size_hist.get(len(chunk), 0) + 1
+                for _kind, params in chunk:
+                    nb = _estimate_statement_bytes(params)
+                    bb = _pow2_bucket(nb)
+                    bytes_hist[bb] = bytes_hist.get(bb, 0) + 1
+                    bytes_stats["n"] += 1
+                    bytes_stats["sum"] += nb
+                    if bytes_stats["min"] is None or nb < bytes_stats["min"]:
+                        bytes_stats["min"] = nb
+                    if bytes_stats["max"] is None or nb > bytes_stats["max"]:
+                        bytes_stats["max"] = nb
                 futures.append(fut)
             return batch_frames, singles
 
@@ -233,7 +285,7 @@ def write_routed(
             n_singles += s
         for fut in futures:
             fut.result()
-        yield (n_rows, n_batches, n_singles)
+        yield (n_rows, n_batches, n_singles, size_hist, bytes_hist, bytes_stats)
 
     parts = (
         routed.repartition(*[F.col(c) for c in pk])
@@ -241,10 +293,28 @@ def write_routed(
         .rdd.mapPartitions(write_partition)
         .collect()
     )
+
+    def _merge(idx: int) -> dict[int, int]:
+        merged: dict[int, int] = {}
+        for p in parts:
+            for bucket, n in p[idx].items():
+                merged[bucket] = merged.get(bucket, 0) + n
+        return merged
+
+    stats_parts = [p[5] for p in parts if p[5]["n"]]
+    bytes_stats = {
+        "min": min((p["min"] for p in stats_parts), default=None),
+        "max": max((p["max"] for p in stats_parts), default=None),
+        "sum": sum(p["sum"] for p in stats_parts),
+        "n": sum(p["n"] for p in stats_parts),
+    }
     return {
         "rows": sum(p[0] for p in parts),
         "batches": sum(p[1] for p in parts),
         "singles": sum(p[2] for p in parts),
+        "batch_size_hist": _merge(3),
+        "batch_bytes_hist": _merge(4),
+        "bytes_stats": bytes_stats,
     }
 
 

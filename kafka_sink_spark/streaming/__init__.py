@@ -3,3 +3,4 @@ from kafka_sink_spark.streaming.pipeline import (  # noqa: F401
     start_sink_stream,
     process_micro_batch,
 )
+from kafka_sink_spark.streaming.listener import SinkMetricsListener  # noqa: F401

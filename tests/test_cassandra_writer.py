@@ -348,3 +348,237 @@ def test_composite_partition_key_batching(spark, tmp_path):
     stats = write_routed(routed, table, schema, cfg, _factory_for(log_dir))
     assert stats["rows"] == 160
     assert stats["batches"] == 8 and stats["singles"] == 0  # 4 keys x 2 frames
+
+
+def test_batch_histograms_accounting(spark, tmp_path):
+    """KAF-99 equivalent (reference SimpleEndToEndSimulacronIT.java:859-874
+    asserts batchSizeHistogram / batchSizeInBytesHistogram): write_routed
+    returns bounded per-frame histograms whose totals reconcile with the
+    frame and row counts, with byte buckets at powers of two."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    schema = TableSchema(
+        "ks", "t",
+        [
+            ColumnSpec("p", "bigint", primary_key=True),
+            ColumnSpec("seq", "bigint", primary_key=True),
+            ColumnSpec("v", "int"),
+        ],
+    )
+    table = TableConfig("x", "ks", "t", parse_mapping("p=key, seq=value.s, v=value.v"))
+    from kafka_sink_spark.operators.writes import ROUTE_COL, TTL_COL, WRITETIME_COL
+
+    routed = spark.range(210).select(
+        (F.col("id") % 3).alias("p"), F.col("id").alias("seq"),
+        F.lit(1).alias("v"), F.lit("INSERT").alias(ROUTE_COL),
+        F.lit(1000).alias(WRITETIME_COL),
+        F.lit(None).cast("long").alias(TTL_COL),
+        F.col("id").alias("_kafka_offset"),
+    )
+    cfg = SinkConfig(tables=[table], max_number_of_records_in_batch=32)
+    stats = write_routed(routed, table, schema, cfg, _factory_for(log_dir))
+    # 3 keys x 70 rows -> frames of [32, 32, 6] per key
+    assert stats["batch_size_hist"] == {32: 6, 6: 3}
+    assert sum(sz * n for sz, n in stats["batch_size_hist"].items()) == stats["rows"]
+    assert sum(stats["batch_size_hist"].values()) == (
+        stats["batches"] + stats["singles"]
+    )
+    bytes_hist = stats["batch_bytes_hist"]
+    assert sum(bytes_hist.values()) == stats["rows"]  # one update per statement
+    assert all(b == 0 or (b & (b - 1)) == 0 for b in bytes_hist)  # powers of two
+    assert any(b > 0 for b in bytes_hist)  # statements carry actual payload
+    bs = stats["bytes_stats"]
+    assert bs["n"] == stats["rows"] and 0 < bs["min"] <= bs["max"]
+
+    # singles path: cap 1 -> every row is a frame of size 1
+    log2 = str(tmp_path / "log2")
+    os.makedirs(log2)
+    cfg1 = SinkConfig(tables=[table], max_number_of_records_in_batch=1)
+    stats1 = write_routed(routed, table, schema, cfg1, _factory_for(log2))
+    assert stats1["batch_size_hist"] == {1: 210}
+    assert stats1["singles"] == 210 and stats1["batches"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Simulacron wire-shape contract tests
+# (reference: SimpleEndToEndSimulacronIT.java:776-961)
+# ---------------------------------------------------------------------------
+
+
+class ParamLoggingSession(FakeSession):
+    """FakeSession that also records full statement text + bound params so
+    frame SEQUENCES and parameter tuples can be pinned, not just counts."""
+
+    def execute_async(self, stmt, params=None):
+        import json
+
+        self._log(
+            "EXECUTE\t" + json.dumps({"cql": stmt, "params": params}, default=str)
+        )
+        return _FakeFuture()
+
+    def execute_batch(self, stmts, consistency_level=None):
+        import json
+
+        self._log(
+            "BATCH\t"
+            + json.dumps(
+                {
+                    "cl": consistency_level,
+                    "stmts": [{"cql": s, "params": p} for s, p in stmts],
+                },
+                default=str,
+            )
+        )
+        return _FakeFuture()
+
+
+def _param_factory(log_dir):
+    def factory():
+        return ParamLoggingSession(log_dir)
+
+    return factory
+
+
+def _contract_routed(spark, table_name, values, writetime=153000987000):
+    """Routed rows mirroring the reference's batch_requests records: all
+    share routing key a=42, differ in b, carry the record-timestamp
+    writetime (ms 153000987 -> us 153000987000)."""
+    from kafka_sink_spark.operators.writes import ROUTE_COL, TTL_COL, WRITETIME_COL
+
+    schema = TableSchema(
+        "ks1", table_name,
+        [ColumnSpec("a", "int", primary_key=True), ColumnSpec("b", "string")],
+    )
+    rows = [(42, b) for b in values]
+    routed = spark.createDataFrame(rows, "a int, b string").select(
+        "a", "b",
+        F.lit("INSERT").alias(ROUTE_COL),
+        F.lit(writetime).alias(WRITETIME_COL),
+        F.lit(None).cast("long").alias(TTL_COL),
+        F.monotonically_increasing_id().alias("_kafka_offset"),
+    )
+    return routed, schema
+
+
+def test_simulacron_batch_requests_contract(spark, tmp_path):
+    """Reference batch_requests (SimpleEndToEndSimulacronIT.java:776-875):
+    2 same-key records for mytopic/table1 at LOCAL_ONE and 3 for
+    yourtopic/table2 at QUORUM must produce EXACTLY one BATCH frame each
+    (2 and 3 statements, correct CLs), zero EXECUTEs, the exact W1
+    statement text, the exact bound-parameter tuples, and the KAF-99
+    histogram shapes the reference asserts (one batch of N; bytes
+    histogram updated per statement with min!=max for differing payloads,
+    min==max for same-size payloads)."""
+    import json
+
+    cases = [
+        # (table, CL, values, expect_bytes_min_eq_max)
+        ("table1", "LOCAL_ONE", ["the answer", "the second answer"], False),
+        ("table2", "QUORUM", ["topic2 success1", "topic2 success2",
+                              "topic2 success3"], True),
+    ]
+    for tname, cl, values, same_bytes in cases:
+        log_dir = str(tmp_path / f"log_{tname}")
+        os.makedirs(log_dir)
+        routed, schema = _contract_routed(spark, tname, values)
+        table = TableConfig(
+            "mytopic" if tname == "table1" else "yourtopic",
+            "ks1", tname, parse_mapping("a=key, b=value.b"),
+            consistency_level=cl,
+        )
+        cfg = SinkConfig(tables=[table], max_number_of_records_in_batch=32)
+        stats = write_routed(routed, table, schema, cfg, _param_factory(log_dir))
+
+        lines = _read_log(log_dir)
+        batches = [json.loads(l.split("\t", 1)[1]) for l in lines
+                   if l.startswith("BATCH")]
+        executes = [l for l in lines if l.startswith("EXECUTE")]
+        # exactly one BATCH frame, zero EXECUTEs (reference wire assert)
+        assert len(batches) == 1 and len(executes) == 0
+        frame = batches[0]
+        assert frame["cl"] == cl
+        assert len(frame["stmts"]) == len(values)
+        # exact W1 template text on every member statement
+        expected_cql = (
+            f"INSERT INTO ks1.{tname}(a,b) VALUES (:a,:b) "
+            "USING TIMESTAMP :message_internal_timestamp"
+        )
+        assert all(s["cql"] == expected_cql for s in frame["stmts"])
+        # exact bound-parameter tuples (a=42, b, writetime 153000987000)
+        bound = [
+            (s["params"]["a"], s["params"]["b"],
+             s["params"]["message_internal_timestamp"])
+            for s in frame["stmts"]
+        ]
+        assert sorted(bound) == sorted((42, b, 153000987000) for b in values)
+        # KAF-99 shapes: one batch of N statements
+        assert stats["batch_size_hist"] == {len(values): 1}
+        bs = stats["bytes_stats"]
+        assert bs["n"] == len(values)
+        assert (bs["min"] == bs["max"]) == same_bytes
+
+
+def test_simulacron_fail_batch_marks_all_member_offsets(spark, tmp_path):
+    """Reference fail_batch_request (SimpleEndToEndSimulacronIT.java:898-961):
+    two same-key records co-batch into ONE frame (no EXECUTEs); when that
+    single batch fails, BOTH member records are marked failed — under
+    ignoreErrors=All both land in failedRecordCount; under the default
+    policy the whole micro-batch raises (Spark retry rewinds both
+    offsets, the preCommit equivalent)."""
+    import json
+
+    import pytest as _pytest
+
+    from kafka_sink_spark.streaming.pipeline import SinkMetrics, process_micro_batch
+
+    class FailingBatchSession(ParamLoggingSession):
+        def execute_batch(self, stmts, consistency_level=None):
+            super().execute_batch(stmts, consistency_level)
+            raise RuntimeError("server error: bad thing")
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    routed, schema = _contract_routed(
+        spark, "table1", ["the answer", "the second answer"]
+    )
+    table = TableConfig("mytopic", "ks1", "table1", parse_mapping("a=key, b=value.b"))
+    cfg = SinkConfig(tables=[table], max_number_of_records_in_batch=32)
+
+    def failing_factory():
+        return FailingBatchSession(log_dir)
+
+    def writer(df, t, s):
+        return write_routed(df, t, s, cfg, failing_factory)
+
+    # records stream shaped like the pipeline's input; both rows one key
+    records = spark.createDataFrame(
+        [("mytopic", 0, 1234, None, "42", '{"b": "the answer"}'),
+         ("mytopic", 1, 8888, None, "42", '{"b": "the second answer"}')],
+        "topic string, partition int, offset long, timestamp timestamp, "
+        "key string, value string",
+    )
+    schemas = {("ks1", "table1"): schema}
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    vs = {"mytopic": StructType([StructField("b", StringType())])}
+
+    # ignoreErrors=All: batch failure -> BOTH records counted failed
+    cfg.ignore_errors = "All"
+    metrics = SinkMetrics()
+    process_micro_batch(
+        records, cfg, schemas, value_schemas=vs, writer=writer, metrics=metrics
+    )
+    assert metrics.failed_record_count["mytopic|ks1.table1"] == 2
+    assert not metrics.record_count
+    # wire: exactly one BATCH frame was attempted, zero EXECUTEs
+    lines = _read_log(log_dir)
+    batches = [json.loads(l.split("\t", 1)[1]) for l in lines
+               if l.startswith("BATCH")]
+    assert len(batches) == 1 and len(batches[0]["stmts"]) == 2
+    assert not [l for l in lines if l.startswith("EXECUTE")]
+
+    # default policy (None): the failure propagates -> batch retry/rewind
+    cfg2 = SinkConfig(tables=[table], max_number_of_records_in_batch=32)
+    with _pytest.raises(Exception):
+        process_micro_batch(records, cfg2, schemas, value_schemas=vs, writer=writer)

@@ -290,3 +290,145 @@ def test_avro_struct_mode_through_pipeline(spark):
             batch, cfg2, schemas, value_schemas={"events": avro_schema}
         )
         out2["ks.t"].count()
+
+
+# ---------------------------------------------------------------------------
+# KAF-99/KAF-100 metrics + StreamingQueryListener exposition
+# ---------------------------------------------------------------------------
+
+# The histogram test drives the REAL executor write path (write_routed) with
+# a fake driver session; executor workers can't import pytest test modules by
+# name, so ship this module's classes by value inside the task closure.
+from pyspark import cloudpickle  # noqa: E402
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+class _HistFakeFuture:
+    def result(self):
+        return None
+
+
+class _HistFakeSession:
+    """Minimal cassandra-driver Session lookalike (no logging needed)."""
+
+    def prepare(self, cql):
+        return cql
+
+    def execute_async(self, stmt, params=None):
+        return _HistFakeFuture()
+
+    def execute_batch(self, stmts, consistency_level=None):
+        return _HistFakeFuture()
+
+
+def _user_keyed_records(spark, tmpdir: str) -> int:
+    """events keyed by USER (many events per key) → the writer's run
+    detection produces mixed frame sizes: full 32-statement batches,
+    sub-32 remainders, and occasional singles."""
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    records = events.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+    )
+    records.write.mode("overwrite").parquet(tmpdir)
+    return records.count()
+
+
+def test_batch_size_histograms_in_sink_metrics(spark, tmp_path):
+    """KAF-99 parity through the full pipeline: a writer returning
+    write_routed's stats feeds per-'topic|ks.table' batch-size and
+    batch-bytes histograms in SinkMetrics, and the totals reconcile with
+    recordCount. KAF-100: the failure/record rates are exposed."""
+    src = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    n_total = _user_keyed_records(spark, src)
+
+    cfg, schemas, _ = _config()
+    metrics = SinkMetrics()
+    from kafka_sink_spark.operators.cassandra_writer import write_routed
+
+    def writer(routed, table, schema):
+        return write_routed(routed, table, schema, cfg, lambda: _HistFakeSession())
+
+    q = start_sink_stream(
+        spark, spark.readStream.schema(RECORD_SCHEMA).parquet(src),
+        cfg, schemas, ckpt, writer,
+        value_schemas={"events": V_SCHEMA}, metrics=metrics, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    key = "events|ks.user_events"
+    size_hist = metrics.batch_size_histogram[key]
+    bytes_hist = metrics.batch_size_in_bytes_histogram[key]
+    # mixed sizes: full batches AND smaller frames both occur
+    assert len(size_hist) > 1
+    assert max(size_hist) == 32 and min(size_hist) >= 1
+    # histogram mass reconciles with the record counter
+    assert sum(sz * n for sz, n in size_hist.items()) == metrics.record_count[key]
+    assert metrics.record_count[key] == n_total
+    # bytes buckets are powers of two with one entry per STATEMENT (the
+    # reference updates batchSizeInBytesHistogram per batch member)
+    assert sum(bytes_hist.values()) == metrics.record_count[key]
+    assert all(b == 0 or (b & (b - 1)) == 0 for b in bytes_hist)
+    bstats = metrics.batch_size_in_bytes_stats[key]
+    assert bstats["n"] == metrics.record_count[key]
+    assert 0 < bstats["min"] <= bstats["max"]
+    # KAF-100 rates: events flowed, none failed
+    assert metrics.record_rate(key) > 0
+    assert metrics.failed_record_rate(key) == 0.0
+
+
+def test_metrics_listener_emits_per_batch_snapshots(spark, tmp_path):
+    """SURVEY §2.8 / KAF-85 equivalent: a StreamingQueryListener captures
+    one SinkMetrics snapshot per committed micro-batch, named by
+    'topic|ks.table', including the histograms and rates."""
+    import time as _time
+
+    from kafka_sink_spark.streaming.listener import SinkMetricsListener
+
+    src = str(tmp_path / "records")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n_total = _write_records(spark, src)
+
+    cfg, schemas, _ = _config()
+    metrics = SinkMetrics()
+    emitted = []
+    listener = SinkMetricsListener(metrics, emit=emitted.append)
+    spark.streams.addListener(listener)
+    try:
+        def writer(routed, table, schema):
+            routed.select("pk", "kcol").write.mode("append").parquet(out_dir)
+
+        q = start_sink_stream(
+            spark, spark.readStream.schema(RECORD_SCHEMA).parquet(src),
+            cfg, schemas, ckpt, writer,
+            value_schemas={"events": V_SCHEMA}, metrics=metrics,
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        # progress events are delivered asynchronously on the listener bus
+        deadline = _time.time() + 30
+        while not listener.events and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert listener.events, "no progress event captured within 30s"
+    assert emitted == listener.events  # the emit hook saw every event
+    last = listener.events[-1]
+    assert last["batch_id"] >= 0
+    snap = last["metrics"]
+    key = "events|ks.user_events"
+    n_unknown = snap["failed_with_unknown_topic"]
+    assert n_unknown > 0
+    assert snap["record_count"][key] == n_total - n_unknown
+    assert snap["record_rate"][key] > 0
+    assert snap["failed_record_rate"][key] == 0.0
