@@ -170,6 +170,12 @@ BENCH_QUERIES = [
     "orders_benford_digits",
     "lineitem_price_gini",
     "events_runs_test",
+    # round-7a probes wave
+    "events_hll_estimate",
+    "lineitem_ks_test",
+    "events_autocorrelation",
+    "embedding_jl_distortion",
+    "docs_term_dispersion",
 ]
 
 

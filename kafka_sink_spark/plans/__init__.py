@@ -19,6 +19,7 @@ import kafka_sink_spark.plans.analytics_matching  # noqa: F401,E402  (registers 
 import kafka_sink_spark.plans.analytics_assoc  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_digest  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_novelty  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_probes  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -70,6 +71,11 @@ DRIVER_PRIORITY: list[str] = [
     # -- round-7 waves (first driver row) --
     # (new round-7 queries are inserted here as they land; each displaces
     # the stalest tail recert below to hold the window at exactly 50)
+    "events_hll_estimate",
+    "lineitem_ks_test",
+    "events_autocorrelation",
+    "embedding_jl_distortion",
+    "docs_term_dispersion",
     # -- stalest recerts: judge-named core --
     "sink_udt_codecs",
     "multimodal_features",
@@ -101,12 +107,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_provided_query",
     "sink_provided_udt_partial",
     "sink_quoted_identifiers",
-    "sink_raw_values",
-    "sink_schema_defaults",
-    "sink_topic_routing",
-    # -- stalest recerts: r2 extension rows --
-    "dedup_clusters",
-    "dedup_exact",
 ]
 
 

@@ -322,13 +322,11 @@ def _acf_oracle(lags: int = _ACF_LAGS) -> str:
     per_k = []
     for k in range(1, lags + 1):
         per_k.append(
-            f"SUM(CASE WHEN x{k} IS NULL THEN 0
-                 ELSE xm::HUGEINT * x{k} END) AS p{k},
-             SUM(CASE WHEN x{k} IS NULL THEN 0 ELSE xm END) AS h{k},
-             SUM(CASE WHEN x{k} IS NULL THEN 0 ELSE x{k} END) AS t{k},
-             SUM(CASE WHEN x{k} IS NULL THEN 0 ELSE 1 END) AS np{k}".replace(
-                "\n                 ", " "
-            )
+            f"SUM(CASE WHEN x{k} IS NULL THEN 0"
+            f" ELSE xm::HUGEINT * x{k} END) AS p{k},"
+            f" SUM(CASE WHEN x{k} IS NULL THEN 0 ELSE xm END) AS h{k},"
+            f" SUM(CASE WHEN x{k} IS NULL THEN 0 ELSE x{k} END) AS t{k},"
+            f" SUM(CASE WHEN x{k} IS NULL THEN 0 ELSE 1 END) AS np{k}"
         )
     aggs = ",\n             ".join(per_k)
     rows = []

@@ -108,6 +108,12 @@ HEADLINERS = [
     "orders_benford_digits",  # 9-key count + single-row broadcast
     "lineitem_price_gini",  # two-phase rank-weighted sum, no global sort
     "events_runs_test",  # two type-keyed windows + broadcast medians
+    # round-7a probes wave
+    "events_hll_estimate",
+    "lineitem_ks_test",
+    "events_autocorrelation",
+    "embedding_jl_distortion",
+    "docs_term_dispersion",
 ]
 
 
