@@ -176,6 +176,12 @@ BENCH_QUERIES = [
     "events_autocorrelation",
     "embedding_jl_distortion",
     "docs_term_dispersion",
+    # round-7b evaluation wave
+    "corpus_rank_biased_overlap",
+    "orders_mann_whitney",
+    "docs_mattr",
+    "knn_mips",
+    "stream_hll_twin",
 ]
 
 

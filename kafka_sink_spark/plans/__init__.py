@@ -20,6 +20,7 @@ import kafka_sink_spark.plans.analytics_assoc  # noqa: F401,E402  (registers int
 import kafka_sink_spark.plans.analytics_digest  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_novelty  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_probes  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_evaluation  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -76,6 +77,11 @@ DRIVER_PRIORITY: list[str] = [
     "events_autocorrelation",
     "embedding_jl_distortion",
     "docs_term_dispersion",
+    "corpus_rank_biased_overlap",
+    "orders_mann_whitney",
+    "docs_mattr",
+    "knn_mips",
+    "stream_hll_twin",
     # -- stalest recerts: judge-named core --
     "sink_udt_codecs",
     "multimodal_features",
@@ -102,11 +108,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_multi_table_fanout",
     "sink_now_timeuuid_invariants",
     "sink_null_to_unset",
-    "sink_provided_list_append",
-    "sink_provided_map_entries",
-    "sink_provided_query",
-    "sink_provided_udt_partial",
-    "sink_quoted_identifiers",
 ]
 
 

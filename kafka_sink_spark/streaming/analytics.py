@@ -373,3 +373,39 @@ def countmin_stream(events: DataFrame, d: int = 3, w: int = 64) -> DataFrame:
         .groupBy("i", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Mergeable HyperLogLog register table over a stream of keyed events.
+
+    Each event hashes its user_id with the SAME md5 expressions as the
+    batch ``events_hll_estimate`` harness (top 6 bits → register index,
+    leading-zero rank of the low 54 bits via ``bin()`` length) and the
+    register keeps the running MAX rank — a plain streaming max
+    aggregation: associative, idempotent (replays are free), mergeable
+    across micro-batches and partitions, with state bounded at
+    |types| × 64 rows regardless of key cardinality or stream length.
+    In update mode each micro-batch emits the touched registers; ranks
+    are monotone, so the final value per register is the max emission
+    (what the availableNow twin reduces with).  Read-out (harmonic sum →
+    estimate) stays a batch projection over the final register table.
+    """
+    return (
+        events.select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substr(md5(concat('hll:', CAST(user_id AS STRING))),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            ).alias("hv"),
+        )
+        .select(
+            "event_type",
+            F.expr("hv div shiftleft(CAST(1 AS BIGINT), 54)").alias("idx"),
+            F.expr(
+                "CASE WHEN hv % shiftleft(CAST(1 AS BIGINT), 54) = 0 THEN 55"
+                " ELSE 55 - length(bin(hv % shiftleft(CAST(1 AS BIGINT), 54))) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
