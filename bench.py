@@ -182,6 +182,11 @@ BENCH_QUERIES = [
     "docs_mattr",
     "knn_mips",
     "stream_hll_twin",
+    # round-7c insights wave
+    "docs_keyphrase_rake",
+    "events_k_anonymity",
+    "embedding_centroid_silhouette",
+    "orders_cohort_revenue_retention",
 ]
 
 

@@ -21,6 +21,7 @@ import kafka_sink_spark.plans.analytics_digest  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_novelty  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_probes  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_evaluation  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_insights  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -82,6 +83,10 @@ DRIVER_PRIORITY: list[str] = [
     "docs_mattr",
     "knn_mips",
     "stream_hll_twin",
+    "docs_keyphrase_rake",
+    "events_k_anonymity",
+    "embedding_centroid_silhouette",
+    "orders_cohort_revenue_retention",
     # -- stalest recerts: judge-named core --
     "sink_udt_codecs",
     "multimodal_features",
@@ -104,10 +109,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_geo_wkt",
     "sink_headers",
     "sink_json_key",
-    "sink_literal_fallback",
-    "sink_multi_table_fanout",
-    "sink_now_timeuuid_invariants",
-    "sink_null_to_unset",
 ]
 
 

@@ -119,6 +119,9 @@ HEADLINERS = [
     "orders_mann_whitney",
     "docs_mattr",
     "knn_mips",
+    # round-7c insights wave
+    "docs_keyphrase_rake",
+    "embedding_centroid_silhouette",
 ]
 
 
