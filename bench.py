@@ -187,6 +187,11 @@ BENCH_QUERIES = [
     "events_k_anonymity",
     "embedding_centroid_silhouette",
     "orders_cohort_revenue_retention",
+    # round-7d structure wave
+    "docs_spearman_rho",
+    "parts_assortativity",
+    "lineitem_cramers_v",
+    "orders_interarrival_cv",
 ]
 
 

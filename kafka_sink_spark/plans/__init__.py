@@ -22,6 +22,7 @@ import kafka_sink_spark.plans.analytics_novelty  # noqa: F401,E402  (registers i
 import kafka_sink_spark.plans.analytics_probes  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_evaluation  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_insights  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_structure  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -87,6 +88,10 @@ DRIVER_PRIORITY: list[str] = [
     "events_k_anonymity",
     "embedding_centroid_silhouette",
     "orders_cohort_revenue_retention",
+    "docs_spearman_rho",
+    "parts_assortativity",
+    "lineitem_cramers_v",
+    "orders_interarrival_cv",
     # -- stalest recerts: judge-named core --
     "sink_udt_codecs",
     "multimodal_features",
@@ -105,10 +110,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_consistency_level",
     "sink_decimal_base64",
     "sink_delete_routing",
-    "sink_error_policy",
-    "sink_geo_wkt",
-    "sink_headers",
-    "sink_json_key",
 ]
 
 

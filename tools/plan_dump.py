@@ -122,6 +122,10 @@ HEADLINERS = [
     # round-7c insights wave
     "docs_keyphrase_rake",
     "embedding_centroid_silhouette",
+    # round-7d structure wave
+    "docs_spearman_rho",
+    "parts_assortativity",
+    "orders_interarrival_cv",
 ]
 
 
