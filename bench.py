@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "parts_assortativity",
     "lineitem_cramers_v",
     "orders_interarrival_cv",
+    # round-7e capstone
+    "pipeline_release_audit",
 ]
 
 

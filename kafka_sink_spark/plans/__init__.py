@@ -23,6 +23,7 @@ import kafka_sink_spark.plans.analytics_probes  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_evaluation  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_insights  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_structure  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_release  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -92,6 +93,7 @@ DRIVER_PRIORITY: list[str] = [
     "parts_assortativity",
     "lineitem_cramers_v",
     "orders_interarrival_cv",
+    "pipeline_release_audit",
     # -- stalest recerts: judge-named core --
     "sink_udt_codecs",
     "multimodal_features",
@@ -109,7 +111,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_collection_codecs",
     "sink_consistency_level",
     "sink_decimal_base64",
-    "sink_delete_routing",
 ]
 
 

@@ -126,6 +126,8 @@ HEADLINERS = [
     "docs_spearman_rho",
     "parts_assortativity",
     "orders_interarrival_cv",
+    # round-7e capstone
+    "pipeline_release_audit",  # three gates, one shuffle per boundary
 ]
 
 
