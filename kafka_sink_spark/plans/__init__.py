@@ -43,10 +43,13 @@ import kafka_sink_spark.plans.analytics_release  # noqa: F401,E402  (registers i
 # supplier_revenue_hhi, corpus_skipgram_cooccurrence,
 # docs_simpson_diversity, events_chisq_contingency, orders_shipping_sla).
 # All 17 lead this round's window to retire that certification debt in
-# one pass; new round-7 queries follow (first rows); the remaining slots
-# re-certify the stalest official rows — the judge-named recert core
-# (sink_udt_codecs, multimodal_features, the five r4 micros-NTZ fixes),
-# the two r1-only names, then the r2 cohort oldest-first.
+# one pass; the 19 new round-7 queries follow (first rows); the remaining
+# 14 slots re-certify the stalest official rows — the judge-named recert
+# core (sink_udt_codecs, multimodal_features, the five r4 micros-NTZ
+# fixes), the two r1-only names, then the r2 cohort oldest-first as far
+# as the slots reach (sink_batching .. sink_decimal_base64; the rest of
+# the r2 cohort resumes in the r8 rotation and is covered this round by
+# the full driver_check sweep in REPLICA_r07.md).
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
