@@ -194,6 +194,11 @@ BENCH_QUERIES = [
     "orders_interarrival_cv",
     # round-7e capstone
     "pipeline_release_audit",
+    # round-7f coverage wave
+    "corpus_good_turing",
+    "corpus_vocab_coverage",
+    "orders_abc_classification",
+    "parts_kcore",
 ]
 
 

@@ -24,6 +24,7 @@ import kafka_sink_spark.plans.analytics_evaluation  # noqa: F401,E402  (register
 import kafka_sink_spark.plans.analytics_insights  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_structure  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_release  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_coverage  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -43,13 +44,13 @@ import kafka_sink_spark.plans.analytics_release  # noqa: F401,E402  (registers i
 # supplier_revenue_hhi, corpus_skipgram_cooccurrence,
 # docs_simpson_diversity, events_chisq_contingency, orders_shipping_sla).
 # All 17 lead this round's window to retire that certification debt in
-# one pass; the 19 new round-7 queries follow (first rows); the remaining
-# 14 slots re-certify the stalest official rows — the judge-named recert
+# one pass; the 23 new round-7 queries follow (first rows); the remaining
+# 10 slots re-certify the stalest official rows — the judge-named recert
 # core (sink_udt_codecs, multimodal_features, the five r4 micros-NTZ
 # fixes), the two r1-only names, then the r2 cohort oldest-first as far
-# as the slots reach (sink_batching .. sink_decimal_base64; the rest of
-# the r2 cohort resumes in the r8 rotation and is covered this round by
-# the full driver_check sweep in REPLICA_r07.md).
+# as the slots reach (sink_batching; the rest of the r2 cohort resumes
+# in the r8 rotation and is covered this round by the full driver_check
+# sweep in REPLICA_r07.md).
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
@@ -97,6 +98,10 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_cramers_v",
     "orders_interarrival_cv",
     "pipeline_release_audit",
+    "corpus_good_turing",
+    "corpus_vocab_coverage",
+    "orders_abc_classification",
+    "parts_kcore",
     # -- stalest recerts: judge-named core --
     "sink_udt_codecs",
     "multimodal_features",
@@ -110,10 +115,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_rolling_fingerprint",
     # -- stalest recerts: r2 cohort, reference-parity rows first --
     "sink_batching",
-    "sink_codec_locale",
-    "sink_collection_codecs",
-    "sink_consistency_level",
-    "sink_decimal_base64",
 ]
 
 

@@ -128,6 +128,9 @@ HEADLINERS = [
     "orders_interarrival_cv",
     # round-7e capstone
     "pipeline_release_audit",  # three gates, one shuffle per boundary
+    # round-7f coverage wave
+    "orders_abc_classification",  # two-phase bucket-prefix cumulative
+    "parts_kcore",  # synchronized peeling on the persisted edge substrate
 ]
 
 
