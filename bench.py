@@ -199,6 +199,12 @@ BENCH_QUERIES = [
     "corpus_vocab_coverage",
     "orders_abc_classification",
     "parts_kcore",
+    # round-7g robust-inference wave
+    "events_pettitt_changepoint",
+    "lineitem_welch_ttest",
+    "orders_anova_f",
+    "events_theil_sen_trend",
+    "events_bowley_skewness",
 ]
 
 

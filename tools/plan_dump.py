@@ -131,6 +131,9 @@ HEADLINERS = [
     # round-7f coverage wave
     "orders_abc_classification",  # two-phase bucket-prefix cumulative
     "parts_kcore",  # synchronized peeling on the persisted edge substrate
+    "events_pettitt_changepoint",  # rank ladder + per-type U_t cumulative
+    "lineitem_welch_ttest",  # one partial-combined pass, single-row decimal math
+    "events_theil_sen_trend",  # bounded days^2 pair join, nearest-rank median
 ]
 
 
