@@ -205,6 +205,12 @@ BENCH_QUERIES = [
     "orders_anova_f",
     "events_theil_sen_trend",
     "events_bowley_skewness",
+    # round-7h profiles wave
+    "parts_clustering_coefficient",
+    "parts_link_prediction",
+    "orders_weekday_profile",
+    "docs_burrows_delta",
+    "events_value_drift_tvd",
 ]
 
 

@@ -26,6 +26,7 @@ import kafka_sink_spark.plans.analytics_structure  # noqa: F401,E402  (registers
 import kafka_sink_spark.plans.analytics_release  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_coverage  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_robust  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_profiles  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -45,12 +46,10 @@ import kafka_sink_spark.plans.analytics_robust  # noqa: F401,E402  (registers in
 # supplier_revenue_hhi, corpus_skipgram_cooccurrence,
 # docs_simpson_diversity, events_chisq_contingency, orders_shipping_sla).
 # All 17 lead this round's window to retire that certification debt in
-# one pass; the 28 new round-7 queries follow (first rows — waves 7a-7g);
-# the remaining 5 slots re-certify the stalest official rows (the
-# judge-named recert core: sink_udt_codecs, multimodal_features, and
-# three of the five r4 micros-NTZ fixes).  Displaced recerts
-# (sink_json_map, sink_upsert_replay, multimodal_frame_sample,
-# text_rolling_fingerprint, sink_batching and the rest of the r2 cohort)
+# one pass; the 33 new round-7 queries fill the rest (first rows — waves
+# 7a-7h; a first official row can never be recovered later, so new
+# queries outrank every re-certification).  The recerts displaced over
+# the round (the judge-named core, the r1-only pair, the r2 cohort)
 # resume in the r8 rotation and are covered this round by the full
 # driver_check sweep in REPLICA_r07.md.
 # The list is kept at EXACTLY 50 entries (window size; enforced by
@@ -109,14 +108,11 @@ DRIVER_PRIORITY: list[str] = [
     "orders_anova_f",
     "events_theil_sen_trend",
     "events_bowley_skewness",
-    # -- stalest recerts: judge-named core (tail recerts ceded their slots
-    #    to the 7g first-rows above; the full driver_check sweep in
-    #    REPLICA_r07.md covers every displaced name) --
-    "sink_udt_codecs",
-    "multimodal_features",
-    "events_range_window",
-    "events_asof_attribution",
-    "sink_daterange_precision",
+    "parts_clustering_coefficient",
+    "parts_link_prediction",
+    "orders_weekday_profile",
+    "docs_burrows_delta",
+    "events_value_drift_tvd",
 ]
 
 
