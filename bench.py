@@ -206,11 +206,17 @@ BENCH_QUERIES = [
     "events_theil_sen_trend",
     "events_bowley_skewness",
     # round-7h profiles wave
-    "parts_clustering_coefficient",
+    "parts_graph_cohesion",
     "parts_link_prediction",
     "orders_weekday_profile",
     "docs_burrows_delta",
     "events_value_drift_tvd",
+    # round-7i resampling wave
+    "events_bootstrap_ci",
+    "docs_cohens_kappa",
+    "lineitem_gini_split",
+    "parts_bfs_depths",
+    "embedding_knn_reciprocity",
 ]
 
 

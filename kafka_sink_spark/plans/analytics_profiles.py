@@ -2,17 +2,17 @@
 shape, stylometry, and distribution drift — five more published
 techniques in the catalog's exact-integer, oracle-twinned style.
 
-- ``parts_clustering_coefficient``  local clustering coefficient
-  (Watts–Strogatz 1998): per node, the fraction of neighbor pairs that
-  are themselves connected, 2T_v/(d_v(d_v−1)) in exact ppm — the
-  classic "how clique-like is this node's neighborhood" profile beside
-  the global triangle count.
+- ``parts_graph_cohesion``  global transitivity (Newman's 3·T/W) next
+  to the average local clustering coefficient (Watts–Strogatz 1998):
+  the classic cohesion pair whose gap diagnoses hub structure;
+  triangles enumerated once via the degree-ordered orientation,
+  per-node lcc in exact ppm.
 - ``parts_link_prediction``  resource-allocation link prediction
-  (Zhou–Lü–Zhang 2009): for non-adjacent part pairs sharing common
-  co-purchase neighbors, RA(a,b) = Σ_z 1/deg(z) — the published
-  common-neighbor index that needs NO logarithm (unlike Adamic–Adar),
-  so each term is an exact truncated ppm and the sum stays
-  order-independent.  Top-50 candidate edges by score.
+  (Zhou–Lü–Zhang 2009) on the support≥2-pruned co-purchase graph: for
+  non-adjacent part pairs sharing common neighbors, RA(a,b) =
+  Σ_z 1/deg(z) — the published common-neighbor index that needs NO
+  logarithm (unlike Adamic–Adar), so each term is an exact truncated
+  ppm and the sum stays order-independent.  Top-50 candidate edges.
 - ``orders_weekday_profile``  weekday seasonal decomposition: a
   centered 7-observation moving average detrends the daily revenue
   series (7·y − Σ₇ keeps the detrended residue integral in 7×-cents),
@@ -50,81 +50,139 @@ from kafka_sink_spark.session import load_tables
 # Local clustering coefficient on the co-purchase graph
 # --------------------------------------------------------------------------
 
-_LCC_ORACLE = """
+_COHESION_ORACLE = """
     WITH li AS (
       SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ), e AS (
       SELECT DISTINCT a.pk AS src, b.pk AS dst
       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
-    ), und AS (
-      SELECT src, dst FROM e WHERE src < dst
     ), deg AS (
       SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src
-    ), tri AS (
-      SELECT w.v AS node, COUNT(*) AS t
-      FROM (SELECT e1.src AS v, e1.dst AS a, e2.dst AS b
-            FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst) w
-      JOIN und u ON u.src = w.a AND u.dst = w.b
-      GROUP BY w.v
+    ), o AS (
+      SELECT e.src AS a, e.dst AS b
+      FROM e
+      JOIN deg da ON da.node = e.src
+      JOIN deg db ON db.node = e.dst
+      WHERE (da.d < db.d) OR (da.d = db.d AND e.src < e.dst)
+    ), t AS (
+      -- o holds each oriented edge exactly once, so the closure check is a
+      -- plain inner join (no multiplicity to dedup)
+      SELECT w.a, w.b, w.c
+      FROM (SELECT x.a, x.b, y.b AS c FROM o x JOIN o y ON x.b = y.a) w
+      JOIN o cl ON cl.a = w.a AND cl.b = w.c
+    ), pt AS (
+      SELECT part_key, COUNT(*) AS tri FROM (
+        SELECT a AS part_key FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+      ) GROUP BY part_key
+    ), node_lcc AS (
+      SELECT deg.node, deg.d, COALESCE(pt.tri, 0) AS tri,
+             CASE WHEN deg.d < 2 THEN NULL
+                  ELSE (2 * COALESCE(pt.tri, 0)::HUGEINT * 1000000)
+                       // (deg.d::HUGEINT * (deg.d - 1)) END AS lcc_ppm
+      FROM deg LEFT JOIN pt ON pt.part_key = deg.node
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             SUM(d) // 2 AS n_edges,
+             SUM(d::HUGEINT * (d - 1)) // 2 AS n_wedges,
+             SUM(tri) // 3 AS n_triangles,
+             SUM(CASE WHEN lcc_ppm IS NOT NULL THEN 1 ELSE 0 END) AS n_eligible,
+             SUM(COALESCE(lcc_ppm, 0)) AS lcc_sum
+      FROM node_lcc
     )
-    SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
-           CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
-           CAST(CASE WHEN deg.d < 2 THEN 0
-                ELSE (2 * COALESCE(tri.t, 0) * 1000000)
-                     // (deg.d * (deg.d - 1)) END AS BIGINT) AS lcc_ppm
-    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    SELECT g.n_nodes, CAST(g.n_edges AS BIGINT) AS n_edges,
+           CAST(g.n_wedges AS BIGINT) AS n_wedges,
+           CAST(g.n_triangles AS BIGINT) AS n_triangles,
+           CAST((3 * g.n_triangles::HUGEINT * 1000000) // g.n_wedges
+             AS BIGINT) AS transitivity_ppm,
+           CAST(g.lcc_sum // g.n_eligible AS BIGINT) AS avg_lcc_ppm
+    FROM g
     """
 
 
-@register("parts_clustering_coefficient", oracle=_LCC_ORACLE)
-def parts_clustering_coefficient(spark, sf_dir):
-    """Local clustering coefficient (Watts–Strogatz 1998) of every node
-    in the part co-purchase graph: lcc(v) = 2·T_v / (d_v·(d_v−1)) in
-    exact ppm, where T_v counts the closed wedges at v (neighbor pairs
-    that are themselves an edge).  High-lcc parts sit inside cohesive
-    bundles (kit components); hub parts with low lcc bridge unrelated
-    baskets — the per-node texture that the global triangle count
-    (parts_copurchase_triangles) averages away.
+@register("parts_graph_cohesion", oracle=_COHESION_ORACLE)
+def parts_graph_cohesion(spark, sf_dir):
+    """Graph cohesion profile of the part co-purchase graph: global
+    TRANSITIVITY 3·T/W (Newman's ratio of closed to open wedges) next
+    to the AVERAGE local clustering coefficient (Watts–Strogatz 1998) —
+    the classic pair that agree on regular graphs and split on
+    skew-degree ones (transitivity is hub-weighted, average lcc is
+    node-weighted; their gap is the standard hub-structure diagnostic).
+    Triangles are enumerated ONCE via the degree-ordered orientation
+    (each triangle from its lowest-degree vertex), per-node counts come
+    from a 3-way explode of the closed set, and every node's lcc is an
+    exact ppm — per-node truncation, then a truncated mean over the
+    degree≥2 nodes.
 
-    Scale shape: reuses the PERSISTED src-partitioned edge substrate;
-    the wedge enumeration e ⋈ e on the center node rides that
-    partitioning (cost Σ_v d_v², the same budget the triangle count
-    already pays), closure is ONE semi-join of wedges against the
-    undirected edge list, and degrees/triangle counts partial-combine
-    on the node key.
+    Scale shape: reuses the PERSISTED degree-ordered oriented edge
+    substrate (shared with parts_copurchase_triangles in-session), so
+    the wedge budget is the classical O(m^1.5) orientation bound — far
+    below Σd² on skewed graphs; wedge counts need only the degree
+    aggregate; node counts ride a triangle-sized explode.  Nodes are
+    catalog-bounded, so the whole pass is bounded by the catalog, not
+    the fact table.
     """
+    from kafka_sink_spark.plans.analytics_matching import _oriented_edges
     from kafka_sink_spark.plans.analytics_mining import _copurchase_edges
 
     e = _copurchase_edges(spark, sf_dir)
-    und = e.filter(F.col("src") < F.col("dst"))
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    wedges = (
-        e.select(F.col("src").alias("v"), F.col("dst").alias("a"))
-        .join(
-            e.select(F.col("src").alias("v"), F.col("dst").alias("b")), "v"
+    o = _oriented_edges(spark, sf_dir)
+    w = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
         )
-        .filter(F.col("a") < F.col("b"))
     )
-    closed = wedges.join(
-        und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"],
+    t = w.join(
+        o.select(F.col("a").alias("ca"), F.col("b").alias("cc")),
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")),
         "left_semi",
     )
-    tri = closed.groupBy(F.col("v").alias("node")).agg(
-        F.count("*").alias("t")
+    pt = (
+        t.select(F.explode(F.array("a", "b", "c")).alias("part_key"))
+        .groupBy("part_key")
+        .agg(F.count("*").alias("tri"))
     )
-    return (
-        deg.join(tri, "node", "left")
-        .select(
-            "node",
-            F.col("d").cast("long").alias("degree"),
-            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
-            F.expr(
-                "CAST(CASE WHEN d < 2 THEN 0"
-                " ELSE (2 * COALESCE(t, 0) * 1000000) div (d * (d - 1))"
-                " END AS BIGINT)"
-            ).alias("lcc_ppm"),
-        )
+    node_lcc = deg.join(
+        pt.withColumnRenamed("part_key", "node"), "node", "left"
+    ).select(
+        "d",
+        F.coalesce("tri", F.lit(0)).alias("tri"),
+        F.expr(
+            "CASE WHEN d < 2 THEN NULL"
+            " ELSE (2 * CAST(COALESCE(tri, 0) AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(d AS DECIMAL(38,0)) * (d - 1)) END"
+        ).alias("lcc_ppm"),
+    )
+    # n_triangles = Σ per-node counts / 3 — derived from the SAME pass as
+    # the lcc profile, so the triangle pipeline executes exactly once.
+    g = node_lcc.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("CAST(SUM(d) div 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(SUM(CAST(d AS DECIMAL(38,0)) * (d - 1)) div 2 AS BIGINT)"
+        ).alias("n_wedges"),
+        F.expr("CAST(SUM(tri) div 3 AS BIGINT)").alias("n_triangles"),
+        F.sum(F.expr("CASE WHEN lcc_ppm IS NOT NULL THEN 1 ELSE 0 END")).alias(
+            "n_eligible"
+        ),
+        F.sum(F.coalesce("lcc_ppm", F.lit(0))).alias("lcc_sum"),
+    )
+    return g.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CAST((3 * CAST(n_triangles AS DECIMAL(38,0)) * 1000000)"
+            " div n_wedges AS BIGINT)"
+        ).alias("transitivity_ppm"),
+        F.expr("CAST(lcc_sum div n_eligible AS BIGINT)").alias("avg_lcc_ppm"),
     )
 
 
@@ -133,13 +191,15 @@ def parts_clustering_coefficient(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _RA_TOPK = 50
+_RA_MIN_SUPPORT = 2
 
 _RA_ORACLE = f"""
     WITH li AS (
       SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
     ), e AS (
-      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      SELECT a.pk AS src, b.pk AS dst
       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_RA_MIN_SUPPORT}
     ), deg AS (
       SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src
     ), hop2 AS (
@@ -166,26 +226,41 @@ _RA_ORACLE = f"""
 @register("parts_link_prediction", oracle=_RA_ORACLE)
 def parts_link_prediction(spark, sf_dir):
     """Resource-allocation link prediction (Zhou–Lü–Zhang 2009) on the
-    part co-purchase graph: for every NON-adjacent pair (a, b) with
-    common neighbors, RA(a,b) = Σ_z 1/deg(z) over the shared neighbors
-    z — the published index that beats Adamic–Adar on co-occurrence
-    graphs and, unlike it, needs no logarithm: each 1/deg term is an
-    exact truncated ppm, so the per-pair sum is order-independent and
-    bit-identical across engines.  Emits the top-{k} predicted edges
-    (score desc, then pair id) — "parts that should co-sell but don't
-    yet", the recommender primitive.
+    SUPPORT-PRUNED part co-purchase graph (edges kept only when the
+    pair was co-purchased ≥{s} times — the standard market-basket noise
+    floor: one-off co-occurrences in random baskets grow linearly with
+    order volume and carry no affinity signal, while repeat pairs
+    concentrate on true complements and keep the graph sparse at every
+    SF).  For every NON-adjacent pair (a, b) with common neighbors,
+    RA(a,b) = Σ_z 1/deg(z) over the shared neighbors z — the published
+    index that beats Adamic–Adar on co-occurrence graphs and, unlike
+    it, needs no logarithm: each 1/deg term is an exact truncated ppm,
+    so the per-pair sum is order-independent and bit-identical across
+    engines.  Emits the top-{k} predicted edges (score desc, then pair
+    id) — "parts that should co-sell but don't yet", the recommender
+    primitive.
 
-    Scale shape: the two-hop enumeration rides the PERSISTED
-    src-partitioned edge substrate (one self-join on the center node,
-    Σ_v d_v² wedges — the triangle budget); per-pair scores
-    partial-combine on the (a, b) key; adjacency is removed by ONE
-    anti-join against the edge list on its native partitioning; the
-    top-{k} plans as TakeOrderedAndProject (per-task O(k) heads merged
-    on the driver, never a global sort materialization).
+    Scale shape: support counts partial-combine on the (src, dst) key
+    (the one fact-sized pass); the two-hop enumeration runs on the
+    PRUNED graph (wedges collapse from Σd² ≈ 3·10⁸ to ~10⁴ at sf0.1 —
+    measured, which is WHY the threshold is part of the definition);
+    per-pair scores partial-combine on (a, b); adjacency is removed by
+    ONE anti-join; the top-{k} plans as TakeOrderedAndProject (per-task
+    O(k) heads merged on the driver, never a global sort
+    materialization).
     """
-    from kafka_sink_spark.plans.analytics_mining import _copurchase_edges
-
-    e = _copurchase_edges(spark, sf_dir)
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "ok")
+        .where(F.col("x.pk") != F.col("y.pk"))
+        .groupBy(F.col("x.pk").alias("src"), F.col("y.pk").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _RA_MIN_SUPPORT)
+        .select("src", "dst")
+    )
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     hop2 = (
         e.select(F.col("src").alias("z"), F.col("dst").alias("a"))
@@ -216,7 +291,7 @@ def parts_link_prediction(spark, sf_dir):
 
 
 parts_link_prediction.__doc__ = parts_link_prediction.__doc__.format(
-    k=_RA_TOPK
+    k=_RA_TOPK, s=_RA_MIN_SUPPORT
 )
 
 

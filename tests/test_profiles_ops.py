@@ -37,34 +37,56 @@ def _neighbors(spark):
 
 
 # ---------------------------------------------------------------------------
-# parts_clustering_coefficient
+# parts_graph_cohesion
 # ---------------------------------------------------------------------------
 
 
-def test_lcc_matches_reference_python(spark):
+def test_graph_cohesion_matches_reference_python(spark):
     nb = _neighbors(spark)
-    expected = {}
+    n_nodes = len(nb)
+    n_edges = sum(len(ns) for ns in nb.values()) // 2
+    n_wedges = sum(len(ns) * (len(ns) - 1) for ns in nb.values()) // 2
+    tri_per_node: Counter = Counter()
+    n_triangles = 0
     for v, ns in nb.items():
-        d = len(ns)
-        tri = 0
         ns_sorted = sorted(ns)
+        tri = 0
         for i, x in enumerate(ns_sorted):
             for y in ns_sorted[i + 1 :]:
                 if y in nb[x]:
                     tri += 1
-        lcc = 0 if d < 2 else (2 * tri * 1_000_000) // (d * (d - 1))
-        expected[v] = (d, tri, lcc)
-    got = {
-        r.node: (r.degree, r.triangles, r.lcc_ppm)
-        for r in QUERIES["parts_clustering_coefficient"](
-            spark, SF_DIR
-        ).collect()
-    }
-    assert got == expected
+        tri_per_node[v] = tri
+        n_triangles += tri
+    n_triangles //= 3
+    eligible = [v for v, ns in nb.items() if len(ns) >= 2]
+    lcc_sum = sum(
+        (2 * tri_per_node[v] * 1_000_000)
+        // (len(nb[v]) * (len(nb[v]) - 1))
+        for v in eligible
+    )
+    expected = (
+        n_nodes,
+        n_edges,
+        n_wedges,
+        n_triangles,
+        (3 * n_triangles * 1_000_000) // n_wedges,
+        lcc_sum // len(eligible),
+    )
+    row = QUERIES["parts_graph_cohesion"](spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (
+        r.n_nodes,
+        r.n_edges,
+        r.n_wedges,
+        r.n_triangles,
+        r.transitivity_ppm,
+        r.avg_lcc_ppm,
+    ) == expected
 
 
-def test_lcc_plan_no_cartesian(spark):
-    plan = _plan(spark, "parts_clustering_coefficient")
+def test_graph_cohesion_plan_no_cartesian(spark):
+    plan = _plan(spark, "parts_graph_cohesion")
     assert "CartesianProduct" not in plan
 
 
@@ -73,8 +95,26 @@ def test_lcc_plan_no_cartesian(spark):
 # ---------------------------------------------------------------------------
 
 
+def _support_neighbors(spark, min_support=2):
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"].collect()
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r.l_orderkey].append(r.l_partkey)
+    weight: Counter = Counter()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    weight[(a, b)] += 1
+    nb = defaultdict(set)
+    for (a, b), w in weight.items():
+        if w >= min_support:
+            nb[a].add(b)
+    return nb
+
+
 def test_link_prediction_matches_reference_python(spark):
-    nb = _neighbors(spark)
+    nb = _support_neighbors(spark)
     scores: Counter = Counter()
     common: Counter = Counter()
     for z, ns in nb.items():
@@ -103,9 +143,9 @@ def test_link_prediction_matches_reference_python(spark):
 def test_link_prediction_topk_plan(spark):
     plan = _plan(spark, "parts_link_prediction")
     assert "TakeOrderedAndProject" in plan
-    # predicted edges must not already exist
+    # predicted edges must not already exist in the support-pruned graph
     rows = QUERIES["parts_link_prediction"](spark, SF_DIR).collect()
-    nb = _neighbors(spark)
+    nb = _support_neighbors(spark)
     assert rows and all(r.b not in nb[r.a] for r in rows)
 
 

@@ -134,9 +134,12 @@ HEADLINERS = [
     "events_pettitt_changepoint",  # rank ladder + per-type U_t cumulative
     "lineitem_welch_ttest",  # one partial-combined pass, single-row decimal math
     "events_theil_sen_trend",  # bounded days^2 pair join, nearest-rank median
-    "parts_clustering_coefficient",  # wedge join on the persisted edge substrate
+    "parts_graph_cohesion",  # degree-ordered triangle enumeration, one row
     "parts_link_prediction",  # two-hop RA scores, anti-join, TakeOrderedAndProject
     "events_value_drift_tvd",  # one histogram pass, constant-grid arithmetic
+    "events_bootstrap_ci",  # 40x replicate projection, no shuffle before the b-key agg
+    "lineitem_gini_split",  # one histogram pass + 32-row bounded prefix scoring
+    "parts_bfs_depths",  # localCheckpointed frontier rounds on the edge substrate
 ]
 
 
