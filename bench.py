@@ -217,6 +217,12 @@ BENCH_QUERIES = [
     "lineitem_gini_split",
     "parts_bfs_depths",
     "embedding_knn_reciprocity",
+    # round-7j estimation wave
+    "corpus_zipf_alpha",
+    "knn_label_ndcg",
+    "docs_kmv_jaccard",
+    "stream_drift_twin",
+    "parts_jaccard_similarity",
 ]
 
 

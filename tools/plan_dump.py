@@ -140,6 +140,9 @@ HEADLINERS = [
     "events_bootstrap_ci",  # 40x replicate projection, no shuffle before the b-key agg
     "lineitem_gini_split",  # one histogram pass + 32-row bounded prefix scoring
     "parts_bfs_depths",  # localCheckpointed frontier rounds on the edge substrate
+    "corpus_zipf_alpha",  # WindowGroupLimit rank extraction + constant-point OLS
+    "knn_label_ndcg",  # broadcast query panel, per-query WindowGroupLimit
+    "docs_kmv_jaccard",  # one shingle shuffle, bottom-k rank filter
 ]
 
 
