@@ -223,6 +223,12 @@ BENCH_QUERIES = [
     "docs_kmv_jaccard",
     "stream_drift_twin",
     "parts_jaccard_similarity",
+    # round-7k governance wave
+    "events_l_diversity",
+    "orders_disparate_impact",
+    "customer_decile_lift",
+    "orders_seasonal_strength",
+    "supplier_winsorized_balance",
 ]
 
 

@@ -29,6 +29,7 @@ import kafka_sink_spark.plans.analytics_robust  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_profiles  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_resampling  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_estimation  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_governance  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -50,15 +51,17 @@ import kafka_sink_spark.plans.analytics_estimation  # noqa: F401,E402  (register
 # All 17 lead this round's window to retire that certification debt in
 # one pass; the 33 new round-7 queries fill the rest (first rows — waves
 # 7a-7h; a first official row can never be recovered later, so new
-# queries outrank every re-certification).  The wave-7i/7j queries
-# (events_bootstrap_ci, docs_cohens_kappa, lineitem_gini_split,
-# parts_bfs_depths, embedding_knn_reciprocity, corpus_zipf_alpha,
+# queries outrank every re-certification).  The wave-7i/7j/7k queries
+# (7i: events_bootstrap_ci, docs_cohens_kappa, lineitem_gini_split,
+# parts_bfs_depths, embedding_knn_reciprocity; 7j: corpus_zipf_alpha,
 # knn_label_ndcg, docs_kmv_jaccard, stream_drift_twin,
-# parts_jaccard_similarity) registered after the window filled; they
-# LEAD the r8 rotation as its certification debt, followed by the
-# recerts displaced over this round (the judge-named core, the r1-only
-# pair, the r2 cohort) — all covered this round by the full
-# driver_check sweep in REPLICA_r07.md.
+# parts_jaccard_similarity; 7k: events_l_diversity,
+# orders_disparate_impact, customer_decile_lift,
+# orders_seasonal_strength, supplier_winsorized_balance) registered
+# after the window filled; they LEAD the r8 rotation as its
+# certification debt, followed by the recerts displaced over this
+# round (the judge-named core, the r1-only pair, the r2 cohort) — all
+# covered this round by the full driver_check sweep in REPLICA_r07.md.
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +

@@ -143,6 +143,8 @@ HEADLINERS = [
     "corpus_zipf_alpha",  # WindowGroupLimit rank extraction + constant-point OLS
     "knn_label_ndcg",  # broadcast query panel, per-query WindowGroupLimit
     "docs_kmv_jaccard",  # one shingle shuffle, bottom-k rank filter
+    "customer_decile_lift",  # two-phase bucket-prefix rank, no global sort
+    "orders_seasonal_strength",  # calendar-bounded decomposition, one DEC38 ratio
 ]
 
 
