@@ -608,11 +608,15 @@ def events_value_drift_tvd(spark, sf_dir):
         F.min("c").alias("lo"),
         F.expr(f"((MAX(c) - MIN(c)) div {_TVD_BUCKETS}) + 1").alias("width"),
     )
+    # The ≤{b}×2-row histogram feeds four downstream branches (totals,
+    # shares, TVD sum, peak pick); an eager localCheckpoint truncates the
+    # lineage so the events scan runs ONCE, not once per branch.
     b = (
         v.crossJoin(F.broadcast(stats))
         .select(F.expr("(c - lo) div width").alias("bucket"), "half")
         .groupBy("bucket", "half")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     n = b.agg(
         F.sum(F.when(F.col("half") == 1, F.col("cnt")).otherwise(0)).alias(
