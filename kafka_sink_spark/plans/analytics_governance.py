@@ -496,8 +496,10 @@ def supplier_winsorized_balance(spark, sf_dir):
             F.coalesce(F.sum("t").over(below_w), F.lit(0)).alias("below"),
         )
     )
-    n = v.agg(
-        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    # totals derive from the ladder (n = Σt, s = Σc·t) — no second scan
+    n = ladder.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("t")).cast("long").alias("s"),
     )
     targets = n.select(
         "n",

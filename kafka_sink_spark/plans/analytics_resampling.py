@@ -395,12 +395,14 @@ def lineitem_gini_split(spark, sf_dir):
         F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("c"),
         F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END").alias("y"),
     )
+    # single-row stats feed both the bucketize pass and the candidate
+    # scoring — checkpoint so the lineitem scan is not re-derived per use
     stats = v.agg(
         F.min("c").alias("lo"),
         F.expr(f"((MAX(c) - MIN(c)) div {_SPLIT_BUCKETS}) + 1").alias("width"),
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("r"),
-    )
+    ).localCheckpoint(eager=True)
     hist = (
         v.crossJoin(F.broadcast(stats))
         .select(F.expr("(c - lo) div width").alias("bucket"), "y")

@@ -573,7 +573,8 @@ def events_bowley_skewness(spark, sf_dir):
             F.coalesce(F.sum("t").over(below_w), F.lit(0)).alias("below"),
         )
     )
-    n = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    # per-type totals derive from the ladder (n = Σt) — no second scan
+    n = ladder.groupBy("event_type").agg(F.sum("t").alias("n"))
     targets = n.select(
         "event_type",
         "n",
