@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "customer_decile_lift",
     "orders_seasonal_strength",
     "supplier_winsorized_balance",
+    # round-7l lateness certification
+    "stream_late_data_twin",
 ]
 
 

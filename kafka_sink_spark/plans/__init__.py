@@ -30,6 +30,7 @@ import kafka_sink_spark.plans.analytics_profiles  # noqa: F401,E402  (registers 
 import kafka_sink_spark.plans.analytics_resampling  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_estimation  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_governance  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_lateness  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
