@@ -58,8 +58,9 @@ import kafka_sink_spark.plans.analytics_lateness  # noqa: F401,E402  (registers 
 # knn_label_ndcg, docs_kmv_jaccard, stream_drift_twin,
 # parts_jaccard_similarity; 7k: events_l_diversity,
 # orders_disparate_impact, customer_decile_lift,
-# orders_seasonal_strength, supplier_winsorized_balance) registered
-# after the window filled; they LEAD the r8 rotation as its
+# orders_seasonal_strength, supplier_winsorized_balance; 7l:
+# stream_late_data_twin) registered after the window filled; they
+# LEAD the r8 rotation as its
 # certification debt, followed by the recerts displaced over this
 # round (the judge-named core, the r1-only pair, the r2 cohort) — all
 # covered this round by the full driver_check sweep in REPLICA_r07.md.
