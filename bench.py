@@ -231,6 +231,12 @@ BENCH_QUERIES = [
     "supplier_winsorized_balance",
     # round-7l lateness certification
     "stream_late_data_twin",
+    # round-7m experimentation wave
+    "events_cuped_variance_reduction",
+    "events_wasserstein_drift",
+    "lineitem_xbar_control",
+    "events_mean_excess",
+    "knn_aggregate_diversity",
 ]
 
 

@@ -31,6 +31,7 @@ import kafka_sink_spark.plans.analytics_resampling  # noqa: F401,E402  (register
 import kafka_sink_spark.plans.analytics_estimation  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_governance  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_lateness  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_experimentation  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -59,7 +60,9 @@ import kafka_sink_spark.plans.analytics_lateness  # noqa: F401,E402  (registers 
 # parts_jaccard_similarity; 7k: events_l_diversity,
 # orders_disparate_impact, customer_decile_lift,
 # orders_seasonal_strength, supplier_winsorized_balance; 7l:
-# stream_late_data_twin) registered after the window filled; they
+# stream_late_data_twin; 7m: events_cuped_variance_reduction,
+# events_wasserstein_drift, lineitem_xbar_control, events_mean_excess,
+# knn_aggregate_diversity) registered after the window filled; they
 # LEAD the r8 rotation as its
 # certification debt, followed by the recerts displaced over this
 # round (the judge-named core, the r1-only pair, the r2 cohort) — all

@@ -145,6 +145,8 @@ HEADLINERS = [
     "docs_kmv_jaccard",  # one shingle shuffle, bottom-k rank filter
     "customer_decile_lift",  # two-phase bucket-prefix rank, no global sort
     "orders_seasonal_strength",  # calendar-bounded decomposition, one DEC38 ratio
+    "events_cuped_variance_reduction",  # one fact shuffle, user-grid passes after
+    "lineitem_xbar_control",  # day-partitioned WindowGroupLimit subgroups
 ]
 
 
