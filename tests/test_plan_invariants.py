@@ -637,3 +637,36 @@ def test_exact_dedup_semi_join_unhinted(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_welch_single_fact_scan(spark):
+    """lineitem_welch_ttest reduces both price populations in ONE
+    conditional aggregate — a second lineitem scan (the r7 draft's R/A
+    self-join) would double the fact cost at scale."""
+    plan = _plan(spark, "lineitem_welch_ttest")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_drift_probes_share_one_events_scan(spark):
+    """events_value_drift_tvd checkpoints its 32-row histogram so the
+    four readout branches do not re-derive the events scan; the
+    Wasserstein probe shares the same discipline."""
+    for name in ("events_value_drift_tvd", "events_wasserstein_drift"):
+        plan = _plan(spark, name)
+        # stats pass + bucketize pass read events; the checkpointed grid
+        # serves every downstream branch
+        assert plan.count("Scan parquet") <= 2, name
+        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, name
+
+
+def test_new_graph_queries_ride_pruned_or_oriented_substrates(spark):
+    """parts_link_prediction / parts_jaccard_similarity must enumerate on
+    the support-pruned graph (measured: Σd² collapses ~3·10⁸ → ~10⁴ at
+    sf0.1) and keep the catalog-sized degree joins unhinted."""
+    for name in ("parts_link_prediction", "parts_jaccard_similarity"):
+        df = QUERIES[name](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
