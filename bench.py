@@ -237,6 +237,11 @@ BENCH_QUERIES = [
     "lineitem_xbar_control",
     "events_mean_excess",
     "knn_aggregate_diversity",
+    # round-7n readability/structure wave
+    "docs_source_entropy",
+    "docs_flesch_readability",
+    "lineitem_abc_xyz",
+    "parts_rich_club",
 ]
 
 

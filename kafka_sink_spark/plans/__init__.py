@@ -32,6 +32,7 @@ import kafka_sink_spark.plans.analytics_estimation  # noqa: F401,E402  (register
 import kafka_sink_spark.plans.analytics_governance  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_lateness  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_experimentation  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_readability  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -62,7 +63,9 @@ import kafka_sink_spark.plans.analytics_experimentation  # noqa: F401,E402  (reg
 # orders_seasonal_strength, supplier_winsorized_balance; 7l:
 # stream_late_data_twin; 7m: events_cuped_variance_reduction,
 # events_wasserstein_drift, lineitem_xbar_control, events_mean_excess,
-# knn_aggregate_diversity) registered after the window filled; they
+# knn_aggregate_diversity; 7n: docs_source_entropy,
+# docs_flesch_readability, lineitem_abc_xyz, parts_rich_club)
+# registered after the window filled; they
 # LEAD the r8 rotation as its
 # certification debt, followed by the recerts displaced over this
 # round (the judge-named core, the r1-only pair, the r2 cohort) — all
