@@ -45,92 +45,82 @@ import kafka_sink_spark.plans.analytics_readability  # noqa: F401,E402  (registe
 # tools/driver_check.py sweep (REPLICA_r*.md) plus the judge's own replica
 # run.
 #
-# Round-7 rotation: the r6 verdict found SEVENTEEN oracle-paired queries
-# that had never held an official row (the nine registered after r6's
-# window filled, plus dedup_containment, stream_hourly_rollup_twin's
-# documented slot cession, and the 6j/6k waves: parts_price_size_skyline,
-# supplier_revenue_hhi, corpus_skipgram_cooccurrence,
-# docs_simpson_diversity, events_chisq_contingency, orders_shipping_sla).
-# All 17 lead this round's window to retire that certification debt in
-# one pass; the 33 new round-7 queries fill the rest (first rows — waves
-# 7a-7h; a first official row can never be recovered later, so new
-# queries outrank every re-certification).  The wave-7i/7j/7k queries
-# (7i: events_bootstrap_ci, docs_cohens_kappa, lineitem_gini_split,
-# parts_bfs_depths, embedding_knn_reciprocity; 7j: corpus_zipf_alpha,
-# knn_label_ndcg, docs_kmv_jaccard, stream_drift_twin,
-# parts_jaccard_similarity; 7k: events_l_diversity,
-# orders_disparate_impact, customer_decile_lift,
-# orders_seasonal_strength, supplier_winsorized_balance; 7l:
-# stream_late_data_twin; 7m: events_cuped_variance_reduction,
-# events_wasserstein_drift, lineitem_xbar_control, events_mean_excess,
-# knn_aggregate_diversity; 7n: docs_source_entropy,
-# docs_flesch_readability, lineitem_abc_xyz, parts_rich_club)
-# registered after the window filled; they
-# LEAD the r8 rotation as its
-# certification debt, followed by the recerts displaced over this
-# round (the judge-named core, the r1-only pair, the r2 cohort) — all
-# covered this round by the full driver_check sweep in REPLICA_r07.md.
-# The list is kept at EXACTLY 50 entries (window size; enforced by
-# tests/test_catalog_contract.py); everything else follows in original
-# registration order and stays locally gated by tools/driver_check.py +
-# tests/test_entry_oracle.py over all oracle-paired queries at sf0.01.
+# Round-8 rotation: the r7 verdict's #1 ask — the TWENTY-FIVE
+# oracle-paired queries from waves 7i-7n that registered after round 7's
+# window filled (replica-verified only, never an official row) lead this
+# window to retire that certification debt in one pass.  New round-8
+# queries are inserted after them as they land (first rows outrank every
+# re-certification), each displacing the stalest tail recert to hold the
+# window at exactly 50.  The remaining slots resume the long-displaced
+# recert rotation: the judge-named core (sink_udt_codecs,
+# multimodal_features, events_range_window, events_asof_attribution,
+# sink_daterange_precision, sink_json_map, sink_upsert_replay), the
+# r1-only pair (multimodal_frame_sample, text_rolling_fingerprint), then
+# the r2 cohort oldest-first.  Everything displaced stays covered by the
+# full driver_check sweep recorded in REPLICA_r08.md plus the judge's own
+# replica run.  The list is kept at EXACTLY 50 entries (window size;
+# enforced by tests/test_catalog_contract.py); everything else follows in
+# original registration order and stays locally gated by
+# tools/driver_check.py + tests/test_entry_oracle.py over all
+# oracle-paired queries at sf0.01.
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- certification debt: never held an official row (first driver row) --
-    "lineitem_bloom_fpr",
-    "stream_countmin_twin",
-    "lineitem_histogram_quantiles",
-    "orders_priority_sample",
-    "docs_ngram_novelty",
-    "events_cusum_changepoint",
-    "orders_benford_digits",
-    "lineitem_price_gini",
-    "events_runs_test",
-    "dedup_containment",
-    "parts_price_size_skyline",
-    "supplier_revenue_hhi",
-    "corpus_skipgram_cooccurrence",
-    "docs_simpson_diversity",
-    "events_chisq_contingency",
-    "orders_shipping_sla",
-    "stream_hourly_rollup_twin",
-    # -- round-7 waves (first driver row) --
-    # (new round-7 queries are inserted here as they land; each displaces
+    # -- certification debt: waves 7i-7n, never held an official row --
+    "events_bootstrap_ci",
+    "docs_cohens_kappa",
+    "lineitem_gini_split",
+    "parts_bfs_depths",
+    "embedding_knn_reciprocity",
+    "corpus_zipf_alpha",
+    "knn_label_ndcg",
+    "docs_kmv_jaccard",
+    "stream_drift_twin",
+    "parts_jaccard_similarity",
+    "events_l_diversity",
+    "orders_disparate_impact",
+    "customer_decile_lift",
+    "orders_seasonal_strength",
+    "supplier_winsorized_balance",
+    "stream_late_data_twin",
+    "events_cuped_variance_reduction",
+    "events_wasserstein_drift",
+    "lineitem_xbar_control",
+    "events_mean_excess",
+    "knn_aggregate_diversity",
+    "docs_source_entropy",
+    "docs_flesch_readability",
+    "lineitem_abc_xyz",
+    "parts_rich_club",
+    # -- round-8 waves (first driver row) --
+    # (new round-8 queries are inserted here as they land; each displaces
     # the stalest tail recert below to hold the window at exactly 50)
-    "events_hll_estimate",
-    "lineitem_ks_test",
-    "events_autocorrelation",
-    "embedding_jl_distortion",
-    "docs_term_dispersion",
-    "corpus_rank_biased_overlap",
-    "orders_mann_whitney",
-    "docs_mattr",
-    "knn_mips",
-    "stream_hll_twin",
-    "docs_keyphrase_rake",
-    "events_k_anonymity",
-    "embedding_centroid_silhouette",
-    "orders_cohort_revenue_retention",
-    "docs_spearman_rho",
-    "parts_assortativity",
-    "lineitem_cramers_v",
-    "orders_interarrival_cv",
-    "pipeline_release_audit",
-    "corpus_good_turing",
-    "corpus_vocab_coverage",
-    "orders_abc_classification",
-    "parts_kcore",
-    "events_pettitt_changepoint",
-    "lineitem_welch_ttest",
-    "orders_anova_f",
-    "events_theil_sen_trend",
-    "events_bowley_skewness",
-    "parts_graph_cohesion",
-    "parts_link_prediction",
-    "orders_weekday_profile",
-    "docs_burrows_delta",
-    "events_value_drift_tvd",
+    # -- recert rotation: judge-named core, r1 pair, r2 cohort --
+    "sink_udt_codecs",
+    "multimodal_features",
+    "events_range_window",
+    "events_asof_attribution",
+    "sink_daterange_precision",
+    "sink_json_map",
+    "sink_upsert_replay",
+    "multimodal_frame_sample",
+    "text_rolling_fingerprint",
+    "sink_batching",
+    "sink_codec_locale",
+    "sink_collection_codecs",
+    "sink_consistency_level",
+    "sink_decimal_base64",
+    "sink_delete_routing",
+    "sink_error_policy",
+    "sink_geo_wkt",
+    "sink_headers",
+    "sink_json_key",
+    "sink_literal_fallback",
+    "sink_multi_table_fanout",
+    "sink_now_timeuuid",
+    "sink_now_timeuuid_invariants",
+    "sink_null_to_unset",
+    "sink_provided_list_append",
 ]
 
 

@@ -44,5 +44,9 @@ def finish_stream_twin(spark, query, view_name, result_df, tmp_dirs: Iterable[st
     finally:
         for d in tmp_dirs:
             shutil.rmtree(d, ignore_errors=True)
-    spark.catalog.dropTempView(view_name)
+        try:
+            spark.catalog.dropTempView(view_name)
+        except Exception:
+            # never mask the original failure with view-cleanup noise
+            pass
     return out

@@ -12,9 +12,14 @@ and source progress — one exposition record per committed batch, exactly
 when the reference's counters become observable.
 
 The listener runs on the driver's listener bus (a thread in the same
-Python process in classic PySpark), so reading the driver-side SinkMetrics
-object is race-free with respect to foreachBatch, which has already
-finished mutating it when the progress event fires.
+Python process in classic PySpark).  The bus is asynchronous, so a
+progress event for batch N may be delivered while batch N+1's
+foreachBatch is already mutating the shared SinkMetrics — a snapshot is
+therefore monotone (counts >= those at batch N's commit) but may include
+a successor batch's increments.  Callers that need a strict
+batch-to-snapshot pairing should record per-batch deltas keyed by
+batchId inside foreachBatch itself; this listener is the between-batch
+scrape surface, matching how JMX polling observes the reference.
 """
 
 from __future__ import annotations

@@ -284,7 +284,12 @@ def process_micro_batch(
                 # histograms; writers returning None keep the old contract.
                 if isinstance(stats, dict):
                     metrics.observe_write(key, stats)
-                    metrics.bump(key, stats.get("rows", routed.count()))
+                    # NB: don't use stats.get("rows", routed.count()) —
+                    # Python evaluates the default eagerly, re-running the
+                    # batch lineage as a full count job even when the
+                    # writer already returned the row count (ADVICE r7).
+                    n = stats["rows"] if "rows" in stats else routed.count()
+                    metrics.bump(key, n)
                 else:
                     metrics.bump(key, routed.count())
             except Exception:
