@@ -195,6 +195,32 @@ class SinkConfig:
     ignore_errors: str = "None"  # None | Driver | All (KAF-200)
     secure_connect_bundle: str | None = None
     driver_settings: dict[str, str] = field(default_factory=dict)
+    # Auth (sample:67-83; PlaintextAuthCCMIT.java:80-121 pins the PLAIN
+    # inference: credentials with provider None/absent coerce to PLAIN).
+    auth_provider: str = "None"  # None | PLAIN | GSSAPI
+    auth_username: str | None = None
+    auth_password: str | None = None
+    auth_gssapi_key_tab: str | None = None
+    auth_gssapi_principal: str | None = None
+    auth_gssapi_service: str = "dse"  # sample:83
+    # SSL (sample:91-116; SslHostnameValidationCCMIT pins hostname
+    # validation; LifeCycleManagerIT.java:71-134 pins that contact points
+    # stay UNRESOLVED when hostnameValidation=false and resolve otherwise).
+    ssl_provider: str = "None"  # None | JDK | OpenSSL
+    ssl_hostname_validation: bool = True
+    ssl_cipher_suites: list[str] = field(default_factory=list)
+    ssl_keystore_path: str | None = None
+    ssl_keystore_password: str | None = None
+    ssl_truststore_path: str | None = None
+    ssl_truststore_password: str | None = None
+    ssl_openssl_key_cert_chain: str | None = None
+    ssl_openssl_private_key: str | None = None
+    # Which global shortcut keys were explicitly present in the raw
+    # properties — build_session_settings uses this to decide whether a
+    # shortcut overrides a datastax-java-driver.* passthrough for the same
+    # driver option (an explicit shortcut is the documented alias and wins;
+    # a defaulted one must not clobber an explicit prefixed setting).
+    explicit_globals: frozenset[str] = field(default_factory=frozenset)
 
     def tables_for_topic(self, topic: str) -> list[TableConfig]:
         return [t for t in self.tables if t.topic == topic]
@@ -274,6 +300,40 @@ def parse_sink_config(props: dict[str, str]) -> SinkConfig:
     if cloud_bundle and "contactPoints" in globals_raw:
         # Reference rejects contactPoints+cloud combo (CloudSniEndToEndIT.java:92-133).
         raise ConfigError("cloud.secureConnectBundle is mutually exclusive with contactPoints")
+    if cloud_bundle:
+        # The bundle supplies the whole TLS configuration; explicit ssl.*
+        # settings alongside it are contradictory and rejected (the bundle
+        # already pins truststore/keystore/hostname validation).
+        ssl_keys = sorted(k for k in globals_raw if k.startswith("ssl."))
+        if ssl_keys:
+            raise ConfigError(
+                "cloud.secureConnectBundle is mutually exclusive with ssl.* "
+                f"settings (got: {', '.join(ssl_keys)})"
+            )
+
+    # Auth: PLAIN is inferred when credentials are present but the provider
+    # is absent or "None" (PlaintextAuthCCMIT.java:95-121 "should infer
+    # auth.provider to PLAIN"); explicit PLAIN without both credentials is a
+    # config error (dsbulk AuthenticatorConfig contract).
+    auth_provider = globals_raw.get("auth.provider", "None")
+    auth_username = globals_raw.get("auth.username")
+    auth_password = globals_raw.get("auth.password")
+    if auth_provider not in ("None", "PLAIN", "GSSAPI"):
+        raise ConfigError(
+            f"auth.provider must be None, PLAIN or GSSAPI, got: {auth_provider}"
+        )
+    if auth_provider == "None" and (auth_username or auth_password):
+        auth_provider = "PLAIN"
+    if auth_provider == "PLAIN" and not (auth_username and auth_password):
+        raise ConfigError(
+            "auth.provider=PLAIN requires both auth.username and auth.password"
+        )
+
+    ssl_provider = globals_raw.get("ssl.provider", "None")
+    if ssl_provider not in ("None", "JDK", "OpenSSL"):
+        raise ConfigError(
+            f"ssl.provider must be None, JDK or OpenSSL, got: {ssl_provider}"
+        )
 
     cfg = SinkConfig(
         tables=tables,
@@ -293,6 +353,28 @@ def parse_sink_config(props: dict[str, str]) -> SinkConfig:
         ignore_errors=globals_raw.get("ignoreErrors", "None"),
         secure_connect_bundle=cloud_bundle,
         driver_settings=driver_settings,
+        auth_provider=auth_provider,
+        auth_username=auth_username,
+        auth_password=auth_password,
+        auth_gssapi_key_tab=globals_raw.get("auth.gssapi.keyTab"),
+        auth_gssapi_principal=globals_raw.get("auth.gssapi.principal"),
+        auth_gssapi_service=globals_raw.get("auth.gssapi.service", "dse"),
+        ssl_provider=ssl_provider,
+        ssl_hostname_validation=(
+            globals_raw.get("ssl.hostnameValidation", "true").lower() == "true"
+        ),
+        ssl_cipher_suites=[
+            s.strip()
+            for s in globals_raw.get("ssl.cipherSuites", "").split(",")
+            if s.strip()
+        ],
+        ssl_keystore_path=globals_raw.get("ssl.keystore.path"),
+        ssl_keystore_password=globals_raw.get("ssl.keystore.password"),
+        ssl_truststore_path=globals_raw.get("ssl.truststore.path"),
+        ssl_truststore_password=globals_raw.get("ssl.truststore.password"),
+        ssl_openssl_key_cert_chain=globals_raw.get("ssl.openssl.keyCertChain"),
+        ssl_openssl_private_key=globals_raw.get("ssl.openssl.privateKey"),
+        explicit_globals=frozenset(globals_raw),
     )
     if cfg.secure_connect_bundle:
         # Cloud mode forces LOCAL_QUORUM (CloudSniEndToEndIT.java:103).

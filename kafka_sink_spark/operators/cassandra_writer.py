@@ -318,25 +318,220 @@ def write_routed(
     }
 
 
-def cassandra_session_factory(config: SinkConfig) -> Callable[[], object]:
-    """Real-session factory from the connector config (requires the
-    ``cassandra-driver`` package — not bundled in this environment; the
-    import is deferred to executor call time)."""
+# Reference's startup application name (CassandraSinkTask.java:41); the
+# version string is the connector release the reference passes alongside it
+# (LifeCycleManagerIT.java:63,89-90).
+APPLICATION_NAME = "DataStax Apache Kafka Connector"
 
-    contact_points = list(config.contact_points)
-    port = config.port
-    local_dc = config.local_dc
+# Shortcut global → driver option it aliases (sample:236-238). An EXPLICIT
+# shortcut wins over a datastax-java-driver.* passthrough of the same
+# option; a defaulted shortcut must not clobber an explicit passthrough.
+_SHORTCUT_OPTIONS = {
+    "queryExecutionTimeout": "basic.request.timeout",
+    "connectionPoolLocalSize": "advanced.connection.pool.local.size",
+    "compression": "advanced.protocol.compression",
+}
 
-    def factory() -> object:  # pragma: no cover - needs live cluster
-        from cassandra.cluster import Cluster  # type: ignore
 
-        kwargs = {"contact_points": contact_points, "port": port}
-        if local_dc:
-            from cassandra.policies import DCAwareRoundRobinPolicy, TokenAwarePolicy  # type: ignore
+def build_session_settings(
+    config: SinkConfig,
+    version: str = "unknown",
+    application_name: str = APPLICATION_NAME,
+) -> dict:
+    """Resolve a SinkConfig into the declarative session/execution-profile
+    parameter set the reference's ``LifeCycleManager.buildCqlSession``
+    produces (LifeCycleManagerIT.java:71-260 pins the observable surface):
 
-            kwargs["load_balancing_policy"] = TokenAwarePolicy(
-                DCAwareRoundRobinPolicy(local_dc=local_dc)
+    - ``basic.contact-points`` from the shortcut ``contactPoints``+``port``;
+      a ``datastax-java-driver.basic.contact-points`` passthrough is IGNORED
+      when the shortcut is present (LifeCycleManagerIT.java:213-217);
+    - contact points stay UNRESOLVED host strings when
+      ``ssl.hostnameValidation=false`` and are marked for resolution
+      otherwise (LifeCycleManagerIT.java:71-197: endPoint.resolve()
+      isUnresolved iff validation is off);
+    - defaults the IT reads off the default profile: request timeout 30 s,
+      pool local size 4, compression "None", metrics session enabled
+      ``cql-client-timeouts``+``cql-requests`` at a 30 s interval, node
+      cql-messages highest latency = request timeout + 5 s
+      (LifeCycleManagerIT.java:241-260);
+    - every ``datastax-java-driver.*`` key passes through verbatim
+      (LifeCycleManagerIT.java:199-237);
+    - startup identification: application name/version + a non-null client
+      id (LifeCycleManagerIT.java:263-291);
+    - auth/ssl/cloud sections from the sample's option surface, with the
+      PLAIN inference and CL clamping already applied by parse_sink_config.
+    """
+    import uuid
+
+    settings: dict = {}
+    # Passthrough first; explicit shortcuts overwrite below only when the
+    # reference documents them as the alias of that driver option.
+    for k, v in config.driver_settings.items():
+        if k == "basic.contact-points":
+            continue  # shortcut contactPoints always present → prefix ignored
+        settings[k] = v
+    for shortcut, option in _SHORTCUT_OPTIONS.items():
+        if shortcut in config.explicit_globals or option not in settings:
+            settings[option] = {
+                "queryExecutionTimeout": config.query_execution_timeout_s,
+                "connectionPoolLocalSize": config.connection_pool_local_size,
+                "compression": config.compression,
+            }[shortcut]
+    # Normalize passthrough-typed values for the options we interpret.
+    settings["basic.request.timeout"] = int(settings["basic.request.timeout"])
+    settings["advanced.connection.pool.local.size"] = int(
+        settings["advanced.connection.pool.local.size"]
+    )
+    settings["basic.contact-points"] = [
+        f"{host}:{config.port}" for host in config.contact_points
+    ]
+    if config.local_dc:
+        settings["basic.load-balancing-policy.local-datacenter"] = config.local_dc
+    settings.setdefault(
+        "advanced.metrics.session.enabled", ["cql-client-timeouts", "cql-requests"]
+    )
+    settings.setdefault("advanced.metrics.session.cql-requests.interval", 30)
+    settings.setdefault(
+        "advanced.metrics.node.cql-messages.highest-latency",
+        settings["basic.request.timeout"] + 5,
+    )
+    settings["application"] = {
+        "name": application_name,
+        "version": version,
+        "client_id": str(uuid.uuid4()),
+    }
+    settings["auth"] = {
+        "provider": config.auth_provider,
+        "username": config.auth_username,
+        "password": config.auth_password,
+        "gssapi_key_tab": config.auth_gssapi_key_tab,
+        "gssapi_principal": config.auth_gssapi_principal,
+        "gssapi_service": config.auth_gssapi_service,
+    }
+    settings["ssl"] = {
+        "provider": config.ssl_provider,
+        "hostname_validation": config.ssl_hostname_validation,
+        "resolve_contact_points": config.ssl_hostname_validation,
+        "cipher_suites": list(config.ssl_cipher_suites),
+        "keystore_path": config.ssl_keystore_path,
+        "keystore_password": config.ssl_keystore_password,
+        "truststore_path": config.ssl_truststore_path,
+        "truststore_password": config.ssl_truststore_password,
+        "openssl_key_cert_chain": config.ssl_openssl_key_cert_chain,
+        "openssl_private_key": config.ssl_openssl_private_key,
+    }
+    if config.secure_connect_bundle:
+        settings["advanced.cloud.secure-connect-bundle"] = config.secure_connect_bundle
+    return settings
+
+
+def _real_driver():  # pragma: no cover - needs optional package
+    """The production transport: the ``cassandra-driver`` package surfaced
+    as the namespace-of-classes interface the factory consumes. Tests
+    inject a fake with the same attributes instead."""
+    import types
+
+    from cassandra.auth import PlainTextAuthProvider  # type: ignore
+    from cassandra.cluster import (  # type: ignore
+        EXEC_PROFILE_DEFAULT,
+        Cluster,
+        ExecutionProfile,
+    )
+    from cassandra.policies import (  # type: ignore
+        DCAwareRoundRobinPolicy,
+        TokenAwarePolicy,
+    )
+
+    return types.SimpleNamespace(
+        Cluster=Cluster,
+        ExecutionProfile=ExecutionProfile,
+        EXEC_PROFILE_DEFAULT=EXEC_PROFILE_DEFAULT,
+        PlainTextAuthProvider=PlainTextAuthProvider,
+        DCAwareRoundRobinPolicy=DCAwareRoundRobinPolicy,
+        TokenAwarePolicy=TokenAwarePolicy,
+    )
+
+
+def cassandra_session_factory(
+    config: SinkConfig,
+    version: str = "unknown",
+    application_name: str = APPLICATION_NAME,
+    driver=None,
+) -> Callable[[], object]:
+    """Session factory from the connector config via the resolved settings
+    of :func:`build_session_settings`.
+
+    ``driver`` is the transport namespace (``Cluster``, policies, auth
+    provider classes); it defaults to the real ``cassandra-driver`` package
+    at call time, and tests inject a fake to pin the exact constructor
+    parameters without a live cluster (the LifeCycleManagerIT surface).
+    """
+    settings = build_session_settings(config, version, application_name)
+
+    def factory() -> object:
+        drv = driver if driver is not None else _real_driver()
+        kwargs: dict = {"port": config.port}
+        if "advanced.cloud.secure-connect-bundle" in settings:
+            # Cloud mode: the bundle supplies endpoints + SSL; contact
+            # points must not be passed (CloudSniEndToEndIT.java:92-133).
+            # An HTTP(S) bundle URL (CloudSniEndToEndIT.java:152-168) is
+            # fetched+validated to a local temp file, since the driver
+            # wants a filesystem path.
+            location = settings["advanced.cloud.secure-connect-bundle"]
+            if location.startswith(("http://", "https://")):
+                import tempfile
+
+                from kafka_sink_spark.cloud import (
+                    fetch_secure_bundle,
+                    parse_secure_bundle,
+                )
+
+                raw = fetch_secure_bundle(location)
+                parse_secure_bundle(raw)  # reject corrupt downloads early
+                tmp = tempfile.NamedTemporaryFile(
+                    suffix=".zip", delete=False
+                )
+                tmp.write(raw)
+                tmp.close()
+                location = tmp.name
+            kwargs["cloud"] = {"secure_connect_bundle": location}
+        else:
+            kwargs["contact_points"] = list(config.contact_points)
+        if config.local_dc:
+            kwargs["load_balancing_policy"] = drv.TokenAwarePolicy(
+                drv.DCAwareRoundRobinPolicy(local_dc=config.local_dc)
             )
-        return Cluster(**kwargs).connect()
+        auth = settings["auth"]
+        if auth["provider"] == "PLAIN":
+            kwargs["auth_provider"] = drv.PlainTextAuthProvider(
+                username=auth["username"], password=auth["password"]
+            )
+        elif auth["provider"] == "GSSAPI":
+            # The python driver's kerberos provider lives in a separate
+            # optional package (pure-sasl); surface it via the injected
+            # transport namespace so the mapping stays testable.
+            kwargs["auth_provider"] = drv.KerberosAuthProvider(
+                service=auth["gssapi_service"],
+                principal=auth["gssapi_principal"],
+                keytab=auth["gssapi_key_tab"],
+            )
+        compression = settings["advanced.protocol.compression"]
+        kwargs["compression"] = (
+            False if compression == "None" else compression.lower()
+        )
+        profile_kwargs = {
+            "request_timeout": settings["basic.request.timeout"],
+        }
+        if "basic.request.consistency" in settings:
+            profile_kwargs["consistency_level"] = settings[
+                "basic.request.consistency"
+            ]
+        default_key = getattr(drv, "EXEC_PROFILE_DEFAULT", "default")
+        kwargs["execution_profiles"] = {
+            default_key: drv.ExecutionProfile(**profile_kwargs)
+        }
+        cluster = drv.Cluster(**kwargs)
+        session = cluster.connect()
+        return session
 
     return factory
