@@ -369,13 +369,20 @@ def events_countmin_accuracy(spark, sf_dir):
             F.min("cnt").cast("long").alias("cm_est"),
         )
     )
-    top = est.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id")))
-        .cast("long")
-        .alias("rk"),
-    ).where(F.col("rk") <= _CM_TOPK)
+    # Global top-k via orderBy().limit() (TakeOrderedAndProject: per-
+    # partition top-k, k-row merge); the rank window then runs on the k
+    # survivors only — never the whole key table through one partition.
+    top = (
+        est.orderBy(F.col("exact_cnt").desc(), F.col("user_id"))
+        .limit(_CM_TOPK)
+        .select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id")))
+            .cast("long")
+            .alias("rk"),
+        )
+    )
     return top.select(
         "rk",
         "user_id",

@@ -250,11 +250,11 @@ def orders_mann_whitney(spark, sf_dir):
     The nonparametric complement to events_ab_test's parametric z² and
     lineitem_ks_test's whole-distribution D.
 
-    Scale shape: one partial-combined count per distinct cent value, and
-    the cumulative-below counts would come from the two-phase
-    bucket-prefix pattern at production ladder sizes; the single-window
-    form here operates on the ladder (distinct values), never raw rows,
-    and no raw order row crosses a second shuffle.
+    Scale shape: one partial-combined count per distinct cent value; the
+    cumulative-below counts come from the two-phase bucket-prefix pattern
+    (plans/prefix.py) — the only unpartitioned window runs over the
+    bounded $1000-bucket price grid, the within-bucket remainder is a
+    partitioned window, and no raw order row crosses a second shuffle.
     """
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     v = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
@@ -264,12 +264,14 @@ def orders_mann_whitney(spark, sf_dir):
     lad = v.groupBy("c").agg(
         F.sum("is_f").alias("c_f"), F.sum(F.lit(1) - F.col("is_f")).alias("c_o")
     )
-    below_w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    cum = lad.select(
-        "c",
-        "c_f",
-        "c_o",
-        F.coalesce(F.sum("c_o").over(below_w), F.lit(0)).alias("below_o"),
+    # Two-phase bucket prefix ($1000 buckets over the cent ladder): the
+    # only global window runs over the bounded price-domain grid; the
+    # ladder itself is ~one row per order at these SFs and must never
+    # cross a single-partition window.
+    from kafka_sink_spark.plans.prefix import with_exclusive_prefix
+
+    cum = with_exclusive_prefix(
+        lad, "c", {"below_o": "c_o"}, bucket_size=100_000
     )
     tot = v.agg(
         F.sum("is_f").cast("long").alias("n_f"),

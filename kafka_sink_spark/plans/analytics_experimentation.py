@@ -469,23 +469,21 @@ def events_mean_excess(spark, sf_dir):
     rate in ppm certifies the threshold really cut ≈10% of mass
     (nearest-rank ties can shift it — measured, not assumed).
 
-    Scale shape: the ladder is a partial-combined distinct-value count
-    over the BOUNDED two-decimal value domain; the threshold pick is a
-    ladder join; the excess pass is one scan with a single-value
-    broadcast.
+    Scale shape: the ladder is a partial-combined distinct-value count;
+    its below-count comes from the two-phase bucket prefix
+    (plans/prefix.py) so the only unpartitioned window runs over the
+    bounded unit-bucket value grid — the micros ladder itself grows with
+    data; the threshold pick is a ladder join; the excess pass is one
+    scan with a single-value broadcast.
     """
+    from kafka_sink_spark.plans.prefix import ladder_with_below
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     v = ev.select(F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("c"))
-    below_w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    ladder = (
-        v.groupBy("c")
-        .agg(F.count("*").alias("t"))
-        .select(
-            "c",
-            "t",
-            F.coalesce(F.sum("t").over(below_w), F.lit(0)).alias("below"),
-        )
-    )
+    # Two-phase bucket prefix (1-unit buckets over the micros ladder): the
+    # only global window runs over the bounded value-domain grid — the
+    # micros ladder itself grows with data until the domain saturates.
+    ladder = ladder_with_below(v, "c", bucket_size=1_000_000)
     n = ladder.agg(F.sum("t").cast("long").alias("n"))
     u = (
         ladder.crossJoin(F.broadcast(n))

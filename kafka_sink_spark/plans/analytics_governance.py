@@ -479,23 +479,20 @@ def supplier_winsorized_balance(spark, sf_dir):
     the tails move the books — the preprocessing certificate any
     heavy-tailed monetary column needs.
 
-    Scale shape: the ladder is a partial-combined distinct-value count
-    with a cumulative over the BOUNDED two-decimal balance domain; the
+    Scale shape: the ladder is a partial-combined distinct-value count;
+    its below-count comes from the two-phase bucket prefix
+    (plans/prefix.py) so the only unpartitioned window runs over the
+    bounded $100-bucket balance grid, never the supplier ladder; the
     two-rank pick is a ladder join; the clamp pass is one scan with a
     2-value broadcast.
     """
+    from kafka_sink_spark.plans.prefix import ladder_with_below
+
     sup = load_tables(spark, sf_dir, ("supplier",))["supplier"]
     v = sup.select(F.expr("CAST(FLOOR(s_acctbal * 100) AS BIGINT)").alias("c"))
-    below_w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    ladder = (
-        v.groupBy("c")
-        .agg(F.count("*").alias("t"))
-        .select(
-            "c",
-            "t",
-            F.coalesce(F.sum("t").over(below_w), F.lit(0)).alias("below"),
-        )
-    )
+    # Two-phase bucket prefix ($100 buckets): the only global window runs
+    # over the bounded balance-domain grid, never the supplier ladder.
+    ladder = ladder_with_below(v, "c", bucket_size=10_000)
     # totals derive from the ladder (n = Σt, s = Σc·t) — no second scan
     n = ladder.agg(
         F.sum("t").cast("long").alias("n"),

@@ -285,10 +285,15 @@ def events_user_skew_topk(spark, sf_dir):
     g = c.agg(
         F.count("*").alias("n_keys"), F.sum("cnt").alias("n_events")
     )
+    # Global top-k: orderBy().limit() plans TakeOrderedAndProject
+    # (per-partition top-20, 20-row merge); the rank window then runs on
+    # the 20 surviving rows only.  A row_number-over-global-window filter
+    # would instead pull EVERY key through one partition — WindowGroupLimit
+    # does not fire for unpartitioned rank filters.
+    top = c.orderBy(F.col("cnt").desc(), F.col("user_id")).limit(_SKEW_TOPK)
     win = Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
     return (
-        c.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= _SKEW_TOPK)
+        top.withColumn("rank", F.row_number().over(win))
         .crossJoin(F.broadcast(g))
         .select(
             F.col("rank").cast("long").alias("rank"),

@@ -670,3 +670,113 @@ def test_new_graph_queries_ride_pruned_or_oriented_substrates(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# Global (unpartitioned) window hygiene — the full-catalog sweep
+# --------------------------------------------------------------------------
+
+# Every batch query allowed to plan an unpartitioned Window, with the
+# boundedness argument for ITS window inputs.  Two shapes are sanctioned:
+#   limit  — the window sits above TakeOrderedAndProject / GlobalLimit, so
+#            its input is capped at k rows regardless of data scale (the
+#            audit treats these as safe automatically; entries are listed
+#            here only when the limit is not on the window's input spine).
+#   grid   — the window runs over a BOUNDED derived table whose
+#            cardinality saturates with a value domain / constant, never
+#            the raw row count (measured at sf0.001 vs sf0.01 vs sf0.1 in
+#            the round-8 audit; plans/prefix.py is the shared idiom).
+# A query with a global window that is neither limit-shaped nor listed
+# here fails the sweep — new queries must either restructure or document
+# their bound by adding an entry.
+ALLOWED_UNPARTITIONED_WINDOWS = {
+    # rank/quantile grids bounded by constants or value domains
+    "corpus_rank_biased_overlap": "depth-D dyadic rank grid (<=31+16 rows)",
+    "corpus_vocab_growth": "10-slice growth grid",
+    "corpus_zipf_alpha": "31-row octave (floor-log2 rank) grid",
+    "customer_decile_lift": "$10k spend-bucket grid (domain-saturating)",
+    "docs_spearman_rho": "sampled term grid (constant sample size)",
+    "events_bootstrap_ci": "B-replicate grid (B=40 constant)",
+    "events_mean_excess": "unit-bucket value-domain grid (plans/prefix.py)",
+    "events_theil_sen_trend": "day-pair grid (calendar-bounded)",
+    "events_wasserstein_drift": "16-bucket drift grid",
+    "lineitem_abc_xyz": "$10 revenue-bucket grid (domain-saturating)",
+    "lineitem_gini_split": "31-row split grid",
+    "lineitem_histogram_quantiles": "1024-bucket histogram grid",
+    "lineitem_ks_test": "50-row KS grid",
+    "lineitem_price_gini": "1024-bucket histogram grid",
+    "orders_abc_classification": "$10 revenue-bucket grid (domain-saturating)",
+    "orders_mann_whitney": "$1000-bucket price-domain grid (plans/prefix.py)",
+    "orders_open_backlog": "day grid (calendar-bounded)",
+    "orders_seasonal_strength": "day grid (calendar-bounded)",
+    "orders_weekday_profile": "day grid (calendar-bounded)",
+    "parts_price_size_skyline": "per-partition-pruned skyline candidates",
+    "parts_rich_club": "degree-threshold grid",
+    "supplier_winsorized_balance": "$100-bucket balance-domain grid (plans/prefix.py)",
+}
+
+# Operators whose output cardinality is bounded by a constant k — a Window
+# directly above one is safe regardless of scan size.
+_LIMITING = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
+
+
+def _walk_plan(node):
+    yield node
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _walk_plan(node.executedPlan())
+        return
+    if "QueryStage" in name:
+        yield from _walk_plan(node.plan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_plan(children.apply(i))
+
+
+def _has_limit_on_spine(node):
+    """True if the window input's cardinality is capped by a limiting
+    operator before any unbounded source: walk down, stopping at the
+    first limiting node; recurse into every child otherwise."""
+    name = node.nodeName()
+    if any(name.startswith(p) for p in _LIMITING):
+        return True
+    children = node.children()
+    if children.size() == 0:
+        return False
+    return all(
+        _has_limit_on_spine(children.apply(i)) for i in range(children.size())
+    )
+
+
+def test_every_unpartitioned_window_is_sanctioned(spark):
+    """Catalog-wide sweep: an unpartitioned Window funnels its whole input
+    through ONE task, so every one must be limit-shaped (top-k) or run on
+    a documented bounded grid.  This is the invariant behind the round-8
+    audit that restructured the ladder queries onto plans/prefix.py."""
+    offenders = {}
+    stale_allowance = set(ALLOWED_UNPARTITIONED_WINDOWS)
+    for name in sorted(QUERIES):
+        if name.startswith("stream_"):
+            continue  # twins execute streams on build; audited separately
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan()
+        for node in _walk_plan(plan):
+            if node.nodeName() in ("Window", "WindowGroupLimit") and (
+                node.partitionSpec().isEmpty()
+            ):
+                if _has_limit_on_spine(node.children().apply(0)):
+                    continue
+                if name in ALLOWED_UNPARTITIONED_WINDOWS:
+                    stale_allowance.discard(name)
+                    continue
+                offenders.setdefault(name, 0)
+                offenders[name] += 1
+    assert not offenders, (
+        "unsanctioned unpartitioned windows (restructure via "
+        f"plans/prefix.py or document the bound): {offenders}"
+    )
+    assert not stale_allowance, (
+        "allowance entries with no remaining unpartitioned window — "
+        f"prune them: {sorted(stale_allowance)}"
+    )
