@@ -242,6 +242,10 @@ BENCH_QUERIES = [
     "docs_flesch_readability",
     "lineitem_abc_xyz",
     "parts_rich_club",
+    # round-8a ranking wave
+    "knn_mrr",
+    "corpus_kendall_tau",
+    "lineitem_theil_index",
 ]
 
 

@@ -33,6 +33,7 @@ import kafka_sink_spark.plans.analytics_governance  # noqa: F401,E402  (register
 import kafka_sink_spark.plans.analytics_lateness  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_experimentation  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_readability  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_ranking  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -95,6 +96,9 @@ DRIVER_PRIORITY: list[str] = [
     # -- round-8 waves (first driver row) --
     # (new round-8 queries are inserted here as they land; each displaces
     # the stalest tail recert below to hold the window at exactly 50)
+    "knn_mrr",
+    "corpus_kendall_tau",
+    "lineitem_theil_index",
     # -- recert rotation: judge-named core, r1 pair, r2 cohort --
     "sink_udt_codecs",
     "multimodal_features",
@@ -118,9 +122,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_literal_fallback",
     "sink_multi_table_fanout",
     "sink_now_timeuuid",
-    "sink_now_timeuuid_invariants",
-    "sink_null_to_unset",
-    "sink_provided_list_append",
 ]
 
 
