@@ -246,6 +246,10 @@ BENCH_QUERIES = [
     "knn_mrr",
     "corpus_kendall_tau",
     "lineitem_theil_index",
+    # round-8b replay wave (stream_upsert_twin runs a real stream; the
+    # bench sticks to the batch-expressible members)
+    "lineitem_sampled_quantile_error",
+    "customer_calibration_bins",
 ]
 
 

@@ -34,6 +34,7 @@ import kafka_sink_spark.plans.analytics_lateness  # noqa: F401,E402  (registers 
 import kafka_sink_spark.plans.analytics_experimentation  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_readability  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_ranking  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_replay  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -99,6 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "knn_mrr",
     "corpus_kendall_tau",
     "lineitem_theil_index",
+    "stream_upsert_twin",
+    "lineitem_sampled_quantile_error",
+    "customer_calibration_bins",
     # -- recert rotation: judge-named core, r1 pair, r2 cohort --
     "sink_udt_codecs",
     "multimodal_features",
@@ -119,9 +123,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_geo_wkt",
     "sink_headers",
     "sink_json_key",
-    "sink_literal_fallback",
-    "sink_multi_table_fanout",
-    "sink_now_timeuuid",
 ]
 
 
