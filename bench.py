@@ -250,6 +250,11 @@ BENCH_QUERIES = [
     # bench sticks to the batch-expressible members)
     "lineitem_sampled_quantile_error",
     "customer_calibration_bins",
+    # round-8c manifest wave
+    "multimodal_chunk_manifest",
+    "docs_tokenizer_fertility",
+    "dedup_cluster_size_histogram",
+    "parts_copurchase_pagerank_residual",
 ]
 
 

@@ -35,6 +35,7 @@ import kafka_sink_spark.plans.analytics_experimentation  # noqa: F401,E402  (reg
 import kafka_sink_spark.plans.analytics_readability  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_ranking  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_replay  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_manifest  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -103,6 +104,10 @@ DRIVER_PRIORITY: list[str] = [
     "stream_upsert_twin",
     "lineitem_sampled_quantile_error",
     "customer_calibration_bins",
+    "multimodal_chunk_manifest",
+    "docs_tokenizer_fertility",
+    "dedup_cluster_size_histogram",
+    "parts_copurchase_pagerank_residual",
     # -- recert rotation: judge-named core, r1 pair, r2 cohort --
     "sink_udt_codecs",
     "multimodal_features",
@@ -119,10 +124,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_consistency_level",
     "sink_decimal_base64",
     "sink_delete_routing",
-    "sink_error_policy",
-    "sink_geo_wkt",
-    "sink_headers",
-    "sink_json_key",
 ]
 
 
