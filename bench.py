@@ -255,6 +255,10 @@ BENCH_QUERIES = [
     "docs_tokenizer_fertility",
     "dedup_cluster_size_histogram",
     "parts_copurchase_pagerank_residual",
+    # round-8d segmentation wave
+    "docs_langid_confusion",
+    "embedding_threshold_sweep",
+    "customer_rfm_segments",
 ]
 
 

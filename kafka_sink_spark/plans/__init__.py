@@ -36,6 +36,7 @@ import kafka_sink_spark.plans.analytics_readability  # noqa: F401,E402  (registe
 import kafka_sink_spark.plans.analytics_ranking  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_replay  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_manifest  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_segments  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -108,6 +109,9 @@ DRIVER_PRIORITY: list[str] = [
     "docs_tokenizer_fertility",
     "dedup_cluster_size_histogram",
     "parts_copurchase_pagerank_residual",
+    "docs_langid_confusion",
+    "embedding_threshold_sweep",
+    "customer_rfm_segments",
     # -- recert rotation: judge-named core, r1 pair, r2 cohort --
     "sink_udt_codecs",
     "multimodal_features",
@@ -121,9 +125,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_batching",
     "sink_codec_locale",
     "sink_collection_codecs",
-    "sink_consistency_level",
-    "sink_decimal_base64",
-    "sink_delete_routing",
 ]
 
 
