@@ -259,6 +259,10 @@ BENCH_QUERIES = [
     "docs_langid_confusion",
     "embedding_threshold_sweep",
     "customer_rfm_segments",
+    # round-8e survival wave
+    "lineitem_shipping_hazard",
+    "events_markov_entropy_rate",
+    "docs_quality_gate_venn",
 ]
 
 

@@ -37,6 +37,7 @@ import kafka_sink_spark.plans.analytics_ranking  # noqa: F401,E402  (registers i
 import kafka_sink_spark.plans.analytics_replay  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_manifest  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_segments  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_survival  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -112,6 +113,9 @@ DRIVER_PRIORITY: list[str] = [
     "docs_langid_confusion",
     "embedding_threshold_sweep",
     "customer_rfm_segments",
+    "lineitem_shipping_hazard",
+    "events_markov_entropy_rate",
+    "docs_quality_gate_venn",
     # -- recert rotation: judge-named core, r1 pair, r2 cohort --
     "sink_udt_codecs",
     "multimodal_features",
@@ -122,9 +126,6 @@ DRIVER_PRIORITY: list[str] = [
     "sink_upsert_replay",
     "multimodal_frame_sample",
     "text_rolling_fingerprint",
-    "sink_batching",
-    "sink_codec_locale",
-    "sink_collection_codecs",
 ]
 
 

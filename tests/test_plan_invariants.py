@@ -708,6 +708,7 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "lineitem_sampled_quantile_error": "$10-bucket price-domain grid (plans/prefix.py); sample windows are limit-shaped",
     "customer_calibration_bins": "$10k spend-bucket grid (plans/prefix.py)",
     "customer_rfm_segments": "3 bounded grids: week/count/$10k (plans/prefix.py)",
+    "lineitem_shipping_hazard": "calendar-bounded week-bucket delay grid (plans/prefix.py)",
     "orders_abc_classification": "$10 revenue-bucket grid (domain-saturating)",
     "orders_mann_whitney": "$1000-bucket price-domain grid (plans/prefix.py)",
     "orders_open_backlog": "day grid (calendar-bounded)",
