@@ -263,6 +263,10 @@ BENCH_QUERIES = [
     "lineitem_shipping_hazard",
     "events_markov_entropy_rate",
     "docs_quality_gate_venn",
+    # round-8f dispersion wave
+    "events_fano_factor",
+    "docs_oov_rate",
+    "embedding_prefix_dim_recall",
 ]
 
 

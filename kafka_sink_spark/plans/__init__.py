@@ -38,6 +38,7 @@ import kafka_sink_spark.plans.analytics_replay  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_manifest  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_segments  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_survival  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_dispersion  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -116,6 +117,9 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_shipping_hazard",
     "events_markov_entropy_rate",
     "docs_quality_gate_venn",
+    "events_fano_factor",
+    "docs_oov_rate",
+    "embedding_prefix_dim_recall",
     # -- recert rotation: judge-named core, r1 pair, r2 cohort --
     "sink_udt_codecs",
     "multimodal_features",
@@ -123,9 +127,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_asof_attribution",
     "sink_daterange_precision",
     "sink_json_map",
-    "sink_upsert_replay",
-    "multimodal_frame_sample",
-    "text_rolling_fingerprint",
 ]
 
 
