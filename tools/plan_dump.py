@@ -118,6 +118,14 @@ HEADLINERS = [
     "corpus_rank_biased_overlap",
     "orders_mann_whitney",
     "docs_mattr",
+    # round-8 waves
+    "knn_mrr",  # broadcast panel + WindowGroupLimit top-k
+    "lineitem_theil_index",  # checkpointed rollup, octave-log2 terms
+    "lineitem_sampled_quantile_error",  # md5 bottom-k TakeOrdered + grid prefix
+    "customer_rfm_segments",  # three bounded grid-prefix ranks, no global sort
+    "multimodal_chunk_manifest",  # zero-shuffle binary slicing + md5
+    "lineitem_shipping_hazard",  # descending grid prefix life table
+    "embedding_prefix_dim_recall",  # two broadcast-panel scans, bounded join
     "knn_mips",
     # round-7c insights wave
     "docs_keyphrase_rake",
