@@ -267,6 +267,10 @@ BENCH_QUERIES = [
     "events_fano_factor",
     "docs_oov_rate",
     "embedding_prefix_dim_recall",
+    # round-8g bias wave
+    "dedup_survivor_quality",
+    "lineitem_discount_elasticity",
+    "orders_priority_kl_by_nation",
 ]
 
 

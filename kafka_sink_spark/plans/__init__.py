@@ -39,6 +39,7 @@ import kafka_sink_spark.plans.analytics_manifest  # noqa: F401,E402  (registers 
 import kafka_sink_spark.plans.analytics_segments  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_survival  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_dispersion  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_bias  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -120,13 +121,13 @@ DRIVER_PRIORITY: list[str] = [
     "events_fano_factor",
     "docs_oov_rate",
     "embedding_prefix_dim_recall",
-    # -- recert rotation: judge-named core, r1 pair, r2 cohort --
+    "dedup_survivor_quality",
+    "lineitem_discount_elasticity",
+    "orders_priority_kl_by_nation",
+    # -- recert rotation: judge-named core --
     "sink_udt_codecs",
     "multimodal_features",
     "events_range_window",
-    "events_asof_attribution",
-    "sink_daterange_precision",
-    "sink_json_map",
 ]
 
 
