@@ -271,6 +271,10 @@ BENCH_QUERIES = [
     "dedup_survivor_quality",
     "lineitem_discount_elasticity",
     "orders_priority_kl_by_nation",
+    # round-8h load/QA wave
+    "parts_return_rate_by_brand",
+    "embedding_split_centroid_shift",
+    "events_peak_to_mean",
 ]
 
 

@@ -40,6 +40,7 @@ import kafka_sink_spark.plans.analytics_segments  # noqa: F401,E402  (registers 
 import kafka_sink_spark.plans.analytics_survival  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_dispersion  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_bias  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_loadqa  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -124,10 +125,12 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_survivor_quality",
     "lineitem_discount_elasticity",
     "orders_priority_kl_by_nation",
-    # -- recert rotation: judge-named core --
-    "sink_udt_codecs",
-    "multimodal_features",
-    "events_range_window",
+    "parts_return_rate_by_brand",
+    "embedding_split_centroid_shift",
+    "events_peak_to_mean",
+    # (the 50-slot window is now 25 debt + 25 first-row round-8 queries;
+    # every recert was displaced — all remain covered by the full
+    # driver_check sweep in REPLICA_r08.md at both sf0.01 and sf0.001)
 ]
 
 
