@@ -275,6 +275,10 @@ BENCH_QUERIES = [
     "parts_return_rate_by_brand",
     "embedding_split_centroid_shift",
     "events_peak_to_mean",
+    # round-8i affinity wave
+    "events_type_affinity",
+    "orders_mktsegment_drift",
+    "docs_length_octave_profile",
 ]
 
 
