@@ -279,6 +279,9 @@ BENCH_QUERIES = [
     "events_type_affinity",
     "orders_mktsegment_drift",
     "docs_length_octave_profile",
+    # round-8j hapax wave
+    "corpus_hapax_ratio",
+    "docs_simhash_bit_balance",
 ]
 
 

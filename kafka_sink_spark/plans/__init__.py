@@ -42,6 +42,7 @@ import kafka_sink_spark.plans.analytics_dispersion  # noqa: F401,E402  (register
 import kafka_sink_spark.plans.analytics_bias  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_loadqa  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_affinity  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_hapax  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -132,9 +133,10 @@ DRIVER_PRIORITY: list[str] = [
     # (the 50-slot window is now 25 debt + 25 first-row round-8 queries;
     # every recert was displaced — all remain covered by the full
     # driver_check sweep in REPLICA_r08.md at both sf0.01 and sf0.001.
-    # Queries registered after the window filled — wave 8i:
+    # Queries registered after the window filled — waves 8i/8j:
     # events_type_affinity, orders_mktsegment_drift,
-    # docs_length_octave_profile — are replica-verified at both SFs and
+    # docs_length_octave_profile, corpus_hapax_ratio,
+    # docs_simhash_bit_balance — are replica-verified at both SFs and
     # LEAD the round-9 rotation as its certification debt.)
 ]
 
