@@ -282,6 +282,10 @@ BENCH_QUERIES = [
     # round-8j hapax wave
     "corpus_hapax_ratio",
     "docs_simhash_bit_balance",
+    # round-8k embedding-geometry wave
+    "embedding_participation_ratio",
+    "embedding_knn_hubness",
+    "embedding_relative_contrast",
 ]
 
 

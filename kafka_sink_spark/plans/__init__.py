@@ -43,6 +43,7 @@ import kafka_sink_spark.plans.analytics_bias  # noqa: F401,E402  (registers into
 import kafka_sink_spark.plans.analytics_loadqa  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_affinity  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_hapax  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_geometry  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -133,10 +134,12 @@ DRIVER_PRIORITY: list[str] = [
     # (the 50-slot window is now 25 debt + 25 first-row round-8 queries;
     # every recert was displaced — all remain covered by the full
     # driver_check sweep in REPLICA_r08.md at both sf0.01 and sf0.001.
-    # Queries registered after the window filled — waves 8i/8j:
+    # Queries registered after the window filled — waves 8i/8j/8k:
     # events_type_affinity, orders_mktsegment_drift,
     # docs_length_octave_profile, corpus_hapax_ratio,
-    # docs_simhash_bit_balance — are replica-verified at both SFs and
+    # docs_simhash_bit_balance, embedding_participation_ratio,
+    # embedding_knn_hubness, embedding_relative_contrast — are
+    # replica-verified at both SFs and
     # LEAD the round-9 rotation as its certification debt.)
 ]
 
