@@ -56,91 +56,79 @@ import kafka_sink_spark.plans.analytics_geometry  # noqa: F401,E402  (registers 
 # tools/driver_check.py sweep (REPLICA_r*.md) plus the judge's own replica
 # run.
 #
-# Round-8 rotation: the r7 verdict's #1 ask — the TWENTY-FIVE
-# oracle-paired queries from waves 7i-7n that registered after round 7's
-# window filled (replica-verified only, never an official row) lead this
-# window to retire that certification debt in one pass.  New round-8
-# queries are inserted after them as they land (first rows outrank every
-# re-certification), each displacing the stalest tail recert to hold the
-# window at exactly 50.  The remaining slots resume the long-displaced
-# recert rotation: the judge-named core (sink_udt_codecs,
-# multimodal_features, events_range_window, events_asof_attribution,
-# sink_daterange_precision, sink_json_map, sink_upsert_replay), the
-# r1-only pair (multimodal_frame_sample, text_rolling_fingerprint), then
-# the r2 cohort oldest-first.  Everything displaced stays covered by the
-# full driver_check sweep recorded in REPLICA_r08.md plus the judge's own
-# replica run.  The list is kept at EXACTLY 50 entries (window size;
-# enforced by tests/test_catalog_contract.py); everything else follows in
-# original registration order and stays locally gated by
-# tools/driver_check.py + tests/test_entry_oracle.py over all
-# oracle-paired queries at sf0.01.
+# Round-9 rotation: per the r8 verdict's #1 ask, the EIGHT queries from
+# waves 8g-8k that registered after round 8's window filled (replica- and
+# judge-replica-verified, never an official row) lead this window to
+# retire the last certification debt.  The remaining 42 slots re-certify
+# the OLDEST official rows — the reference-parity core last driver-checked
+# in r1/r2 (all 24 sink_* rows plus their r2 cohort) and the judge-named
+# r5 pair sink_json_map / sink_upsert_replay — so SURVEY §2.2-2.6 regains
+# fresh official rows after three rounds of window starvation.  New
+# round-9 queries deliberately stay OUT of this window (the judge
+# allocated the full 42 residual slots to recerts); they are certified by
+# the dual-SF driver_check sweep in REPLICA_r09.md and lead round-10's
+# rotation as its (bounded) certification debt.  The list is kept at
+# EXACTLY 50 entries (window size; enforced by
+# tests/test_catalog_contract.py); everything else follows in original
+# registration order and stays locally gated by tools/driver_check.py +
+# tests/test_entry_oracle.py over all oracle-paired queries at sf0.01.
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- certification debt: waves 7i-7n, never held an official row --
-    "events_bootstrap_ci",
-    "docs_cohens_kappa",
-    "lineitem_gini_split",
-    "parts_bfs_depths",
-    "embedding_knn_reciprocity",
-    "corpus_zipf_alpha",
-    "knn_label_ndcg",
-    "docs_kmv_jaccard",
-    "stream_drift_twin",
-    "parts_jaccard_similarity",
-    "events_l_diversity",
-    "orders_disparate_impact",
-    "customer_decile_lift",
-    "orders_seasonal_strength",
-    "supplier_winsorized_balance",
-    "stream_late_data_twin",
-    "events_cuped_variance_reduction",
-    "events_wasserstein_drift",
-    "lineitem_xbar_control",
-    "events_mean_excess",
-    "knn_aggregate_diversity",
-    "docs_source_entropy",
-    "docs_flesch_readability",
-    "lineitem_abc_xyz",
-    "parts_rich_club",
-    # -- round-8 waves (first driver row) --
-    # (new round-8 queries are inserted here as they land; each displaces
-    # the stalest tail recert below to hold the window at exactly 50)
-    "knn_mrr",
-    "corpus_kendall_tau",
-    "lineitem_theil_index",
-    "stream_upsert_twin",
-    "lineitem_sampled_quantile_error",
-    "customer_calibration_bins",
-    "multimodal_chunk_manifest",
-    "docs_tokenizer_fertility",
-    "dedup_cluster_size_histogram",
-    "parts_copurchase_pagerank_residual",
-    "docs_langid_confusion",
-    "embedding_threshold_sweep",
-    "customer_rfm_segments",
-    "lineitem_shipping_hazard",
-    "events_markov_entropy_rate",
-    "docs_quality_gate_venn",
-    "events_fano_factor",
-    "docs_oov_rate",
-    "embedding_prefix_dim_recall",
-    "dedup_survivor_quality",
-    "lineitem_discount_elasticity",
-    "orders_priority_kl_by_nation",
-    "parts_return_rate_by_brand",
-    "embedding_split_centroid_shift",
-    "events_peak_to_mean",
-    # (the 50-slot window is now 25 debt + 25 first-row round-8 queries;
-    # every recert was displaced — all remain covered by the full
-    # driver_check sweep in REPLICA_r08.md at both sf0.01 and sf0.001.
-    # Queries registered after the window filled — waves 8i/8j/8k:
-    # events_type_affinity, orders_mktsegment_drift,
-    # docs_length_octave_profile, corpus_hapax_ratio,
-    # docs_simhash_bit_balance, embedding_participation_ratio,
-    # embedding_knn_hubness, embedding_relative_contrast — are
-    # replica-verified at both SFs and
-    # LEAD the round-9 rotation as its certification debt.)
+    # -- certification debt: waves 8g-8k, never held an official row --
+    "corpus_hapax_ratio",
+    "docs_simhash_bit_balance",
+    "events_type_affinity",
+    "orders_mktsegment_drift",
+    "docs_length_octave_profile",
+    "embedding_participation_ratio",
+    "embedding_knn_hubness",
+    "embedding_relative_contrast",
+    # -- recert rotation: oldest official rows first (r1 pair, then the
+    # full r2 cohort incl. all 24 sink_* parity rows, then the
+    # judge-named r5 pair) --
+    "multimodal_frame_sample",
+    "text_rolling_fingerprint",
+    "sink_json_key",
+    "sink_raw_values",
+    "sink_udt_codecs",
+    "sink_headers",
+    "sink_topic_routing",
+    "sink_multi_table_fanout",
+    "sink_null_to_unset",
+    "sink_provided_query",
+    "sink_provided_list_append",
+    "sink_provided_map_entries",
+    "sink_provided_udt_partial",
+    "sink_quoted_identifiers",
+    "sink_schema_defaults",
+    "sink_literal_fallback",
+    "sink_codec_locale",
+    "sink_collection_codecs",
+    "sink_decimal_base64",
+    "sink_consistency_level",
+    "sink_delete_routing",
+    "sink_error_policy",
+    "sink_batching",
+    "sink_geo_wkt",
+    "sink_now_timeuuid",
+    "sink_now_timeuuid_invariants",
+    "multimodal_features",
+    "text_profile",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_neardup",
+    "embedding_lsh_buckets",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "sink_json_map",
+    "sink_upsert_replay",
 ]
 
 
