@@ -300,6 +300,14 @@ def parse_sink_config(props: dict[str, str]) -> SinkConfig:
     if cloud_bundle and "contactPoints" in globals_raw:
         # Reference rejects contactPoints+cloud combo (CloudSniEndToEndIT.java:92-133).
         raise ConfigError("cloud.secureConnectBundle is mutually exclusive with contactPoints")
+    if cloud_bundle and "loadBalancing.localDc" in globals_raw:
+        # The bundle pins the local DC and SNI routing; an explicit localDc
+        # would conflict (cassandra-sink-standalone.properties.sample:10-11
+        # forbids contactPoints, loadBalancing.localDc and ssl.* with cloud).
+        raise ConfigError(
+            "cloud.secureConnectBundle is mutually exclusive with "
+            "loadBalancing.localDc"
+        )
     if cloud_bundle:
         # The bundle supplies the whole TLS configuration; explicit ssl.*
         # settings alongside it are contradictory and rejected (the bundle

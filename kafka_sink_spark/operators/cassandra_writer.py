@@ -35,7 +35,7 @@ from typing import Callable, Iterable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_sink_spark.config import SinkConfig, TableConfig, TableSchema
+from kafka_sink_spark.config import ConfigError, SinkConfig, TableConfig, TableSchema
 from kafka_sink_spark.operators.writes import (
     ROUTE_COL,
     ROUTE_COUNTER,
@@ -332,6 +332,49 @@ _SHORTCUT_OPTIONS = {
     "compression": "advanced.protocol.compression",
 }
 
+# HOCON duration units (typesafe-config HOCON spec §durations, the syntax the
+# java driver accepts for datastax-java-driver.* passthrough values such as
+# "30 seconds" / "1 minutes" / "500 ms") → seconds multiplier.
+_DURATION_UNITS_S = {
+    "ns": 1e-9, "nano": 1e-9, "nanos": 1e-9, "nanosecond": 1e-9, "nanoseconds": 1e-9,
+    "us": 1e-6, "micro": 1e-6, "micros": 1e-6, "microsecond": 1e-6, "microseconds": 1e-6,
+    "ms": 1e-3, "milli": 1e-3, "millis": 1e-3, "millisecond": 1e-3, "milliseconds": 1e-3,
+    "s": 1.0, "second": 1.0, "seconds": 1.0,
+    "m": 60.0, "minute": 60.0, "minutes": 60.0,
+    "h": 3600.0, "hour": 3600.0, "hours": 3600.0,
+    "d": 86400.0, "day": 86400.0, "days": 86400.0,
+}
+
+
+def _parse_duration_seconds(value, option: str) -> int:
+    """Whole seconds from a shortcut int or a HOCON duration string.
+
+    Shortcut values (``queryExecutionTimeout``) are plain second counts; a
+    ``datastax-java-driver.*`` passthrough may instead use the java driver's
+    duration syntax ("30 seconds", "1 minutes", "500 ms"), which the
+    reference forwards verbatim (LifeCycleManagerIT passthrough contract).
+    Sub-second durations round up to 1s (the settings consumer — metrics
+    highest-latency = timeout+5s — works in whole seconds).
+    """
+    if isinstance(value, (int, float)):
+        return int(value)
+    text = str(value).strip()
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    import re as _re
+
+    m = _re.fullmatch(r"([0-9]+(?:\.[0-9]+)?)\s*([a-zA-Z]+)", text)
+    if m and m.group(2) in _DURATION_UNITS_S:
+        seconds = float(m.group(1)) * _DURATION_UNITS_S[m.group(2)]
+        return max(1, int(round(seconds)))
+    raise ConfigError(
+        f"{option}: cannot parse {text!r} as a duration — expected an "
+        "integer second count or a java-driver duration string like "
+        "'30 seconds', '1 minutes', '500 ms'"
+    )
+
 
 def build_session_settings(
     config: SinkConfig,
@@ -378,7 +421,9 @@ def build_session_settings(
                 "compression": config.compression,
             }[shortcut]
     # Normalize passthrough-typed values for the options we interpret.
-    settings["basic.request.timeout"] = int(settings["basic.request.timeout"])
+    settings["basic.request.timeout"] = _parse_duration_seconds(
+        settings["basic.request.timeout"], option="basic.request.timeout"
+    )
     settings["advanced.connection.pool.local.size"] = int(
         settings["advanced.connection.pool.local.size"]
     )
@@ -425,6 +470,87 @@ def build_session_settings(
     return settings
 
 
+def _kerberos_auth_provider():  # pragma: no cover - needs optional package
+    """Kerberos provider for the production transport, resolved lazily.
+
+    The python driver's GSSAPI support lives in the optional DSE extras
+    (``DSEGSSAPIAuthProvider``, backed by ``puresasl[gssapi]``); unlike the
+    java driver it takes no keytab parameter — the keytab is activated via
+    the standard ``KRB5_KTNAME`` mechanism. Returns a factory with the
+    (service, principal, keytab) signature ``cassandra_session_factory``
+    calls, or raises ``ConfigError`` naming the missing optional package so
+    auth.provider=GSSAPI fails with a clear message instead of an
+    AttributeError at session-build time.
+    """
+    try:
+        from cassandra.auth import DSEGSSAPIAuthProvider  # type: ignore
+    except ImportError as exc:
+        raise ConfigError(
+            "auth.provider=GSSAPI requires the optional Kerberos support of "
+            "the cassandra-driver package (cassandra.auth.DSEGSSAPIAuthProvider, "
+            "backed by 'puresasl[gssapi]'); install 'cassandra-driver' with "
+            f"'pure-sasl' to enable it ({exc})"
+        ) from exc
+
+    def provider(service=None, principal=None, keytab=None):
+        if keytab:
+            # python-side GSSAPI reads the keytab from the environment
+            # (MIT krb5 client keytab); the java driver takes it directly.
+            import os
+
+            os.environ.setdefault("KRB5_CLIENT_KTNAME", keytab)
+        kwargs = {}
+        if service:
+            kwargs["service"] = service
+        if principal:
+            kwargs["principal"] = principal
+        return DSEGSSAPIAuthProvider(**kwargs)
+
+    return provider
+
+
+# HTTP(S) secure-connect bundles downloaded by the session factory, keyed by
+# URL. The factory runs once per session construction (per executor process);
+# without a cache each call would leak one temp zip holding the client TLS
+# private key. Files are 0600 and removed at interpreter exit.
+_BUNDLE_CACHE: dict[str, str] = {}
+
+
+def _materialize_bundle(url: str) -> str:
+    """Fetch+validate an HTTP(S) secure-connect bundle to a local zip path,
+    once per URL per process (CloudSniEndToEndIT.java:152-168 drives the
+    URL form). The zip contains the client private key, so the temp file is
+    created 0600 and registered for cleanup at exit."""
+    import atexit
+    import os
+    import tempfile
+
+    cached = _BUNDLE_CACHE.get(url)
+    if cached is not None and os.path.exists(cached):
+        return cached
+
+    from kafka_sink_spark.cloud import fetch_secure_bundle, parse_secure_bundle
+
+    raw = fetch_secure_bundle(url)
+    parse_secure_bundle(raw)  # reject corrupt downloads early
+    fd, path = tempfile.mkstemp(suffix=".zip", prefix="scb-")
+    try:
+        os.fchmod(fd, 0o600)
+        os.write(fd, raw)
+    finally:
+        os.close(fd)
+
+    def _cleanup(p=path):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
+    _BUNDLE_CACHE[url] = path
+    return path
+
+
 def _real_driver():  # pragma: no cover - needs optional package
     """The production transport: the ``cassandra-driver`` package surfaced
     as the namespace-of-classes interface the factory consumes. Tests
@@ -442,11 +568,18 @@ def _real_driver():  # pragma: no cover - needs optional package
         TokenAwarePolicy,
     )
 
+    class _LazyKerberos:
+        """Defers the optional-import error to first GSSAPI use."""
+
+        def __call__(self, **kwargs):
+            return _kerberos_auth_provider()(**kwargs)
+
     return types.SimpleNamespace(
         Cluster=Cluster,
         ExecutionProfile=ExecutionProfile,
         EXEC_PROFILE_DEFAULT=EXEC_PROFILE_DEFAULT,
         PlainTextAuthProvider=PlainTextAuthProvider,
+        KerberosAuthProvider=_LazyKerberos(),
         DCAwareRoundRobinPolicy=DCAwareRoundRobinPolicy,
         TokenAwarePolicy=TokenAwarePolicy,
     )
@@ -479,28 +612,19 @@ def cassandra_session_factory(
             # wants a filesystem path.
             location = settings["advanced.cloud.secure-connect-bundle"]
             if location.startswith(("http://", "https://")):
-                import tempfile
-
-                from kafka_sink_spark.cloud import (
-                    fetch_secure_bundle,
-                    parse_secure_bundle,
-                )
-
-                raw = fetch_secure_bundle(location)
-                parse_secure_bundle(raw)  # reject corrupt downloads early
-                tmp = tempfile.NamedTemporaryFile(
-                    suffix=".zip", delete=False
-                )
-                tmp.write(raw)
-                tmp.close()
-                location = tmp.name
+                location = _materialize_bundle(location)
             kwargs["cloud"] = {"secure_connect_bundle": location}
+            # SNI routing from the bundle owns endpoint selection; never
+            # pass a load_balancing_policy alongside it (parse_sink_config
+            # rejects loadBalancing.localDc with a bundle, so local_dc is
+            # None here for any config that parsed — this guard is belt
+            # and braces for hand-built SinkConfig objects).
         else:
             kwargs["contact_points"] = list(config.contact_points)
-        if config.local_dc:
-            kwargs["load_balancing_policy"] = drv.TokenAwarePolicy(
-                drv.DCAwareRoundRobinPolicy(local_dc=config.local_dc)
-            )
+            if config.local_dc:
+                kwargs["load_balancing_policy"] = drv.TokenAwarePolicy(
+                    drv.DCAwareRoundRobinPolicy(local_dc=config.local_dc)
+                )
         auth = settings["auth"]
         if auth["provider"] == "PLAIN":
             kwargs["auth_provider"] = drv.PlainTextAuthProvider(

@@ -169,7 +169,9 @@ def test_parse_bundle_from_url(bundle_server):
 def props(bundle_path, **extra):
     p = {
         "name": "cloud-sink",
-        "loadBalancing.localDc": "us-east1",
+        # no loadBalancing.localDc: the sample properties forbid it with the
+        # bundle (the bundle's SNI config owns DC selection) and
+        # parse_sink_config rejects the combination.
         "cloud.secureConnectBundle": bundle_path,
         "topic.t.ks.tbl.mapping": "pk=key",
     }
@@ -256,3 +258,29 @@ def test_session_factory_fetches_http_bundle(bundle_server):
     local_path = captured["cloud"]["secure_connect_bundle"]
     assert local_path.endswith(".zip")
     assert parse_secure_bundle(local_path).host == CONFIG_JSON["host"]
+
+
+def test_http_bundle_is_cached_per_url_and_private(bundle_server):
+    # Repeated factory/session construction must not leak one temp zip (the
+    # bundle holds the client TLS private key) per call: the download is
+    # cached per URL, the file is 0600, and cleanup is registered at exit.
+    import os
+    import stat
+
+    from kafka_sink_spark.operators.cassandra_writer import (
+        _BUNDLE_CACHE,
+        _materialize_bundle,
+    )
+
+    url = f"{bundle_server}/secure-bundle.zip"
+    _BUNDLE_CACHE.pop(url, None)
+    p1 = _materialize_bundle(url)
+    p2 = _materialize_bundle(url)
+    assert p1 == p2
+    mode = stat.S_IMODE(os.stat(p1).st_mode)
+    assert mode == 0o600
+    assert parse_secure_bundle(p1).host == CONFIG_JSON["host"]
+    # a deleted cache file is re-materialized, not served stale
+    os.unlink(p1)
+    p3 = _materialize_bundle(url)
+    assert os.path.exists(p3)

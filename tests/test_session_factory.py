@@ -344,8 +344,102 @@ def test_unknown_ssl_provider_rejected():
 
 
 def test_cloud_mode_passes_bundle_not_contact_points():
-    base = {k: v for k, v in BASE.items() if k not in ("contactPoints", "port")}
+    base = {
+        k: v
+        for k, v in BASE.items()
+        if k not in ("contactPoints", "port", "loadBalancing.localDc")
+    }
     base["cloud.secureConnectBundle"] = "/tmp/bundle.zip"
     _, kwargs, _ = build(cfg(base=base))
     assert kwargs["cloud"] == {"secure_connect_bundle": "/tmp/bundle.zip"}
     assert "contact_points" not in kwargs
+
+
+def test_cloud_mode_rejects_local_dc():
+    # sample properties (cassandra-sink-standalone.properties.sample:10-11)
+    # forbid loadBalancing.localDc alongside the secure-connect bundle.
+    base = {k: v for k, v in BASE.items() if k not in ("contactPoints", "port")}
+    base["cloud.secureConnectBundle"] = "/tmp/bundle.zip"
+    with pytest.raises(ConfigError, match="loadBalancing.localDc"):
+        cfg(base=base)
+
+
+def test_cloud_mode_never_passes_load_balancing_policy():
+    # SNI routing from the bundle owns endpoint selection; a
+    # load_balancing_policy kwarg alongside the cloud kwarg would conflict
+    # (sample properties forbid loadBalancing.localDc with the bundle).
+    # Exercised with a hand-built config carrying local_dc, since
+    # parse_sink_config rejects the combination outright.
+    base = {
+        k: v
+        for k, v in BASE.items()
+        if k not in ("contactPoints", "port", "loadBalancing.localDc")
+    }
+    base["cloud.secureConnectBundle"] = "/tmp/bundle.zip"
+    config = cfg(base=base)
+    object.__setattr__(config, "local_dc", "dc-forced") if hasattr(
+        type(config), "__slots__"
+    ) else setattr(config, "local_dc", "dc-forced")
+    _, kwargs, log = build(config)
+    assert "load_balancing_policy" not in kwargs
+    assert not [n for n, _ in log if n in ("TokenAwarePolicy", "DCAwareRoundRobinPolicy")]
+
+
+# ---------------------------------------------------------------------------
+# Duration-string passthrough values (java-driver HOCON duration syntax)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        ("30 seconds", 30),
+        ("1 minutes", 60),
+        ("2m", 120),
+        ("500 ms", 1),  # sub-second rounds up to 1s (whole-second consumer)
+        ("1 hour", 3600),
+        ("45", 45),
+    ],
+)
+def test_passthrough_timeout_accepts_duration_strings(raw, expect):
+    s = build_session_settings(
+        cfg({"datastax-java-driver.basic.request.timeout": raw})
+    )
+    assert s["basic.request.timeout"] == expect
+    # downstream consumer stays consistent: highest latency = timeout + 5
+    assert s["advanced.metrics.node.cql-messages.highest-latency"] == expect + 5
+
+
+def test_passthrough_timeout_garbage_is_a_config_error():
+    with pytest.raises(ConfigError, match="basic.request.timeout"):
+        build_session_settings(
+            cfg({"datastax-java-driver.basic.request.timeout": "soonish"})
+        )
+
+
+# ---------------------------------------------------------------------------
+# GSSAPI on the production transport (optional-package surface)
+# ---------------------------------------------------------------------------
+
+
+def test_real_driver_gssapi_raises_clear_config_error_when_sasl_missing():
+    # The container has no cassandra-driver/pure-sasl, so the production
+    # KerberosAuthProvider surface must fail with a ConfigError naming the
+    # optional package — not an AttributeError on the namespace.
+    from kafka_sink_spark.operators.cassandra_writer import (
+        _kerberos_auth_provider,
+    )
+
+    pytest.importorskip
+    try:
+        import cassandra.auth  # noqa: F401
+
+        have_driver = hasattr(cassandra.auth, "DSEGSSAPIAuthProvider")
+    except ImportError:
+        have_driver = False
+    if have_driver:
+        provider = _kerberos_auth_provider()
+        assert callable(provider)
+    else:
+        with pytest.raises(ConfigError, match="GSSAPI.*pure|pure.*GSSAPI"):
+            _kerberos_auth_provider()
