@@ -22,271 +22,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
-    # connector hot path: full decode → map → route
-    "sink_json_map",
-    "sink_literal_fallback",
-    "sink_upsert_replay",
-    "sink_counter_accrual",
-    "sink_batching",
-    "sink_geo_wkt",
-    "sink_daterange_precision",
-    # sink_avro_union_decode is NOT benched: it exercises the documented
-    # pure-Python Avro fallback (~100x slow path) — benching it would swamp
-    # the JVM hot-path totals this suite tracks. Correctness-gated instead.
-    # analytics
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "events_topk_per_user",
-    "events_sessionize",
-    "events_hourly_rollup",
-    "events_salted_rollup",
-    "events_pivot_daily",
-    "events_rolling_window",
-    "events_cube_rollup",
-    "events_value_ntile",
-    "events_range_window",
-    "lineitem_unpivot_components",
-    # training-data extensions
-    "text_profile",
-    "text_token_stats",
-    "text_rolling_fingerprint",
-    "text_repetition_stats",
-    "text_scrub_pii",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "embedding_lsh_buckets",
-    "multimodal_features",
-    "multimodal_real_decode",
-    "docs_temperature_resample",
-    "dedup_incremental",
-    "dedup_df_pruned_pairs",
-    "pipeline_training_data",
-    "events_asof_attribution",
-    "events_value_band_join",
-    "shingle_kmv_estimate",
-    "docs_pack_sequences",
-    "docs_gopher_filter",
-    "corpus_bigram_lift",
-    "dedup_survivors",
-    "events_retention_cohorts",
-    "knn_pq",
-    "docs_repeated_spans",
-    "orders_market_basket",
-    "corpus_source_report",
-    "events_user_rfm",
-    "corpus_bpe_pair_counts",
-    "events_dau_wau",
-    "dedup_cluster_sizes",
-    "events_engagement_matrix",
-    "events_markov_transitions",
-    # round-6 additions
-    "docs_gopher_repetition",
-    "docs_maximal_spans",
-    "knn_pq_trained",
-    "knn_ivf_trained",
-    "knn_ivf_pq",
-    "docs_language_id",
-    "dedup_containment",
-    "events_value_outliers",
-    "stream_sessionize_twin",
-    "stream_interval_join_twin",
-    # round-6c corpus wave
-    "dedup_semantic",
-    "docs_dsir_weights",
-    "docs_lm_predictability",
-    "embedding_quantize_int8",
-    "dedup_minhash_accuracy",
-    # round-6d series wave
-    "stream_sliding_rollup_twin",
-    "events_ewma",
-    "knn_label_vote",
-    "corpus_vocab_growth",
-    "events_ewma_anomaly",
-    "corpus_bpe_merge_apply",
-    "pipeline_curation_v2",
-    # round-6e mining wave
-    "corpus_heavy_hitters",
-    "docs_winnowing",
-    "docs_chunk_overlap",
-    "parts_copurchase_pagerank",
-    # round-6f stats wave
-    "embedding_power_iteration",
-    "docs_train_split_report",
-    "events_user_skew_topk",
-    "events_gap_median",
-    # round-6g paths wave
-    "docs_keyword_topk",
-    "lineitem_zorder_layout",
-    "events_top_paths",
-    # round-6h fusion wave
-    "knn_rank_fusion",
-    "orders_open_backlog",
-    "events_anomaly_seasonal",
-    # round-6i inference wave
-    "events_ab_test",
-    "events_trend_slope",
-    "parts_label_propagation",
-    "stream_enrich_twin",
-    # round-6j frontier wave
-    "parts_price_size_skyline",
-    "supplier_revenue_hhi",
-    "corpus_skipgram_cooccurrence",
-    # round-6k measures wave
-    "docs_simpson_diversity",
-    "events_chisq_contingency",
-    "orders_shipping_sla",
-    # round-6l matching wave
-    "parts_copurchase_triangles",
-    "customer_fuzzy_pairs",
-    "events_scd2_state",
-    "events_mad_outliers",
-    # round-6m association wave
-    "dedup_ppjoin_pairs",
-    "orders_itemset_triples",
-    "events_countmin_accuracy",
-    "lineitem_bloom_fpr",
-    "stream_countmin_twin",
-    "lineitem_histogram_quantiles",
-    "orders_priority_sample",
-    # round-6o novelty wave
-    "docs_ngram_novelty",
-    "events_cusum_changepoint",
-    "orders_benford_digits",
-    "lineitem_price_gini",
-    "events_runs_test",
-    # round-7a probes wave
-    "events_hll_estimate",
-    "lineitem_ks_test",
-    "events_autocorrelation",
-    "embedding_jl_distortion",
-    "docs_term_dispersion",
-    # round-7b evaluation wave
-    "corpus_rank_biased_overlap",
-    "orders_mann_whitney",
-    "docs_mattr",
-    "knn_mips",
-    "stream_hll_twin",
-    # round-7c insights wave
-    "docs_keyphrase_rake",
-    "events_k_anonymity",
-    "embedding_centroid_silhouette",
-    "orders_cohort_revenue_retention",
-    # round-7d structure wave
-    "docs_spearman_rho",
-    "parts_assortativity",
-    "lineitem_cramers_v",
-    "orders_interarrival_cv",
-    # round-7e capstone
-    "pipeline_release_audit",
-    # round-7f coverage wave
-    "corpus_good_turing",
-    "corpus_vocab_coverage",
-    "orders_abc_classification",
-    "parts_kcore",
-    # round-7g robust-inference wave
-    "events_pettitt_changepoint",
-    "lineitem_welch_ttest",
-    "orders_anova_f",
-    "events_theil_sen_trend",
-    "events_bowley_skewness",
-    # round-7h profiles wave
-    "parts_graph_cohesion",
-    "parts_link_prediction",
-    "orders_weekday_profile",
-    "docs_burrows_delta",
-    "events_value_drift_tvd",
-    # round-7i resampling wave
-    "events_bootstrap_ci",
-    "docs_cohens_kappa",
-    "lineitem_gini_split",
-    "parts_bfs_depths",
-    "embedding_knn_reciprocity",
-    # round-7j estimation wave
-    "corpus_zipf_alpha",
-    "knn_label_ndcg",
-    "docs_kmv_jaccard",
-    "stream_drift_twin",
-    "parts_jaccard_similarity",
-    # round-7k governance wave
-    "events_l_diversity",
-    "orders_disparate_impact",
-    "customer_decile_lift",
-    "orders_seasonal_strength",
-    "supplier_winsorized_balance",
-    # round-7l lateness certification
-    "stream_late_data_twin",
-    # round-7m experimentation wave
-    "events_cuped_variance_reduction",
-    "events_wasserstein_drift",
-    "lineitem_xbar_control",
-    "events_mean_excess",
-    "knn_aggregate_diversity",
-    # round-7n readability/structure wave
-    "docs_source_entropy",
-    "docs_flesch_readability",
-    "lineitem_abc_xyz",
-    "parts_rich_club",
-    # round-8a ranking wave
-    "knn_mrr",
-    "corpus_kendall_tau",
-    "lineitem_theil_index",
-    # round-8b replay wave (stream_upsert_twin runs a real stream; the
-    # bench sticks to the batch-expressible members)
-    "lineitem_sampled_quantile_error",
-    "customer_calibration_bins",
-    # round-8c manifest wave
-    "multimodal_chunk_manifest",
-    "docs_tokenizer_fertility",
-    "dedup_cluster_size_histogram",
-    "parts_copurchase_pagerank_residual",
-    # round-8d segmentation wave
-    "docs_langid_confusion",
-    "embedding_threshold_sweep",
-    "customer_rfm_segments",
-    # round-8e survival wave
-    "lineitem_shipping_hazard",
-    "events_markov_entropy_rate",
-    "docs_quality_gate_venn",
-    # round-8f dispersion wave
-    "events_fano_factor",
-    "docs_oov_rate",
-    "embedding_prefix_dim_recall",
-    # round-8g bias wave
-    "dedup_survivor_quality",
-    "lineitem_discount_elasticity",
-    "orders_priority_kl_by_nation",
-    # round-8h load/QA wave
-    "parts_return_rate_by_brand",
-    "embedding_split_centroid_shift",
-    "events_peak_to_mean",
-    # round-8i affinity wave
-    "events_type_affinity",
-    "orders_mktsegment_drift",
-    "docs_length_octave_profile",
-    # round-8j hapax wave
-    "corpus_hapax_ratio",
-    "docs_simhash_bit_balance",
-    # round-8k embedding-geometry wave
-    "embedding_participation_ratio",
-    "embedding_knn_hubness",
-    "embedding_relative_contrast",
-]
+# Every oracle-paired catalog query is benched (the perf gate must see the
+# whole parity + analytics surface, per the r8 verdict), except an explicit
+# justified exclusion list.  BENCH_QUERIES is derived from the catalog at
+# run time so newly registered queries are auto-benched — a silent gap in
+# the perf gate can't reappear.
+BENCH_EXCLUSIONS = {
+    # Documented pure-Python Avro wire-codec fallback (~100x slow path vs
+    # the JVM hot path; the container ships no spark-avro jar).  Benching it
+    # would swamp the JVM hot-path totals this suite tracks; it stays
+    # correctness-gated (driver window + replica sweeps).
+    "sink_avro_union_decode": "pure-Python Avro fallback, correctness-gated",
+    "sink_avro_struct_decode": "pure-Python Avro fallback, correctness-gated",
+}
+
+
+def bench_queries() -> list[str]:
+    from kafka_sink_spark.plans import QUERIES
+
+    return [q for q in QUERIES if q not in BENCH_EXCLUSIONS]
 
 
 def main() -> None:
@@ -308,8 +62,10 @@ def main() -> None:
     force(QUERIES["sink_json_map"](spark, sf_dir))
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = only.split(",") if only else bench_queries()
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
