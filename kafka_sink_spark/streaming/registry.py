@@ -142,3 +142,148 @@ class SinkMetricsRegistry:
         if metric == "batchSizeInBytesHistogram":
             return self.get_batch_size_in_bytes_histogram(topic, ks_table)
         raise KeyError(name)
+
+
+# ---------------------------------------------------------------------------
+# Dropwizard/JMX-shaped export (KAF-72 exposition; the reference's metrics
+# are codahale Counters/Histograms polled over JMX — the IT reads them via
+# InstanceState, SimpleEndToEndSimulacronIT.java:636-682,859-874).  This
+# bridge renders the registry as live metric objects with the codahale
+# read API (getCount / getSnapshot().getMin()/getMax()/getMean()) plus JMX
+# ObjectName-style addresses, so a dropwizard JmxReporter-equivalent (or
+# any scraper) can export them without knowing the registry internals.
+# ---------------------------------------------------------------------------
+
+_JMX_DOMAIN = "kafka.sink.spark"
+
+
+class CounterView:
+    """codahale.metrics.Counter read surface, live over the registry."""
+
+    def __init__(self, read):
+        self._read = read
+
+    def getCount(self) -> int:
+        return self._read()
+
+    get_count = getCount
+
+
+class Snapshot:
+    """codahale.metrics.Snapshot read surface (min/max/mean)."""
+
+    def __init__(self, hist: HistogramView):
+        self._h = hist
+
+    def getMin(self):
+        return self._h.min if self._h.min is not None else 0
+
+    def getMax(self):
+        return self._h.max if self._h.max is not None else 0
+
+    def getMean(self):
+        return self._h.mean if self._h.mean is not None else 0.0
+
+    get_min, get_max, get_mean = getMin, getMax, getMean
+
+
+class HistogramCounterView:
+    """codahale.metrics.Histogram read surface, live over the registry."""
+
+    def __init__(self, read):
+        self._read = read
+
+    def getCount(self) -> int:
+        return self._read().count
+
+    def getSnapshot(self) -> Snapshot:
+        return Snapshot(self._read())
+
+    get_count, get_snapshot = getCount, getSnapshot
+
+
+class DropwizardBridge:
+    """Live dropwizard-style metric set over a :class:`SinkMetricsRegistry`.
+
+    ``register_table`` mirrors the reference's setup-time registration: the
+    counters for a routed table exist (at zero) before the first batch, so
+    an exporter scraping between batches sees stable names.  ``counters()``
+    / ``histograms()`` return name → live view ({`<topic>/<ks.table>/
+    <metric>`} + the global ``failedWithUnknownTopic``), and
+    ``object_name`` renders the equivalent JMX ObjectName.
+    """
+
+    def __init__(self, registry: SinkMetricsRegistry) -> None:
+        self._registry = registry
+        self._tables: set[tuple[str, str]] = set()
+
+    def register_table(self, topic: str, ks_table: str) -> None:
+        self._tables.add((topic, ks_table))
+
+    def _live_tables(self) -> set[tuple[str, str]]:
+        seen = set(self._tables)
+        for key in set(self._registry.latest.get("record_count", {})) | set(
+            self._registry.latest.get("failed_record_count", {})
+        ):
+            topic, ks_table = key.split("|", 1)
+            seen.add((topic, ks_table))
+        return seen
+
+    def counters(self) -> dict[str, CounterView]:
+        reg = self._registry
+        out: dict[str, CounterView] = {
+            "failedWithUnknownTopic": CounterView(reg.get_failed_with_unknown_topic)
+        }
+        for topic, ks_table in sorted(self._live_tables()):
+            out[f"{topic}/{ks_table}/recordCount"] = CounterView(
+                lambda t=topic, k=ks_table: reg.get_record_counter(t, k)
+            )
+            out[f"{topic}/{ks_table}/failedRecordCount"] = CounterView(
+                lambda t=topic, k=ks_table: reg.get_failed_record_counter(t, k)
+            )
+        return out
+
+    def histograms(self) -> dict[str, HistogramCounterView]:
+        reg = self._registry
+        out: dict[str, HistogramCounterView] = {}
+        for topic, ks_table in sorted(self._live_tables()):
+            out[f"{topic}/{ks_table}/batchSizeHistogram"] = HistogramCounterView(
+                lambda t=topic, k=ks_table: reg.get_batch_size_histogram(t, k)
+            )
+            out[
+                f"{topic}/{ks_table}/batchSizeInBytesHistogram"
+            ] = HistogramCounterView(
+                lambda t=topic, k=ks_table: reg.get_batch_size_in_bytes_histogram(
+                    t, k
+                )
+            )
+        return out
+
+    @staticmethod
+    def object_name(metric: str) -> str:
+        """JMX ObjectName for a flat metric name (the address a
+        JmxReporter-equivalent would register the MBean under)."""
+        if metric == "failedWithUnknownTopic":
+            return f"{_JMX_DOMAIN}:type=sink-metrics,name=failedWithUnknownTopic"
+        topic, ks_table, name = metric.rsplit("/", 2)
+        ks, table = ks_table.split(".", 1)
+        return (
+            f"{_JMX_DOMAIN}:type=sink-metrics,topic={topic},"
+            f"keyspace={ks},table={table},name={name}"
+        )
+
+    def export(self) -> dict[str, object]:
+        """One scrape: ObjectName → current value (int for counters;
+        {count,min,max,mean} for histograms)."""
+        out: dict[str, object] = {}
+        for name, c in self.counters().items():
+            out[self.object_name(name)] = c.getCount()
+        for name, h in self.histograms().items():
+            s = h.getSnapshot()
+            out[self.object_name(name)] = {
+                "count": h.getCount(),
+                "min": s.getMin(),
+                "max": s.getMax(),
+                "mean": s.getMean(),
+            }
+        return out

@@ -156,3 +156,110 @@ def test_registry_accepts_bare_snapshots():
     assert reg.get_failed_record_counter("t", "ks.tbl") == 2
     assert reg.get_batch_size_histogram("t", "ks.tbl").count == 0
     assert "t/ks.tbl/recordCount" in reg.metric_names()
+
+
+def test_dropwizard_bridge_exports_names_and_values_after_stream_run(
+    spark, tmp_path
+):
+    """The JMX-shaped export (r8 verdict ask #5): after a REAL stream run
+    through the physical writer, the DropwizardBridge exposes live
+    codahale-style Counters/Histograms under the reference's metric names
+    (recordCount, failedRecordCount, batchSizeHistogram,
+    batchSizeInBytesHistogram per topic|ks.table + global
+    failedWithUnknownTopic) and renders JMX ObjectNames for each."""
+    from kafka_sink_spark.streaming.registry import DropwizardBridge
+
+    src = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    log_dir = str(tmp_path / "wire")
+    os.makedirs(log_dir)
+    n_good = _stage_records(spark, src)
+
+    schema = TableSchema(
+        "ks",
+        "user_events",
+        [ColumnSpec("pk", "bigint", primary_key=True), ColumnSpec("kcol", "int")],
+    )
+    table = TableConfig(
+        "events", "ks", "user_events", parse_mapping("pk=key, kcol=value.k")
+    )
+    cfg = SinkConfig(tables=[table])
+
+    from kafka_sink_spark.operators.cassandra_writer import write_routed
+
+    factory = _factory_for(log_dir)
+
+    def writer(routed, tbl, sch):
+        return write_routed(routed, tbl, sch, cfg, factory)
+
+    metrics = SinkMetrics()
+    registry = SinkMetricsRegistry()
+    bridge = DropwizardBridge(registry)
+    # setup-time registration: counters exist (zero) before the first batch
+    bridge.register_table("events", "ks.user_events")
+    pre = bridge.counters()
+    assert pre["events/ks.user_events/recordCount"].getCount() == 0
+    assert pre["failedWithUnknownTopic"].getCount() == 0
+
+    listener = SinkMetricsListener(metrics, emit=registry.update)
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src)
+        q = start_sink_stream(
+            spark,
+            stream,
+            cfg,
+            {("ks", "user_events"): schema},
+            ckpt,
+            writer,
+            value_schemas={"events": StructType([StructField("k", IntegerType())])},
+            metrics=metrics,
+            trigger_once=True,
+        )
+        assert q.awaitTermination(240)
+        deadline = time.monotonic() + 30
+        while not registry.latest and time.monotonic() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    # live counter views reflect the run without re-wiring
+    counters = bridge.counters()
+    assert counters["events/ks.user_events/recordCount"].getCount() == n_good
+    assert counters["events/ks.user_events/failedRecordCount"].getCount() == 0
+    assert counters["failedWithUnknownTopic"].getCount() > 0
+    # the PRE-run views are live too (same registry): zero → n_good
+    assert pre["events/ks.user_events/recordCount"].getCount() == n_good
+
+    hists = bridge.histograms()
+    size_h = hists["events/ks.user_events/batchSizeHistogram"]
+    snap = size_h.getSnapshot()
+    assert size_h.getCount() > 0
+    assert snap.getMax() > 1  # real multi-statement frames occurred
+    assert snap.getMin() >= 1
+    assert snap.getMin() <= snap.getMean() <= snap.getMax()
+    bytes_h = hists["events/ks.user_events/batchSizeInBytesHistogram"]
+    assert bytes_h.getCount() == n_good  # one update per statement
+    assert bytes_h.getSnapshot().getMin() > 0
+
+    # JMX ObjectName rendering + one-scrape export
+    assert bridge.object_name("events/ks.user_events/recordCount") == (
+        "kafka.sink.spark:type=sink-metrics,topic=events,"
+        "keyspace=ks,table=user_events,name=recordCount"
+    )
+    assert bridge.object_name("failedWithUnknownTopic") == (
+        "kafka.sink.spark:type=sink-metrics,name=failedWithUnknownTopic"
+    )
+    scrape = bridge.export()
+    assert (
+        scrape[
+            "kafka.sink.spark:type=sink-metrics,topic=events,"
+            "keyspace=ks,table=user_events,name=recordCount"
+        ]
+        == n_good
+    )
+    hist_val = scrape[
+        "kafka.sink.spark:type=sink-metrics,topic=events,"
+        "keyspace=ks,table=user_events,name=batchSizeInBytesHistogram"
+    ]
+    assert hist_val["count"] == n_good and hist_val["min"] > 0
