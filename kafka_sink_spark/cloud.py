@@ -178,3 +178,58 @@ def resolve_cloud(config: SinkConfig, opener=None) -> CloudPlan:
             f"{t.keyspace}.{t.table}": t.consistency_level for t in config.tables
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# SNI endpoint math (the topology step of the cloud handshake)
+# ---------------------------------------------------------------------------
+#
+# After parsing the bundle, the drivers contact
+# ``bundle.metadata_service_url`` over TLS and receive the proxy topology:
+# the SNI proxy address plus one host id per node.  Every node is then
+# addressed as (proxy_address, server_name=<host_id>) — same socket
+# endpoint, per-node TLS SNI.  This is the public Astra metadata format
+# consumed by the open-source python/java drivers; CloudSniEndToEndIT
+# composes it with the session build (proxy.getContactPoints()).
+
+
+@dataclass(frozen=True)
+class SniEndpoint:
+    """One node behind the SNI proxy: TCP endpoint + TLS server_name."""
+
+    address: str
+    port: int
+    server_name: str  # the node's host id
+
+
+def parse_metadata_response(payload: bytes | str) -> tuple[str, str, list[str]]:
+    """Parse the metadata-service JSON → (local_dc, sni_proxy_address,
+    host_ids).  Shape (public Astra contract)::
+
+        {"region": "...", "contact_info": {"type": "sni_proxy",
+         "local_dc": "...", "contact_points": ["<host-id>", ...],
+         "sni_proxy_address": "<host>:<port>"}}
+    """
+    try:
+        doc = json.loads(payload)
+        info = doc["contact_info"]
+        local_dc = info["local_dc"]
+        proxy = info["sni_proxy_address"]
+        host_ids = list(info["contact_points"])
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ConfigError(f"malformed cloud metadata response: {exc}") from exc
+    if not host_ids:
+        raise ConfigError("cloud metadata response lists no contact points")
+    return local_dc, proxy, host_ids
+
+
+def sni_endpoints(metadata_payload: bytes | str) -> list[SniEndpoint]:
+    """Per-node SNI addresses from a metadata-service response: every host
+    id maps to the same proxy socket with its own TLS server_name."""
+    _, proxy, host_ids = parse_metadata_response(metadata_payload)
+    if ":" in proxy:
+        host, port_s = proxy.rsplit(":", 1)
+        port = int(port_s)
+    else:  # proxy without an explicit port uses the CQL default
+        host, port = proxy, 9042
+    return [SniEndpoint(address=host, port=port, server_name=h) for h in host_ids]

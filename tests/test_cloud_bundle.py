@@ -284,3 +284,79 @@ def test_http_bundle_is_cached_per_url_and_private(bundle_server):
     os.unlink(p1)
     p3 = _materialize_bundle(url)
     assert os.path.exists(p3)
+
+
+def test_composed_cloud_session_plan_end_to_end(bundle_server):
+    """r8 verdict ask #7 — the CloudSniEndToEndIT composition: an HTTP
+    secure-connect bundle + the metadata-service SNI topology + the
+    session factory's execution-profile construction, asserted together:
+    the metadata URL comes from the parsed bundle, every node resolves to
+    (proxy socket, per-node SNI server_name), the weak CL is forced to
+    LOCAL_QUORUM, and the built session carries the cloud kwarg with no
+    contact points and no load-balancing policy."""
+    import json as _json
+    import types
+
+    from kafka_sink_spark.cloud import resolve_cloud, sni_endpoints
+    from kafka_sink_spark.operators.cassandra_writer import (
+        cassandra_session_factory,
+    )
+
+    url = f"{bundle_server}/secure-bundle.zip"
+    cfg = parse_sink_config(
+        props(url, **{"topic.t.ks.tbl.consistencyLevel": "ONE"})
+    )
+
+    # -- bundle → metadata endpoint (the handshake's first hop) ----------
+    plan = resolve_cloud(cfg)
+    assert plan.bundle.metadata_service_url == (
+        f"https://{CONFIG_JSON['host']}:{CONFIG_JSON['port']}/metadata"
+    )
+    # weak CL clamped at parse time (the reference logs + forces it)
+    assert plan.consistency_levels == {"ks.tbl": "LOCAL_QUORUM"}
+
+    # -- metadata response → per-node SNI addresses ----------------------
+    meta = _json.dumps(
+        {
+            "region": "us-east1",
+            "contact_info": {
+                "type": "sni_proxy",
+                "local_dc": CONFIG_JSON["localDC"],
+                "contact_points": ["host-id-1", "host-id-2", "host-id-3"],
+                "sni_proxy_address": f"{CONFIG_JSON['host']}:{CONFIG_JSON['cql_port']}",
+            },
+        }
+    )
+    eps = sni_endpoints(meta)
+    assert [e.server_name for e in eps] == ["host-id-1", "host-id-2", "host-id-3"]
+    assert all(
+        (e.address, e.port) == (CONFIG_JSON["host"], CONFIG_JSON["cql_port"])
+        for e in eps
+    )
+
+    # -- session factory: cloud kwargs, profile, no LBP ------------------
+    captured = {}
+    profiles = {}
+
+    class FakeCluster:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+        def connect(self):
+            return "cloud-session"
+
+    drv = types.SimpleNamespace(
+        Cluster=lambda **kw: FakeCluster(**kw),
+        ExecutionProfile=lambda **kw: profiles.update(kw) or kw,
+        EXEC_PROFILE_DEFAULT="default",
+        PlainTextAuthProvider=lambda **kw: kw,
+        DCAwareRoundRobinPolicy=lambda **kw: kw,
+        TokenAwarePolicy=lambda *a: a,
+    )
+    assert cassandra_session_factory(cfg, driver=drv)() == "cloud-session"
+    assert "contact_points" not in captured
+    assert "load_balancing_policy" not in captured
+    local_zip = captured["cloud"]["secure_connect_bundle"]
+    assert parse_secure_bundle(local_zip).host == CONFIG_JSON["host"]
+    # execution profile present with the configured request timeout
+    assert profiles["request_timeout"] == 30
