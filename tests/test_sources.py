@@ -49,7 +49,8 @@ def test_normalize_kafka_records(spark):
 
 
 def test_avro_jvm_path_gated_with_clear_error(spark):
-    assert avro_available(spark) is False  # jar not bundled here
+    if avro_available(spark):
+        pytest.skip("spark-avro jar present: the JVM path is live, no gate")
     rec = spark.createDataFrame([(b"x", b"y")], "key binary, value binary")
     with pytest.raises(AvroNotAvailable, match="spark-avro"):
         decode_avro_records(
@@ -57,6 +58,37 @@ def test_avro_jvm_path_gated_with_clear_error(spark):
             '{"type":"record","name":"r","fields":[{"name":"a","type":"int"}]}',
             allow_python_fallback=False,
         )
+
+
+def test_avro_jvm_path_decodes_wire_bytes(spark):
+    """Self-certifies the PREFERRED from_avro path the day the environment
+    ships the spark-avro jar (r8 verdict stretch): decodes the same real
+    wire bytes the python-fallback test uses and must agree with it.
+    Skipped (and visibly counted) while the jar is absent."""
+    if not avro_available(spark):
+        pytest.skip("spark-avro jar absent: JVM from_avro path unprovable here")
+    from kafka_sink_spark.operators.records import KEY_PARSED, VALUE_PARSED
+    from kafka_sink_spark.sources.avro_python import encode
+
+    vschema = (
+        '{"type":"record","name":"v","fields":['
+        '{"name":"a","type":["null","int"]},{"name":"b","type":"string"}]}'
+    )
+    kschema = '{"type":"record","name":"k","fields":[{"name":"id","type":"long"}]}'
+    rows = [
+        (encode(kschema, {"id": 1}), encode(vschema, {"a": 5, "b": "x"})),
+        (encode(kschema, {"id": 2}), encode(vschema, {"a": None, "b": "y"})),
+    ]
+    rec = spark.createDataFrame(rows, "key binary, value binary")
+    # allow_python_fallback=False: this must be the JVM path or fail loudly
+    out = decode_avro_records(
+        rec, vschema, key_avro_schema=kschema, allow_python_fallback=False
+    )
+    got = {
+        r[KEY_PARSED]["id"]: (r[VALUE_PARSED]["a"], r[VALUE_PARSED]["b"])
+        for r in out.collect()
+    }
+    assert got == {1: (5, "x"), 2: (None, "y")}
 
 
 def test_avro_python_fallback_decodes_wire_bytes(spark):
