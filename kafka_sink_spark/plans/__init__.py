@@ -44,6 +44,7 @@ import kafka_sink_spark.plans.analytics_loadqa  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_affinity  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_hapax  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_geometry  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_tails  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

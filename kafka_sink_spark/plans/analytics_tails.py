@@ -1,0 +1,340 @@
+"""Round-9a tails/keyness wave.
+
+- ``orders_hill_tail_index``  Hill estimator of the order-value tail
+  (Hill 1975, the standard extreme-value tail-index estimator): over the
+  top-k order prices, gamma = (1/k)·Σ ln(x_i / x_k) — the reciprocal
+  tail index alpha says how heavy the spend tail is (alpha < 2: infinite
+  variance, plan for whales).  Reported for a k-ladder {50, 100, 200}.
+- ``corpus_keyness_g2``  Dunning log-likelihood keyness (Dunning 1993):
+  per source, the term whose frequency most over-represents that source
+  vs the rest of the corpus by the G² statistic — the classic
+  corpus-linguistics "what words mark this source" report, the
+  data-auditor's first question about a mixed training corpus.
+- ``supplier_lorenz_curve``  decile Lorenz curve of supplier revenue
+  concentration: L(d) = share of total revenue earned by the poorest
+  d/10 of suppliers — the concentration curve behind the Gini/HHI
+  scalars already in the catalog, point-wise and exact.
+
+Determinism per the package convention: octave-log2 ppm-bits for every
+logarithm (counts/cents only inside the log, the KL/entropy discipline),
+exact integer cents, truncating division with sign-splits where operands
+can be negative, ties broken on ids.  The Hill top-k rides an
+``orderBy().limit()`` spine (the sanctioned bounded-input window form);
+the Lorenz ranks ride the two-phase bucket-prefix sum — no
+catalog-unsanctioned unpartitioned windows.
+
+Reference anchor: datastax/kafka-sink has no analytics surface
+(SURVEY §2); these extend COVERAGE.md's statistics/corpus families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2, _SPARK_LOG2
+from kafka_sink_spark.plans.prefix import with_exclusive_prefix
+from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.session import load_tables
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator over the top order values
+# --------------------------------------------------------------------------
+
+_HILL_KS = (50, 100, 200)
+_HILL_TOP = max(_HILL_KS)
+# gamma is estimated in octave-log2 ppm-bits; alpha = 1/gamma needs nats:
+# ln 2 = 0.693147... kept as the shared ppm constant.
+_LN2_PPM = 693147
+
+
+def _hill_oracle() -> str:
+    lg = _DUCK_LOG2.format(x="price_cents")
+    lgk = _DUCK_LOG2.format(x="thresh_cents")
+    ks = ", ".join(str(k) for k in _HILL_KS)
+    return f"""
+    WITH top AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (
+               ORDER BY FLOOR(o_totalprice * 100) DESC, o_orderkey ASC
+             ) AS rk
+      FROM orders
+      ORDER BY price_cents DESC, o_orderkey ASC LIMIT {_HILL_TOP}
+    ), grid AS (SELECT unnest([{ks}]) AS k),
+    th AS (
+      SELECT g.k, t.price_cents AS thresh_cents
+      FROM grid g JOIN top t ON t.rk = g.k
+    ), terms AS (
+      SELECT th.k, th.thresh_cents,
+             SUM({lg} - {lgk}) AS sum_ppm_bits
+      FROM th JOIN top t ON t.rk <= th.k
+      GROUP BY th.k, th.thresh_cents
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(thresh_cents AS BIGINT) AS thresh_cents,
+           CAST(sum_ppm_bits // k AS BIGINT) AS gamma_ppm_bits,
+           CAST(CASE WHEN sum_ppm_bits > 0
+                     THEN (CAST(k AS HUGEINT) * 1000000000000)
+                          // (sum_ppm_bits * {_LN2_PPM} // 1000000)
+                     ELSE 0 END AS BIGINT) AS alpha_micro
+    FROM terms ORDER BY k
+    """
+
+
+@register("orders_hill_tail_index", oracle=_hill_oracle())
+def orders_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator of the order-price distribution over a
+    top-k ladder: gamma_k = (1/k)·Σ_{i≤k} (log2 x_i − log2 x_k) in
+    octave-ppm-bits and alpha = 1/(gamma·ln2) in micro-units — the
+    heavy-tail certificate for spend distributions (alpha stabilizing
+    across the k-ladder is the classic "Hill horror plot" sanity check).
+
+    Scale shape: ONE TakeOrderedAndProject over orders (top-200 by
+    price — the distributed top-k primitive, never a global sort), a
+    200-row sanctioned limit-spine rank, then everything lives on the
+    3×200 bounded grid.  The log2 difference of per-value octave logs is
+    the shared deterministic stand-in for ln(x/t) (bias < 0.0861 bits
+    per term, identical in both engines).
+    """
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    top = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey").asc())
+        .limit(_HILL_TOP)
+    )
+    # bounded 200-row input → sanctioned limit-spine window
+    rk = Window.orderBy(F.col("price_cents").desc(), F.col("o_orderkey").asc())
+    ranked = top.select(
+        "price_cents", F.row_number().over(rk).cast("long").alias("rk")
+    )
+    grid = spark.createDataFrame([(k,) for k in _HILL_KS], "k long")
+    th = F.broadcast(
+        ranked.join(F.broadcast(grid), F.col("rk") == F.col("k")).select(
+            "k", F.col("price_cents").alias("thresh_cents")
+        )
+    )
+    lg = _SPARK_LOG2.format(x="price_cents")
+    lgk = _SPARK_LOG2.format(x="thresh_cents")
+    terms = (
+        ranked.join(th, F.col("rk") <= F.col("k"))
+        .groupBy("k", "thresh_cents")
+        .agg(F.expr(f"SUM({lg} - {lgk})").alias("sum_ppm_bits"))
+    )
+    return terms.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("thresh_cents").cast("long").alias("thresh_cents"),
+        F.expr("CAST(sum_ppm_bits div k AS BIGINT)").alias("gamma_ppm_bits"),
+        F.expr(
+            f"CAST(CASE WHEN sum_ppm_bits > 0"
+            f" THEN (CAST(k AS DECIMAL(38,0)) * 1000000000000)"
+            f" div (sum_ppm_bits * {_LN2_PPM} div 1000000)"
+            f" ELSE 0 END AS BIGINT)"
+        ).alias("alpha_micro"),
+    ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# Dunning G² keyness per source
+# --------------------------------------------------------------------------
+
+
+def _g2_oracle() -> str:
+    lgA_num = _DUCK_LOG2.format(x="(a * nn)")
+    lgA_den = _DUCK_LOG2.format(x="(r * g)")
+    lgB_num = _DUCK_LOG2.format(x="(b * nn)")
+    lgB_den = _DUCK_LOG2.format(x="(s * g)")
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+      FROM toks GROUP BY source, term
+    ), rt AS (SELECT source, SUM(a) AS r FROM tf GROUP BY source),
+    gt AS (SELECT term, SUM(a) AS g FROM tf GROUP BY term),
+    nt AS (SELECT SUM(a) AS nn FROM tf),
+    j AS (
+      SELECT tf.source, tf.term, tf.a, rt.r, gt.g, nt.nn,
+             gt.g - tf.a AS b, nt.nn - rt.r AS s
+      FROM tf JOIN rt ON rt.source = tf.source
+              JOIN gt ON gt.term = tf.term, nt
+    ), scored AS (
+      SELECT source, term, a, r,
+             2 * (a * ({lgA_num} - {lgA_den})
+                  + CASE WHEN b > 0 THEN b * ({lgB_num} - {lgB_den})
+                         ELSE 0 END) AS g2
+      FROM j
+    ), packed AS (
+      SELECT source, CAST(MAX(r) AS BIGINT) AS n_tokens,
+             MAX(lpad(CAST(GREATEST(g2, 0) AS VARCHAR), 19, '0') || term) AS mk
+      FROM scored GROUP BY source
+    )
+    SELECT source, n_tokens,
+           substr(mk, 20) AS top_term,
+           CAST(substr(mk, 1, 19) AS BIGINT) AS top_g2_ppm_bits
+    FROM packed
+    """
+
+
+@register("corpus_keyness_g2", oracle=_g2_oracle())
+def corpus_keyness_g2(spark, sf_dir):
+    """Dunning log-likelihood keyness: for each source, the term whose
+    observed frequency most exceeds its expectation under the pooled
+    corpus, by G² = 2·[a·ln(aN/rg) + b·ln(bN/sg)] (a = in-source count,
+    b = elsewhere count, r/s = source/rest token totals, g = a+b) in
+    octave-ppm-bits — counts only inside every log, so the whole
+    statistic is exact integers; the per-source argmax rides the
+    fixed-width packed-string MAX (G² zero-clamped for the pack, ties
+    broken toward the lexicographically larger term in both engines).
+
+    Scale shape: one corpus-sized (source, term) partial-combined count,
+    a vocabulary-keyed equi-join for the term totals (unhinted — vocab
+    scales with the corpus), a |sources|-row broadcast for row totals,
+    and a grid-sized argmax rollup.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    rt = tf.groupBy("source").agg(F.sum("a").alias("r"))
+    gt = tf.groupBy("term").agg(F.sum("a").alias("g"))
+    nt = tf.agg(F.sum("a").alias("nn"))
+    j = (
+        tf.join(F.broadcast(rt), "source")
+        .join(gt, "term")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source", "term", "a", "r", "g", "nn",
+            (F.col("g") - F.col("a")).alias("b"),
+            (F.col("nn") - F.col("r")).alias("s"),
+        )
+    )
+    lgA_num = _SPARK_LOG2.format(x="(a * nn)")
+    lgA_den = _SPARK_LOG2.format(x="(r * g)")
+    lgB_num = _SPARK_LOG2.format(x="(b * nn)")
+    lgB_den = _SPARK_LOG2.format(x="(s * g)")
+    scored = j.select(
+        "source",
+        "term",
+        "r",
+        F.expr(
+            f"2 * (a * ({lgA_num} - {lgA_den})"
+            f" + CASE WHEN b > 0 THEN b * ({lgB_num} - {lgB_den})"
+            f" ELSE 0 END)"
+        ).alias("g2"),
+    )
+    packed = scored.groupBy("source").agg(
+        F.max("r").cast("long").alias("n_tokens"),
+        F.max(
+            F.concat(
+                F.lpad(F.greatest(F.col("g2"), F.lit(0)).cast("string"), 19, "0"),
+                F.col("term"),
+            )
+        ).alias("mk"),
+    )
+    return packed.select(
+        "source",
+        "n_tokens",
+        F.expr("substr(mk, 20)").alias("top_term"),
+        F.expr("CAST(substr(mk, 1, 19) AS BIGINT)").alias("top_g2_ppm_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier revenue Lorenz curve (decile concentration points)
+# --------------------------------------------------------------------------
+
+# supplier revenue in cents spans ~[1e6, 1e9]: 1e6-cent buckets keep the
+# prefix grid at a few thousand rows at any SF (domain-, not row-bounded)
+_LORENZ_BUCKET = 1_000_000
+
+
+def _lorenz_oracle() -> str:
+    return f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT rev_c,
+             row_number() OVER (ORDER BY rev_c ASC, l_suppkey ASC) AS rk,
+             SUM(rev_c) OVER (
+               ORDER BY rev_c ASC, l_suppkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_c
+      FROM rev
+    ), tot AS (SELECT COUNT(*) AS n, SUM(rev_c) AS t FROM rev),
+    grid AS (SELECT unnest(range(1, 10)) AS d)
+    SELECT CAST(g.d AS BIGINT) AS decile,
+           CAST((tot.n * g.d) // 10 AS BIGINT) AS rank_at,
+           CAST(r.cum_c AS BIGINT) AS cum_rev_cents,
+           CAST(r.cum_c * 1000000 // tot.t AS BIGINT) AS lorenz_ppm
+    FROM grid g, tot
+    JOIN ranked r ON r.rk = (tot.n * g.d) // 10
+    ORDER BY decile
+    """
+
+
+@register("supplier_lorenz_curve", oracle=_lorenz_oracle())
+def supplier_lorenz_curve(spark, sf_dir):
+    """Decile Lorenz curve of supplier revenue: for each d/10 of suppliers
+    (poorest first), the exact share of total revenue they earn, in ppm —
+    the point-wise concentration curve whose area gap is the Gini and
+    whose square-sum is the HHI (both already scalar-certified in the
+    catalog).  L(0.9) ≈ 0.5 reads "the top 10% of suppliers book half the
+    revenue".
+
+    Scale shape: supplier-keyed partial-combined revenue sum over
+    lineitem (the one big shuffle), then the global rank and running sum
+    are the two-phase bucket-prefix decomposition over the
+    domain-bounded cent ladder (never an unpartitioned window); the
+    decile probe is a 9-row broadcast against the ladder.  Within-value
+    ties are interchangeable, so bucket-local arithmetic reproduces the
+    oracle's row-ordered running sum exactly at the probed ranks.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    lad = rev.groupBy("rev_c").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("rev_c").cast("long").alias("val_sum"),
+    )
+    lad = with_exclusive_prefix(
+        lad, "rev_c", {"below_cnt": "cnt", "below_rev": "val_sum"}, _LORENZ_BUCKET
+    )
+    tot = rev.agg(
+        F.count("*").cast("long").alias("n"), F.sum("rev_c").alias("t")
+    )
+    grid = spark.createDataFrame([(d,) for d in range(1, 10)], "d long")
+    probes = F.broadcast(grid).crossJoin(F.broadcast(tot)).select(
+        "d", "n", "t", F.expr("(n * d) div 10").alias("rank_at")
+    )
+    hit = probes.join(
+        lad,
+        (F.col("below_cnt") < F.col("rank_at"))
+        & (F.col("rank_at") <= F.col("below_cnt") + F.col("cnt")),
+    )
+    return hit.select(
+        F.col("d").cast("long").alias("decile"),
+        F.col("rank_at").cast("long").alias("rank_at"),
+        F.expr("below_rev + (rank_at - below_cnt) * rev_c")
+        .cast("long")
+        .alias("cum_rev_cents"),
+        F.expr(
+            "CAST((below_rev + (rank_at - below_cnt) * rev_c) * 1000000"
+            " div t AS BIGINT)"
+        ).alias("lorenz_ppm"),
+    ).orderBy("decile")
