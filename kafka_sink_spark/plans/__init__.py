@@ -48,6 +48,7 @@ import kafka_sink_spark.plans.analytics_tails  # noqa: F401,E402  (registers int
 import kafka_sink_spark.plans.analytics_information  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_payload  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_annqa  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_tuning  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
