@@ -319,11 +319,14 @@ def supplier_lorenz_curve(spark, sf_dir):
         F.count("*").cast("long").alias("n"), F.sum("rev_c").alias("t")
     )
     grid = spark.createDataFrame([(d,) for d in range(1, 10)], "d long")
-    probes = F.broadcast(grid).crossJoin(F.broadcast(tot)).select(
+    probes = grid.crossJoin(F.broadcast(tot)).select(
         "d", "n", "t", F.expr("(n * d) div 10").alias("rank_at")
     )
-    hit = probes.join(
-        lad,
+    # broadcast the 9-row probe side AT the join (a hint on the grid does
+    # not survive the crossJoin+select) — the ladder side scales with the
+    # supplier count and must stay partitioned.
+    hit = lad.join(
+        F.broadcast(probes),
         (F.col("below_cnt") < F.col("rank_at"))
         & (F.col("rank_at") <= F.col("below_cnt") + F.col("cnt")),
     )

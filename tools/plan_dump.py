@@ -108,6 +108,12 @@ HEADLINERS = [
     "orders_benford_digits",  # 9-key count + single-row broadcast
     "lineitem_price_gini",  # two-phase rank-weighted sum, no global sort
     "events_runs_test",  # two type-keyed windows + broadcast medians
+    # round-9 representatives
+    "orders_hill_tail_index",  # TakeOrderedAndProject top-200, grid readout
+    "supplier_lorenz_curve",  # two-phase bucket-prefix rank, 9-row broadcast probe
+    "multimodal_payload_entropy",  # scan-bound byte explode, <=256-group rollup
+    "knn_recall_vs_planes",  # bucket-local candidate joins, broadcast exact shortlist
+    "dedup_minhash_band_tuning",  # one signature build, three band-bucket self-joins
     # round-7a probes wave
     "events_hll_estimate",
     "lineitem_ks_test",
