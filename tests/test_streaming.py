@@ -432,3 +432,81 @@ def test_metrics_listener_emits_per_batch_snapshots(spark, tmp_path):
     assert snap["record_count"][key] == n_total - n_unknown
     assert snap["record_rate"][key] > 0
     assert snap["failed_record_rate"][key] == 0.0
+
+
+def test_stream_crash_resume_from_checkpoint(spark, tmp_path):
+    """Mid-stream failure recovery (SURVEY §2.8 at-least-once): the writer
+    crashes on the SECOND micro-batch; the stream dies; a restart from the
+    same checkpoint resumes at the failed batch — already-committed data is
+    not reprocessed, the remaining batches complete, and the final output
+    is exactly the full record set (idempotent writer => effectively-once
+    here; Cassandra upserts give the same result on the real sink)."""
+    src = str(tmp_path / "records")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    records = events.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+    )
+    # three ordered micro-batch files (maxFilesPerTrigger=1 -> one per batch)
+    n_total = records.count()
+    third = n_total // 3
+    parts = [
+        records.filter(F.col("offset") < third),
+        records.filter((F.col("offset") >= third) & (F.col("offset") < 2 * third)),
+        records.filter(F.col("offset") >= 2 * third),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+
+    cfg, schemas, _ = _config()
+    batches_seen = []
+
+    def crashing_writer(routed, table, schema):
+        batch_rows = routed.select("pk", "kcol")
+        batches_seen.append(batch_rows.count())
+        if len(batches_seen) == 2:
+            raise RuntimeError("simulated executor loss on batch 2")
+        batch_rows.write.mode("append").parquet(out_dir)
+
+    def reader():
+        return (
+            spark.readStream.schema(RECORD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+
+    q = start_sink_stream(
+        spark, reader(), cfg, schemas, ckpt, crashing_writer,
+        value_schemas={"events": V_SCHEMA}, trigger_once=True,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    # batch 1 committed before the crash
+    committed = spark.read.parquet(out_dir).count()
+    assert committed == batches_seen[0]
+    assert committed < n_total
+
+    def healed_writer(routed, table, schema):
+        routed.select("pk", "kcol").write.mode("append").parquet(out_dir)
+
+    q2 = start_sink_stream(
+        spark, reader(), cfg, schemas, ckpt, healed_writer,
+        value_schemas={"events": V_SCHEMA}, trigger_once=True,
+    )
+    assert q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    final = spark.read.parquet(out_dir)
+    # resume replays ONLY the uncommitted batches: full set, no duplicates
+    assert final.count() == n_total
+    assert final.select("pk").distinct().count() == n_total
