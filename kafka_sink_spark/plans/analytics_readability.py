@@ -47,15 +47,26 @@ _LOG2_1E6_PPM = 19_931_568  # log2(1e6) in ppm, truncated — pinned
 
 # octave-interpolated log2 of a positive BIGINT x, in ppm-bits:
 # (bitlen-1)*1e6 + ((x - 2^(bitlen-1)) * 1e6) div 2^(bitlen-1)
+#
+# The within-octave remainder can be up to 2^62, so its ×1e6 interpolation
+# multiply runs in DECIMAL(38,0) / HUGEINT — bit-identical to the former
+# BIGINT path on every argument that path could represent, but valid for
+# ANY positive int64 argument instead of overflowing past x ≈ 2^43 (the
+# sf10 rehearsal caught lineitem_theil_index's rev·n crossing that line;
+# every counts-product user of these helpers had the same cliff).
+# Arguments themselves must still fit a signed int64 — callers building
+# products (c·N, rev·n) own THAT bound and document it.
 _SPARK_LOG2 = (
     "((length(bin({x})) - 1) * 1000000"
-    " + (({x} - shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1))"
-    " * 1000000) div shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1))"
+    " + CAST((CAST(({x} - shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1))"
+    " AS DECIMAL(38,0))"
+    " * 1000000) div shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1)"
+    " AS BIGINT))"
 )
 _DUCK_LOG2 = (
     "((length(bin({x})) - 1) * 1000000"
-    " + (({x} - (1::BIGINT << (length(bin({x})) - 1)))"
-    " * 1000000) // (1::BIGINT << (length(bin({x})) - 1)))"
+    " + CAST((({x} - (1::BIGINT << (length(bin({x})) - 1)))::HUGEINT"
+    " * 1000000) // (1::BIGINT << (length(bin({x})) - 1)) AS BIGINT))"
 )
 
 # --------------------------------------------------------------------------

@@ -278,7 +278,9 @@ def _lorenz_oracle() -> str:
     SELECT CAST(g.d AS BIGINT) AS decile,
            CAST((tot.n * g.d) // 10 AS BIGINT) AS rank_at,
            CAST(r.cum_c AS BIGINT) AS cum_rev_cents,
-           CAST(r.cum_c * 1000000 // tot.t AS BIGINT) AS lorenz_ppm
+           -- HUGEINT: cum·1e6 exceeds int64 once total revenue passes
+           -- ~9e12 cents (sf10 rehearsal)
+           CAST(r.cum_c::HUGEINT * 1000000 // tot.t AS BIGINT) AS lorenz_ppm
     FROM grid g, tot
     JOIN ranked r ON r.rk = (tot.n * g.d) // 10
     ORDER BY decile
@@ -336,8 +338,10 @@ def supplier_lorenz_curve(spark, sf_dir):
         F.expr("below_rev + (rank_at - below_cnt) * rev_c")
         .cast("long")
         .alias("cum_rev_cents"),
+        # DECIMAL(38,0): cum·1e6 exceeds int64 once total revenue passes
+        # ~9e12 cents (sf10 rehearsal)
         F.expr(
-            "CAST((below_rev + (rank_at - below_cnt) * rev_c) * 1000000"
-            " div t AS BIGINT)"
+            "CAST(CAST((below_rev + (rank_at - below_cnt) * rev_c)"
+            " AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)"
         ).alias("lorenz_ppm"),
     ).orderBy("decile")

@@ -11,6 +11,7 @@ see 10x exact duplicates; document text is left identical (10x exact
 dupes IS the realistic dedup-at-scale shape).
 
 Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/sf1)
+SPARK_GRAFT_GEN_REPLICAS overrides the 10x factor (e.g. 100 -> sf10).
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_GEN_REPLICAS", "10"))
 
 # table -> (key columns to offset by that table's own max+1,
 #           {column: source table whose offset it follows})
