@@ -33,8 +33,14 @@ DEC_OUT = "decimal(38,6)"  # scale-WIDENING only: DuckDB truncates on scale-down
 # Final-output rendering: the driver compares query/oracle results through
 # pandas, where Spark decimals arrive as Decimal objects but DuckDB DECIMALs
 # arrive as float64 — same values, different hash. So every decimal-valued
-# OUTPUT column takes one last exact-decimal -> double cast on BOTH sides
-# (both engines convert the same exact decimal to the same IEEE double).
+# OUTPUT column takes one last exact-decimal -> double cast on BOTH sides.
+# r10 correction (sf10 ladder): DuckDB's DIRECT decimal->double cast is NOT
+# correctly rounded once values pass ~1e12 (415549704160.900000 came out
+# 415549704160.89996 while Spark's BigDecimal.doubleValue gives the nearest
+# double ...9), so every oracle-side cast routes through VARCHAR —
+# CAST(CAST(x AS STRING) AS DOUBLE) — exact digits then a correctly-rounded
+# parse, bit-identical to Spark at every magnitude.  The Spark-side SQL
+# strings got the same (numerically no-op) wrap for symmetry.
 # The internal arithmetic stays decimal; only the rendering changes.
 
 
@@ -63,13 +69,13 @@ _OPT = f"CAST(1 + CAST(l_tax AS {DEC_F}) AS {DEC_F})"
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS sum_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS sum_base_price,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD} * {_OPT}) AS {DEC_OUT}) AS DOUBLE) AS sum_charge,
-           round(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-           round(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-           round(CAST(SUM(CAST(l_discount AS {DEC})) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS sum_qty,
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD} * {_OPT}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS sum_charge,
+           round(CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS STRING) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           round(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS STRING) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           round(CAST(CAST(SUM(CAST(l_discount AS {DEC})) AS STRING) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -112,7 +118,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -155,7 +161,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

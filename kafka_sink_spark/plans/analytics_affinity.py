@@ -137,8 +137,17 @@ def events_type_affinity(spark, sf_dir):
 def _drift_oracle() -> str:
     from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2
 
-    num = _DUCK_LOG2.format(x="(j.c * g.tg)")
-    den = _DUCK_LOG2.format(x="(j.tm * j.gc)")
+    # Bounded probability-ratio form (r10, analytics_readability.py
+    # note): the KL log ratio c·T/(t·g) is P(seg|month)/P(seg) — both
+    # probabilities in 1e12 fixed point, bracket = lg(p_pt) − lg(q_pt):
+    # arguments bounded by 1e12 (no count-product int64 cliff) and the
+    # octave biases cancel for a month matching the global mix.
+    from kafka_sink_spark.plans.analytics_readability import duck_ratio_pt
+
+    p_pt = duck_ratio_pt("j.c", "j.tm")
+    q_pt = duck_ratio_pt("j.gc", "g.tg")
+    num = _DUCK_LOG2.format(x=p_pt)
+    den = _DUCK_LOG2.format(x=q_pt)
     return f"""
     WITH o AS (
       SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
@@ -156,9 +165,9 @@ def _drift_oracle() -> str:
              JOIN gc gcc ON gcc.seg = mc.seg
     ), terms AS (
       SELECT j.month, j.tm, j.seg, j.c,
-             CASE WHEN (j.c * ({num} - {den})) >= 0
-                  THEN (j.c * ({num} - {den})) // j.tm
-                  ELSE -((-(j.c * ({num} - {den}))) // j.tm)
+             CASE WHEN (j.c::HUGEINT * ({num} - {den})) >= 0
+                  THEN (j.c::HUGEINT * ({num} - {den})) // j.tm
+                  ELSE -((-(j.c::HUGEINT * ({num} - {den}))) // j.tm)
              END AS t_ppm_bits
       FROM j, g
     )
@@ -175,8 +184,12 @@ def _drift_oracle() -> str:
 def orders_mktsegment_drift(spark, sf_dir):
     """Monthly market-segment mix drift: each order month's segment mix
     against the global mix as an exact octave-log2 KL in ppm-bits
-    (counts-only log arguments, per-term truncation, signed — the
-    octave bias can leave a near-global month a few ppm-bits negative)
+    (the bounded probability-ratio convention, r10,
+    analytics_readability.py: lg(P(seg|month)·1e12) − lg(P(seg)·1e12),
+    arguments bounded by 1e12 at any SF, octave biases cancelling for
+    a month that matches the global mix, outer multiply in
+    DECIMAL(38,0)/HUGEINT; per-term truncation, signed — truncation
+    can leave a near-global month a few ppm-bits negative)
     plus the month's dominant segment (count-then-name max for a
     deterministic tie-break).  The month a campaign shifts the audience
     shows up as a KL spike before any revenue number moves.
@@ -206,17 +219,24 @@ def orders_mktsegment_drift(spark, sf_dir):
         .join(F.broadcast(gc), "seg")
         .crossJoin(F.broadcast(g))
     )
-    num = _SPARK_LOG2.format(x="(c * tg)")
-    den = _SPARK_LOG2.format(x="(tm * gc)")
+    # Bounded probability-ratio form (r10) — see the oracle note.
+    # Outer c·bracket multiply rides DECIMAL(38,0).
+    from kafka_sink_spark.plans.analytics_readability import spark_ratio_pt
+
+    p_pt = spark_ratio_pt("c", "tm")
+    q_pt = spark_ratio_pt("gc", "tg")
+    num = _SPARK_LOG2.format(x=p_pt)
+    den = _SPARK_LOG2.format(x=q_pt)
     terms = j.select(
         "month",
         "tm",
         "seg",
         "c",
         F.expr(
-            f"CASE WHEN (c * ({num} - {den})) >= 0"
-            f" THEN (c * ({num} - {den})) div tm"
-            f" ELSE -((-(c * ({num} - {den}))) div tm) END"
+            f"CASE WHEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) >= 0"
+            f" THEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) div tm"
+            f" ELSE -((-(CAST(c AS DECIMAL(38,0)) * ({num} - {den}))) div tm)"
+            f" END"
         ).alias("t_ppm_bits"),
     )
     return terms.groupBy("month").agg(

@@ -185,8 +185,17 @@ def lineitem_discount_elasticity(spark, sf_dir):
 def _kl_oracle() -> str:
     from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2
 
-    num = _DUCK_LOG2.format(x="(j.c * g.tg)")
-    den = _DUCK_LOG2.format(x="(j.tn * j.gc)")
+    # Bounded probability-ratio form (r10, analytics_readability.py
+    # note): the KL log ratio c·T/(t·g) is P(pri|nation)/P(pri) — both
+    # probabilities in 1e12 fixed point, bracket = lg(p_pt) − lg(q_pt):
+    # arguments bounded by 1e12 (no count-product int64 cliff) and the
+    # octave biases cancel for a nation matching the global mix.
+    from kafka_sink_spark.plans.analytics_readability import duck_ratio_pt
+
+    p_pt = duck_ratio_pt("j.c", "j.tn")
+    q_pt = duck_ratio_pt("j.gc", "g.tg")
+    num = _DUCK_LOG2.format(x=p_pt)
+    den = _DUCK_LOG2.format(x=q_pt)
     return f"""
     WITH o AS (
       SELECT c.c_nationkey AS nation, o.o_orderpriority AS pri
@@ -205,9 +214,9 @@ def _kl_oracle() -> str:
              JOIN gc gcc ON gcc.pri = nc.pri
     ), terms AS (
       SELECT j.nation, j.tn,
-             CASE WHEN (j.c * ({num} - {den})) >= 0
-                  THEN (j.c * ({num} - {den})) // j.tn
-                  ELSE -((-(j.c * ({num} - {den}))) // j.tn)
+             CASE WHEN (j.c::HUGEINT * ({num} - {den})) >= 0
+                  THEN (j.c::HUGEINT * ({num} - {den})) // j.tn
+                  ELSE -((-(j.c::HUGEINT * ({num} - {den}))) // j.tn)
              END AS t_ppm_bits
       FROM j, g
     )
@@ -222,8 +231,13 @@ def _kl_oracle() -> str:
 def orders_priority_kl_by_nation(spark, sf_dir):
     """KL divergence of each nation's order-priority mix from the
     global mix, in octave-log2 ppm-bits: each term is
-    c·(log2(c·T) − log2(t·g)) div t — counts only inside the log, so
-    the whole statistic is exact integers; per-term truncation before
+    c·(log2(c·T) − log2(t·g)) div t, computed via the bounded
+    probability-ratio convention (r10, analytics_readability.py) —
+    lg(P(pri|nation)·1e12) − lg(P(pri)·1e12), arguments bounded by
+    1e12 at any SF, octave biases cancelling for a nation that
+    matches the global mix; the outer c·bracket multiply rides
+    DECIMAL(38,0)/HUGEINT — exact integers throughout;
+    per-term truncation before
     the order-independent sum; the octave bias is shared by both
     engines (and can leave a near-uniform nation a few ppm-bits
     negative — the sign is reported, not clamped).  The categorical
@@ -254,15 +268,22 @@ def orders_priority_kl_by_nation(spark, sf_dir):
         .join(F.broadcast(gc), "pri")
         .crossJoin(F.broadcast(g))
     )
-    num = _SPARK_LOG2.format(x="(c * tg)")
-    den = _SPARK_LOG2.format(x="(tn * gc)")
+    # Bounded probability-ratio form (r10) — see the oracle note.
+    # Outer c·bracket multiply rides DECIMAL(38,0).
+    from kafka_sink_spark.plans.analytics_readability import spark_ratio_pt
+
+    p_pt = spark_ratio_pt("c", "tn")
+    q_pt = spark_ratio_pt("gc", "tg")
+    num = _SPARK_LOG2.format(x=p_pt)
+    den = _SPARK_LOG2.format(x=q_pt)
     terms = j.select(
         "nation",
         "tn",
         F.expr(
-            f"CASE WHEN (c * ({num} - {den})) >= 0"
-            f" THEN (c * ({num} - {den})) div tn"
-            f" ELSE -((-(c * ({num} - {den}))) div tn) END"
+            f"CASE WHEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) >= 0"
+            f" THEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) div tn"
+            f" ELSE -((-(CAST(c AS DECIMAL(38,0)) * ({num} - {den}))) div tn)"
+            f" END"
         ).alias("t_ppm_bits"),
     )
     return terms.groupBy("nation").agg(

@@ -261,7 +261,7 @@ def multimodal_frame_sample(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC_F})) AS {DEC_OUT}) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC_F})) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -296,7 +296,7 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -439,7 +439,7 @@ def q2_min_acctbal_supplier(spark, sf_dir):
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS revenue
     FROM supplier, lineitem, orders, customer, nation n1, nation n2
     WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       AND c_custkey = o_custkey
@@ -623,10 +623,10 @@ def orders_priority_rollup(spark, sf_dir):
     "q14_promo_revenue",
     oracle=f"""
     WITH s AS (
-      SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      SELECT CAST(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                            THEN CAST(l_extendedprice AS {DEC}) * {_OMD}
-                           ELSE CAST(0 AS {DEC}) END) AS {DEC_OUT}) AS DOUBLE) AS promo,
-             CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS total
+                           ELSE CAST(0 AS {DEC}) END) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS promo,
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS total
       FROM lineitem, part
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'

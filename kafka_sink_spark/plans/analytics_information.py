@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2, _SPARK_LOG2
+from kafka_sink_spark.plans.analytics_readability import (
+    _DUCK_LOG2,
+    _SPARK_LOG2,
+    duck_ratio_pt,
+    spark_ratio_pt,
+)
 from kafka_sink_spark.plans.queries import register
 from kafka_sink_spark.plans.stream_twin import finish_stream_twin
 from kafka_sink_spark.session import load_tables
@@ -108,8 +113,17 @@ def stream_topk_twin(spark, sf_dir):
 
 
 def _mi_oracle() -> str:
-    num = _DUCK_LOG2.format(x="(j.c * j.nn)")
-    den = _DUCK_LOG2.format(x="(j.ct * j.ch)")
+    # Bounded probability-ratio form (r10, analytics_readability.py
+    # note): the MI log ratio c·N/(ct·ch) is P(hour|type)/P(hour) —
+    # both probabilities render in 1e12 fixed point and the bracket is
+    # lg(p_pt) − lg(q_pt): arguments bounded by 1e12 (no count-product
+    # int64 cliff at any corpus size) and the octave biases CANCEL when
+    # the hour is independent of the type, keeping near-null terms ~0.
+    # The outer c·bracket multiply rides HUGEINT/DECIMAL.
+    p_pt = duck_ratio_pt("j.c", "j.ct")
+    q_pt = duck_ratio_pt("j.ch", "j.nn")
+    num = _DUCK_LOG2.format(x=p_pt)
+    den = _DUCK_LOG2.format(x=q_pt)
     return f"""
     WITH th AS (
       SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
@@ -124,9 +138,9 @@ def _mi_oracle() -> str:
               JOIN ht ON ht.hod = th.hod, nt
     ), terms AS (
       SELECT event_type, ct,
-             CASE WHEN (c * ({num} - {den})) >= 0
-                  THEN (c * ({num} - {den})) // nn
-                  ELSE -((-(c * ({num} - {den}))) // nn)
+             CASE WHEN (c::HUGEINT * ({num} - {den})) >= 0
+                  THEN (c::HUGEINT * ({num} - {den})) // nn
+                  ELSE -((-(c::HUGEINT * ({num} - {den}))) // nn)
              END AS t_ppm_bits
       FROM j
     ), per AS (
@@ -151,7 +165,13 @@ def events_info_gain_by_hour(spark, sf_dir):
     clock".  Counts only inside every log, per-term sign-split
     truncation before the order-independent sum (a near-independent
     type can land a few ppm-bits negative; the sign is reported, not
-    clamped — the KL-family convention).
+    clamped — the KL-family convention).  The log ratio rides the
+    bounded probability-ratio convention (r10,
+    analytics_readability.py): lg(P(hour|type)·1e12) − lg(P(hour)·1e12)
+    — arguments bounded by 1e12 at any corpus size (the r9
+    count-product form capped N at ~4.6e18/c) and the octave biases
+    cancel under independence; the outer c·bracket multiply rides
+    DECIMAL(38,0)/HUGEINT.
 
     Scale shape: one partial-combined (type, hour) rollup over events,
     then everything lives on the |types|×24 bounded grid (grid-sized
@@ -169,15 +189,22 @@ def events_info_gain_by_hour(spark, sf_dir):
         .join(F.broadcast(ht), "hod")
         .crossJoin(F.broadcast(nt))
     )
-    num = _SPARK_LOG2.format(x="(c * nn)")
-    den = _SPARK_LOG2.format(x="(ct * ch)")
+    # Bounded probability-ratio form (r10) — see the oracle note: the
+    # bracket is lg(P(hour|type)·1e12) − lg(P(hour)·1e12), arguments
+    # bounded, biases cancelling under independence; outer multiply in
+    # DECIMAL(38,0) so c·bracket never crosses int64 at any corpus size.
+    p_pt = spark_ratio_pt("c", "ct")
+    q_pt = spark_ratio_pt("ch", "nn")
+    num = _SPARK_LOG2.format(x=p_pt)
+    den = _SPARK_LOG2.format(x=q_pt)
     terms = j.select(
         "event_type",
         "ct",
         F.expr(
-            f"CASE WHEN (c * ({num} - {den})) >= 0"
-            f" THEN (c * ({num} - {den})) div nn"
-            f" ELSE -((-(c * ({num} - {den}))) div nn) END"
+            f"CASE WHEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) >= 0"
+            f" THEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) div nn"
+            f" ELSE -((-(CAST(c AS DECIMAL(38,0)) * ({num} - {den}))) div nn)"
+            f" END"
         ).alias("t_ppm_bits"),
     )
     per = terms.groupBy("event_type").agg(

@@ -16,10 +16,10 @@
   eval split drifted from train — the split-quality audit next to
   ``embedding_split_centroid_shift``.
 
-Determinism per the package convention: counts-only log arguments in
-octave-log2 ppm-bits, mixture terms cross-multiplied to integers
-(p_t·B + q_t·A — no rational M), per-term truncating division before
-order-independent sums.
+Determinism per the package convention: octave-log2 ppm-bits with
+BOUNDED log arguments (single counts, or the r10 rebased ppm mixture
+ratio m2 = trunc(2e6·p/(p+q)) for the JS mixture — never a count
+product), per-term truncating division before order-independent sums.
 
 Reference anchor: datastax/kafka-sink's C7 blob parity is the payload
 passthrough; these extend COVERAGE.md's multimodal/curation families.
@@ -133,6 +133,45 @@ def multimodal_payload_entropy(spark, sf_dir):
 
 _JS_PAIRS = (("train", "val"), ("train", "test"), ("val", "test"))
 
+# ordered directions needing a mixture-ratio column m2_{a}_{b}
+_JS_DIRS = tuple(
+    d for a, b in _JS_PAIRS for d in ((a, b), (b, a))
+)
+
+
+def _octave_log2_ppm(x: int) -> int:
+    """The catalog's octave-interpolated log2 in ppm-bits, in Python —
+    used only to pin constants that both engines must share exactly."""
+    e = x.bit_length() - 1
+    return e * 1_000_000 + ((x - (1 << e)) * 1_000_000) // (1 << e)
+
+
+# octave-log2 of the 1e6 ratio scale: the rebased JS logs subtract it, so
+# a term with p == q (m2 == 1e6) contributes exactly 0 — the same octave
+# approximation on both sides of the subtraction, not the true log2(1e6).
+_LG2_OCT_1E6_PPM = _octave_log2_ppm(1_000_000)
+
+
+def _m2_duck(a: str, b: str) -> str:
+    """Truncated ppm mixture ratio 2·p/(p+q) = 2e6·c_a·t_b div
+    (c_a·t_b + c_b·t_a), clamped to ≥1 so its log2 is defined (a term
+    absent from ``a`` never reads it — its half-term is 0 by guard).
+    HUGEINT throughout: the products reach ~2e6·t² and stay exact for
+    split token totals up to ~1e15 (well past a 100 TB corpus)."""
+    return (
+        f"CAST(GREATEST((2000000::HUGEINT * c_{a} * t_{b})"
+        f" // GREATEST(c_{a}::HUGEINT * t_{b} + c_{b}::HUGEINT * t_{a}, 1),"
+        f" 1) AS BIGINT)"
+    )
+
+
+def _m2_spark(a: str, b: str) -> str:
+    return (
+        f"CAST(GREATEST((CAST(2000000 AS DECIMAL(38,0)) * c_{a} * t_{b})"
+        f" div GREATEST(CAST(c_{a} AS DECIMAL(38,0)) * t_{b}"
+        f" + CAST(c_{b} AS DECIMAL(38,0)) * t_{a}, 1), 1) AS BIGINT)"
+    )
+
 
 def _js_split_sql_duck() -> str:
     return f"""
@@ -147,22 +186,27 @@ def _js_split_sql_duck() -> str:
 
 
 def _js_pair_duck(a: str, b: str) -> str:
-    # KL(P||M) half: p·(log2(2·p·B) − log2(p·B + q·A)) div A, per term
-    lg_pa = _DUCK_LOG2.format(x="(2 * c_{a} * t_{b})")
-    lg_pm = _DUCK_LOG2.format(x="(c_{a} * t_{b} + c_{b} * t_{a})")
-    lg_qa = _DUCK_LOG2.format(x="(2 * c_{b} * t_{a})")
+    # Rebased log form (r10): the KL(P||M) half term is
+    # p·(log2 m2 − log2 1e6) div A with m2 = trunc(2e6·p/(p+q)) — the
+    # log argument is a BOUNDED ppm ratio (≤ 2e6), never a count
+    # product, so the int64 log-argument cliff is gone; the outer
+    # c·bracket multiply rides HUGEINT.
+    lg_p = _DUCK_LOG2.format(x="m2_{a}_{b}")
+    lg_q = _DUCK_LOG2.format(x="m2_{b}_{a}")
     half_p = (
         f"CASE WHEN c_{{a}} > 0 THEN "
-        f"CASE WHEN (c_{{a}} * ({lg_pa} - {lg_pm})) >= 0"
-        f" THEN (c_{{a}} * ({lg_pa} - {lg_pm})) // t_{{a}}"
-        f" ELSE -((-(c_{{a}} * ({lg_pa} - {lg_pm}))) // t_{{a}}) END"
+        f"CASE WHEN (c_{{a}}::HUGEINT * ({lg_p} - {_LG2_OCT_1E6_PPM})) >= 0"
+        f" THEN (c_{{a}}::HUGEINT * ({lg_p} - {_LG2_OCT_1E6_PPM})) // t_{{a}}"
+        f" ELSE -((-(c_{{a}}::HUGEINT * ({lg_p} - {_LG2_OCT_1E6_PPM})))"
+        f" // t_{{a}}) END"
         f" ELSE 0 END"
     )
     half_q = (
         f"CASE WHEN c_{{b}} > 0 THEN "
-        f"CASE WHEN (c_{{b}} * ({lg_qa} - {lg_pm})) >= 0"
-        f" THEN (c_{{b}} * ({lg_qa} - {lg_pm})) // t_{{b}}"
-        f" ELSE -((-(c_{{b}} * ({lg_qa} - {lg_pm}))) // t_{{b}}) END"
+        f"CASE WHEN (c_{{b}}::HUGEINT * ({lg_q} - {_LG2_OCT_1E6_PPM})) >= 0"
+        f" THEN (c_{{b}}::HUGEINT * ({lg_q} - {_LG2_OCT_1E6_PPM})) // t_{{b}}"
+        f" ELSE -((-(c_{{b}}::HUGEINT * ({lg_q} - {_LG2_OCT_1E6_PPM})))"
+        f" // t_{{b}}) END"
         f" ELSE 0 END"
     )
     expr = f"(({half_p}) + ({half_q})) // 2"
@@ -170,11 +214,14 @@ def _js_pair_duck(a: str, b: str) -> str:
 
 
 def _js_oracle() -> str:
+    m2_cols = ",\n             ".join(
+        f"{_m2_duck(a, b)} AS m2_{a}_{b}" for a, b in _JS_DIRS
+    )
     pair_rows = "\nUNION ALL\n".join(
         f"""SELECT '{a}|{b}' AS pair, CAST(MAX(t_{a}) AS BIGINT) AS n_tokens_a,
                CAST(MAX(t_{b}) AS BIGINT) AS n_tokens_b,
                CAST(SUM({_js_pair_duck(a, b)}) AS BIGINT) AS jsd_ppm_bits
-        FROM wide"""
+        FROM mid"""
         for a, b in _JS_PAIRS
     )
     return f"""
@@ -191,27 +238,38 @@ def _js_oracle() -> str:
              SUM(SUM(CASE WHEN split = 'val' THEN c ELSE 0 END)) OVER () AS t_val,
              SUM(SUM(CASE WHEN split = 'test' THEN c ELSE 0 END)) OVER () AS t_test
       FROM tf GROUP BY term
+    ), mid AS (
+      SELECT *,
+             {m2_cols}
+      FROM wide
     )
     {pair_rows}
     """
 
 
 def _js_pair_spark(a: str, b: str) -> str:
-    lg_pa = _SPARK_LOG2.format(x="(2 * c_{a} * t_{b})")
-    lg_pm = _SPARK_LOG2.format(x="(c_{a} * t_{b} + c_{b} * t_{a})")
-    lg_qa = _SPARK_LOG2.format(x="(2 * c_{b} * t_{a})")
+    # Rebased log form (r10) — bounded ppm-ratio log arguments; see the
+    # DuckDB twin.  Outer c·bracket multiply rides DECIMAL(38,0).
+    lg_p = _SPARK_LOG2.format(x="m2_{a}_{b}")
+    lg_q = _SPARK_LOG2.format(x="m2_{b}_{a}")
     half_p = (
         f"CASE WHEN c_{{a}} > 0 THEN "
-        f"CASE WHEN (c_{{a}} * ({lg_pa} - {lg_pm})) >= 0"
-        f" THEN (c_{{a}} * ({lg_pa} - {lg_pm})) div t_{{a}}"
-        f" ELSE -((-(c_{{a}} * ({lg_pa} - {lg_pm}))) div t_{{a}}) END"
+        f"CASE WHEN (CAST(c_{{a}} AS DECIMAL(38,0))"
+        f" * ({lg_p} - {_LG2_OCT_1E6_PPM})) >= 0"
+        f" THEN (CAST(c_{{a}} AS DECIMAL(38,0))"
+        f" * ({lg_p} - {_LG2_OCT_1E6_PPM})) div t_{{a}}"
+        f" ELSE -((-(CAST(c_{{a}} AS DECIMAL(38,0))"
+        f" * ({lg_p} - {_LG2_OCT_1E6_PPM}))) div t_{{a}}) END"
         f" ELSE 0 END"
     )
     half_q = (
         f"CASE WHEN c_{{b}} > 0 THEN "
-        f"CASE WHEN (c_{{b}} * ({lg_qa} - {lg_pm})) >= 0"
-        f" THEN (c_{{b}} * ({lg_qa} - {lg_pm})) div t_{{b}}"
-        f" ELSE -((-(c_{{b}} * ({lg_qa} - {lg_pm}))) div t_{{b}}) END"
+        f"CASE WHEN (CAST(c_{{b}} AS DECIMAL(38,0))"
+        f" * ({lg_q} - {_LG2_OCT_1E6_PPM})) >= 0"
+        f" THEN (CAST(c_{{b}} AS DECIMAL(38,0))"
+        f" * ({lg_q} - {_LG2_OCT_1E6_PPM})) div t_{{b}}"
+        f" ELSE -((-(CAST(c_{{b}} AS DECIMAL(38,0))"
+        f" * ({lg_q} - {_LG2_OCT_1E6_PPM}))) div t_{{b}}) END"
         f" ELSE 0 END"
     )
     expr = f"(({half_p}) + ({half_q})) div 2"
@@ -222,13 +280,18 @@ def _js_pair_spark(a: str, b: str) -> str:
 def docs_js_divergence_splits(spark, sf_dir):
     """Jensen–Shannon divergence of the term distributions between every
     pair of the certified md5-bucket splits, in octave-ppm-bits:
-    JSD(P,Q) = ½Σ p·log2(2pB/(pB+qA))/A + ½Σ q·log2(2qA/(pB+qA))/B with
-    every log argument a pure count product (the mixture 2M cross-
-    multiplied to p_t·B + q_t·A — no rational midpoint) — near-zero
-    certifies exchangeable splits, the drift alarm for leaky or skewed
-    eval sets.  Per-term sign-split truncation can leave a pair a few
-    ppm-bits negative under the shared octave bias; the sign is
-    reported, not clamped.
+    JSD(P,Q) = ½Σ p·log2(2p/(p+q))/A + ½Σ q·log2(2q/(p+q))/B with every
+    log argument a BOUNDED ppm mixture ratio m2 = trunc(2e6·p/(p+q)) ≤
+    2e6 (rebased r10: the r9 count-product arguments 2·c_a·t_b capped
+    split sizes at ~3e9 tokens; the ratio form survives any corpus whose
+    per-split token total fits ~1e15, the DECIMAL(38,0)/HUGEINT product
+    bound, and the log2 itself never sees more than 21 bits).  A term
+    vanishing from one side clamps its ratio to 1 ppm (the guard keeps
+    the absent half-term at exactly 0) — near-zero JSD certifies
+    exchangeable splits, the drift alarm for leaky or skewed eval sets.
+    Per-term sign-split truncation can leave a pair a few ppm-bits
+    negative under the shared octave bias; the sign is reported, not
+    clamped.
 
     Scale shape: one corpus-sized (split, term) partial-combined count,
     a vocabulary-keyed conditional-sum pivot (one shuffle on term), a
@@ -262,7 +325,13 @@ def docs_js_divergence_splits(spark, sf_dir):
     tot = wide.agg(
         *[F.sum(f"c_{s}").alias(f"t_{s}") for s in ("train", "val", "test")]
     )
-    joined = wide.crossJoin(F.broadcast(tot))
+    joined = wide.crossJoin(F.broadcast(tot)).select(
+        "*",
+        *[
+            F.expr(_m2_spark(a, b)).alias(f"m2_{a}_{b}")
+            for a, b in _JS_DIRS
+        ],
+    )
     pairs = [
         joined.agg(
             F.lit(f"{a}|{b}").alias("pair"),

@@ -252,8 +252,16 @@ _LN2_PPM = 693_147  # ln(2) in ppm, truncated — pinned
 def _theil_oracle() -> str:
     from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2
 
-    lx = _DUCK_LOG2.format(x="(x.rev::BIGINT * n.n)")
-    ls = _DUCK_LOG2.format(x="n.s")
+    # Bounded probability-ratio form (r10, analytics_readability.py
+    # note): the Theil log ratio x·n/S is (x/S)/(1/n) — the part's
+    # revenue share against the uniform share, both in 1e12 fixed
+    # point: arguments bounded by 1e12 (the r9 rev·n cliff caught by
+    # the sf10 ladder is gone for good) and the octave biases cancel
+    # on a uniform revenue distribution, keeping T ~0 there.
+    from kafka_sink_spark.plans.analytics_readability import duck_ratio_pt
+
+    lx = _DUCK_LOG2.format(x=duck_ratio_pt("x.rev", "n.s"))
+    ls = _DUCK_LOG2.format(x=duck_ratio_pt("1", "n.n"))
     return f"""
     WITH pr AS (
       SELECT l_partkey AS pk,
@@ -299,9 +307,12 @@ def lineitem_theil_index(spark, sf_dir):
 
     Scale shape: one fact-sized partial-combined revenue rollup; the
     (n, S) pair is a single-row broadcast; the term pass is one
-    projection + one partial-combined sum.  log2 arguments stay in
-    BIGINT (rev·n ≤ ~2^60 at catalog scales — rev is cents per part,
-    n is the part count).
+    projection + one partial-combined sum.  The log ratio rides the
+    bounded probability-ratio convention (r10,
+    analytics_readability.py): lg(revenue-share·1e12) −
+    lg(uniform-share·1e12), arguments bounded by 1e12 at any SF (the
+    r9 rev·n product form hit its cliff at rev·n ≈ 2^63, caught by the
+    sf10 ladder) and octave biases cancelling on uniform revenues.
     """
     from kafka_sink_spark.plans.analytics_readability import _SPARK_LOG2
 
@@ -322,8 +333,12 @@ def lineitem_theil_index(spark, sf_dir):
     n = x.agg(
         F.count("*").cast("long").alias("n"), F.sum("rev").cast("long").alias("s")
     )
-    lx = _SPARK_LOG2.format(x="(rev * n)")
-    ls = _SPARK_LOG2.format(x="s")
+    # Bounded probability-ratio form (r10) — see the oracle note:
+    # lg(revenue-share·1e12) − lg(uniform-share·1e12).
+    from kafka_sink_spark.plans.analytics_readability import spark_ratio_pt
+
+    lx = _SPARK_LOG2.format(x=spark_ratio_pt("rev", "s"))
+    ls = _SPARK_LOG2.format(x=spark_ratio_pt("1", "n"))
     terms = x.crossJoin(F.broadcast(n)).select(
         "n",
         "s",

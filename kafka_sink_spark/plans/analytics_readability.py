@@ -69,6 +69,53 @@ _DUCK_LOG2 = (
     " * 1000000) // (1::BIGINT << (length(bin({x})) - 1)) AS BIGINT))"
 )
 
+
+def octave_log2_ppm(x: int) -> int:
+    """The same octave-interpolated log2 in Python — used only to pin
+    shared constants that both engines must reproduce exactly."""
+    e = x.bit_length() - 1
+    return e * 1_000_000 + ((x - (1 << e)) * 1_000_000) // (1 << e)
+
+
+# --------------------------------------------------------------------------
+# Bounded probability-ratio convention (r10) for the KL/MI/G²/Theil family.
+#
+# Every log in that family is a log of a RATIO of two probabilities that
+# are close to each other under the null (independence / uniformity /
+# no-keyness).  Computing lg(count-product) − lg(count-product) overflows
+# int64 at large corpora, and the r10 interim fix — decomposing into four
+# single-count logs — is overflow-free but loses the octave-bias
+# CANCELLATION the ratio enjoys (near-null terms drifted tens of
+# thousands of ppm-bits negative).  The pinned convention is therefore:
+# render each probability in fixed-point 1e12 scale
+# (p_pt = count·1e12 div total, clamped ≥ 1 so the log is defined;
+# DECIMAL(38,0)/HUGEINT multiply) and take lg(p_pt) − lg(q_pt):
+# - arguments are BOUNDED by 1e12 — no int64 cliff at any corpus size;
+# - p ≈ q ⇒ same octave position ⇒ the interpolation biases cancel and
+#   near-null terms read ~0, keeping MI/KL/G²/Theil near-zero-positive;
+# - quantization: a probability below 1e-12 truncates to the clamp and
+#   its log reads 0 — such terms carry weight < 1e-12 of the mass, so
+#   the sum error is bounded by ~lg(total)·1e-12 bits.
+# --------------------------------------------------------------------------
+
+RATIO_SCALE = 1_000_000_000_000  # 1e12 fixed-point probability scale
+LOG2_OCT_RATIO_SCALE = octave_log2_ppm(RATIO_SCALE)
+
+
+def spark_ratio_pt(num: str, den: str) -> str:
+    """count/total in 1e12 fixed point, clamped ≥ 1 (Spark SQL text)."""
+    return (
+        f"GREATEST(CAST(CAST({num} AS DECIMAL(38,0)) * {RATIO_SCALE}"
+        f" div {den} AS BIGINT), CAST(1 AS BIGINT))"
+    )
+
+
+def duck_ratio_pt(num: str, den: str) -> str:
+    return (
+        f"GREATEST(CAST(({num})::HUGEINT * {RATIO_SCALE}"
+        f" // ({den}) AS BIGINT), 1)"
+    )
+
 # --------------------------------------------------------------------------
 # Source entropy + Pielou evenness
 # --------------------------------------------------------------------------

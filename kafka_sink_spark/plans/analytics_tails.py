@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2, _SPARK_LOG2
+from kafka_sink_spark.plans.analytics_readability import (
+    _DUCK_LOG2,
+    _SPARK_LOG2,
+    duck_ratio_pt,
+    spark_ratio_pt,
+)
 from kafka_sink_spark.plans.prefix import with_exclusive_prefix
 from kafka_sink_spark.plans.queries import register
 from kafka_sink_spark.session import load_tables
@@ -142,10 +147,18 @@ def orders_hill_tail_index(spark, sf_dir):
 
 
 def _g2_oracle() -> str:
-    lgA_num = _DUCK_LOG2.format(x="(a * nn)")
-    lgA_den = _DUCK_LOG2.format(x="(r * g)")
-    lgB_num = _DUCK_LOG2.format(x="(b * nn)")
-    lgB_den = _DUCK_LOG2.format(x="(s * g)")
+    # Bounded probability-ratio form (r10, analytics_readability.py
+    # note): the G² log ratios a·N/(r·g) and b·N/(s·g) are
+    # P(term|source)/P(term) and P(term|rest)/P(term) — probabilities
+    # in 1e12 fixed point, brackets lg(p_pt) − lg(q_pt): arguments
+    # bounded by 1e12 (no count-product int64 cliff at any corpus) and
+    # the octave biases cancel for non-key terms, keeping their G² ~0.
+    # The outer a·bracket / b·bracket multiplies ride HUGEINT.
+    pa_pt = duck_ratio_pt("a", "r")
+    pb_pt = duck_ratio_pt("b", "s")
+    q_pt = duck_ratio_pt("g", "nn")
+    bracket_a = f"(({_DUCK_LOG2.format(x=pa_pt)}) - ({_DUCK_LOG2.format(x=q_pt)}))"
+    bracket_b = f"(({_DUCK_LOG2.format(x=pb_pt)}) - ({_DUCK_LOG2.format(x=q_pt)}))"
     return f"""
     WITH toks AS (
       SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
@@ -163,8 +176,8 @@ def _g2_oracle() -> str:
               JOIN gt ON gt.term = tf.term, nt
     ), scored AS (
       SELECT source, term, a, r,
-             2 * (a * ({lgA_num} - {lgA_den})
-                  + CASE WHEN b > 0 THEN b * ({lgB_num} - {lgB_den})
+             2 * (a::HUGEINT * {bracket_a}
+                  + CASE WHEN b > 0 THEN b::HUGEINT * {bracket_b}
                          ELSE 0 END) AS g2
       FROM j
     ), packed AS (
@@ -189,6 +202,14 @@ def corpus_keyness_g2(spark, sf_dir):
     statistic is exact integers; the per-source argmax rides the
     fixed-width packed-string MAX (G² zero-clamped for the pack, ties
     broken toward the lexicographically larger term in both engines).
+    The log ratios ride the bounded probability-ratio convention (r10,
+    analytics_readability.py): lg(P(term|source)·1e12) −
+    lg(P(term)·1e12) — arguments bounded by 1e12 at any corpus size
+    (no count-product int64 cliff) and the octave biases cancel for
+    non-key terms; the outer a·bracket multiply rides
+    DECIMAL(38,0)/HUGEINT, and the packed G² readout (19-digit pack,
+    int64 cast) holds to ~9.2e18 ppm-bits — a single term would need
+    ≳10¹¹ occurrences at a full 40-bit log ratio to reach it.
 
     Scale shape: one corpus-sized (source, term) partial-combined count,
     a vocabulary-keyed equi-join for the term totals (unhinted — vocab
@@ -219,18 +240,22 @@ def corpus_keyness_g2(spark, sf_dir):
             (F.col("nn") - F.col("r")).alias("s"),
         )
     )
-    lgA_num = _SPARK_LOG2.format(x="(a * nn)")
-    lgA_den = _SPARK_LOG2.format(x="(r * g)")
-    lgB_num = _SPARK_LOG2.format(x="(b * nn)")
-    lgB_den = _SPARK_LOG2.format(x="(s * g)")
+    # Bounded probability-ratio form (r10) — see the oracle note.  The
+    # outer a·bracket / b·bracket multiplies ride DECIMAL(38,0) so no
+    # count-product ever has to fit int64.
+    pa_pt = spark_ratio_pt("a", "r")
+    pb_pt = spark_ratio_pt("b", "s")
+    q_pt = spark_ratio_pt("g", "nn")
+    bracket_a = f"(({_SPARK_LOG2.format(x=pa_pt)}) - ({_SPARK_LOG2.format(x=q_pt)}))"
+    bracket_b = f"(({_SPARK_LOG2.format(x=pb_pt)}) - ({_SPARK_LOG2.format(x=q_pt)}))"
     scored = j.select(
         "source",
         "term",
         "r",
         F.expr(
-            f"2 * (a * ({lgA_num} - {lgA_den})"
-            f" + CASE WHEN b > 0 THEN b * ({lgB_num} - {lgB_den})"
-            f" ELSE 0 END)"
+            f"2 * (CAST(a AS DECIMAL(38,0)) * {bracket_a}"
+            f" + CASE WHEN b > 0 THEN CAST(b AS DECIMAL(38,0)) * {bracket_b}"
+            f" ELSE CAST(0 AS DECIMAL(38,0)) END)"
         ).alias("g2"),
     )
     packed = scored.groupBy("source").agg(

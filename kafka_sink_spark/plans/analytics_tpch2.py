@@ -121,9 +121,9 @@ def q8_market_share(spark, sf_dir):
     "q9_product_profit",
     oracle=f"""
     SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}
                     - CAST(l_quantity AS {DEC}) * CAST(p_retailprice AS {DEC})
-                      * CAST(0.01 AS DECIMAL(3,2))) AS {DEC_OUT}) AS DOUBLE) AS sum_profit
+                      * CAST(0.01 AS DECIMAL(3,2))) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS sum_profit
     FROM part, supplier, lineitem, orders, nation
     WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -165,7 +165,7 @@ def q9_product_profit(spark, sf_dir):
     "q11_part_value",
     oracle=f"""
     SELECT l_partkey AS ps_partkey,
-           CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS part_value
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS part_value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       AND n_name = 'NATION_1'
@@ -187,7 +187,7 @@ def q11_part_value(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT l_partkey AS ps_partkey,
-               CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS part_value
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS part_value
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_1'
@@ -279,7 +279,7 @@ def q13_customer_distribution(spark, sf_dir):
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(CAST(total_revenue AS STRING) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -301,7 +301,7 @@ def q15_top_supplier(spark, sf_dir):
             AND l_shipdate < TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        SELECT s_suppkey, s_name, CAST(CAST(total_revenue AS STRING) AS DOUBLE) AS total_revenue
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         """
@@ -352,7 +352,7 @@ def q16_supplier_part_counts(spark, sf_dir):
       WHERE p_brand = 'Brand#1'
       GROUP BY l_partkey
     )
-    SELECT round(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / 7.0, 4)
+    SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS STRING) AS DOUBLE) / 7.0, 4)
              AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     JOIN agg ON pk = l_partkey
@@ -389,7 +389,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 @register(
     "q19_disjunctive_revenue",
     oracle=f"""
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * {_OMD}) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -487,7 +487,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
     SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(CAST(SUM(CAST(c_acctbal AS {DEC})) AS {DEC_OUT}) AS DOUBLE) AS totacctbal
+           CAST(CAST(CAST(SUM(CAST(c_acctbal AS {DEC})) AS {DEC_OUT}) AS STRING) AS DOUBLE) AS totacctbal
     FROM customer, pos
     WHERE CAST(c_acctbal AS {DEC}) * n > s
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

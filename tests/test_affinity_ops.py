@@ -81,8 +81,16 @@ def test_segment_drift_matches_reference_python(spark):
     got = {r["month"]: r for r in QUERIES["orders_mktsegment_drift"](spark, SF_DIR).collect()}
     assert set(got) == set(mt)
     for m in mt:
+        # r10 bounded probability-ratio convention (1e12 fixed point)
         kl = sum(
-            _sdiv(c * (_log2_ppm(c * tg) - _log2_ppm(mt[m] * gc[s])), mt[m])
+            _sdiv(
+                c
+                * (
+                    _log2_ppm(max(c * 10**12 // mt[m], 1))
+                    - _log2_ppm(max(gc[s] * 10**12 // tg, 1))
+                ),
+                mt[m],
+            )
             for (mm, s), c in mc.items()
             if mm == m
         )

@@ -109,8 +109,16 @@ def test_priority_kl_matches_reference_python(spark):
     got = {r["nation"]: r for r in QUERIES["orders_priority_kl_by_nation"](spark, SF_DIR).collect()}
     assert set(got) == set(tn)
     for n in tn:
+        # r10 bounded probability-ratio convention (1e12 fixed point)
         kl = sum(
-            _sdiv(c * (_log2_ppm(c * tg) - _log2_ppm(tn[n] * gc[p])), tn[n])
+            _sdiv(
+                c
+                * (
+                    _log2_ppm(max(c * 10**12 // tn[n], 1))
+                    - _log2_ppm(max(gc[p] * 10**12 // tg, 1))
+                ),
+                tn[n],
+            )
             for (nn, p), c in nc.items()
             if nn == n
         )

@@ -49,12 +49,12 @@ def test_info_gain_matches_reference_python(spark):
     nn = sum(th.values())
     expect = {}
     for (t, h), c in th.items():
+        # r10 bounded probability-ratio convention (1e12 fixed point,
+        # clamped >=1): lg(P(hour|type)) - lg(P(hour))
+        p_pt = max(c * 10**12 // tt[t], 1)
+        q_pt = max(ht[h] * 10**12 // nn, 1)
         term = _tdiv(
-            c
-            * (
-                _log2_octave_ppm(c * nn)
-                - _log2_octave_ppm(tt[t] * ht[h])
-            ),
+            c * (_log2_octave_ppm(p_pt) - _log2_octave_ppm(q_pt)),
             nn,
         )
         expect[t] = expect.get(t, 0) + term

@@ -70,19 +70,25 @@ def test_js_divergence_matches_reference_python(spark):
         for r in QUERIES["docs_js_divergence_splits"](spark, SF_DIR).collect()
     }
     assert set(got) == {"train|val", "train|test", "val|test"}
+    # r10 rebased convention: bounded ppm mixture-ratio log arguments
+    # m2 = trunc(2e6·p/(p+q)) clamped to >=1, minus the octave log2 of
+    # the 1e6 scale — never a count product inside a log.
+    lg_1e6 = _log2_octave_ppm(1_000_000)
     for a, b in (("train", "val"), ("train", "test"), ("val", "test")):
         A, B = tot[a], tot[b]
         jsd = 0
         for term in set(tf[a]) | set(tf[b]):
             p, q = tf[a][term], tf[b][term]
             mix = p * B + q * A
+            m2p = max((2_000_000 * p * B) // max(mix, 1), 1)
+            m2q = max((2_000_000 * q * A) // max(mix, 1), 1)
             hp = (
-                _tdiv(p * (_log2_octave_ppm(2 * p * B) - _log2_octave_ppm(mix)), A)
+                _tdiv(p * (_log2_octave_ppm(m2p) - lg_1e6), A)
                 if p > 0
                 else 0
             )
             hq = (
-                _tdiv(q * (_log2_octave_ppm(2 * q * A) - _log2_octave_ppm(mix)), B)
+                _tdiv(q * (_log2_octave_ppm(m2q) - lg_1e6), B)
                 if q > 0
                 else 0
             )

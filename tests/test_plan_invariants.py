@@ -718,6 +718,7 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "parts_rich_club": "degree-threshold grid",
     "supplier_winsorized_balance": "$100-bucket balance-domain grid (plans/prefix.py)",
     "supplier_lorenz_curve": "$10k-cent revenue-bucket grid (plans/prefix.py)",
+    "docs_unimax_budget": "|sources|-bounded waterfilling rank/prefix grid",
 }
 
 # Operators whose output cardinality is bounded by a constant k — a Window

@@ -143,7 +143,13 @@ def test_theil_matches_reference_python(spark):
         )
     xs = [v for v in rev.values() if v > 0]
     n, s = len(xs), sum(xs)
-    t_sum = sum(_sdiv(x * (_log2_ppm(x * n) - _log2_ppm(s)), s) for x in xs)
+    # r10 bounded probability-ratio convention: lg(revenue share) −
+    # lg(uniform share), both in 1e12 fixed point
+    q_lg = _log2_ppm(max(10**12 // n, 1))
+    t_sum = sum(
+        _sdiv(x * (_log2_ppm(max(x * 10**12 // s, 1)) - q_lg), s)
+        for x in xs
+    )
     nats = _sdiv(t_sum * 693_147, 1_000_000)
     (row,) = QUERIES["lineitem_theil_index"](spark, SF_DIR).collect()
     assert (row["n_parts"], row["total_cents"]) == (n, s)

@@ -60,9 +60,13 @@ def test_keyness_g2_matches_reference_python(spark):
         best = None
         for term, a in c.items():
             b = g[term] - a
-            t_a = a * (_log2_octave_ppm(a * nn) - _log2_octave_ppm(r_tot * g[term]))
+            # r10 bounded probability-ratio convention (1e12 fixed point)
+            q_lg = _log2_octave_ppm(max(g[term] * 10**12 // nn, 1))
+            t_a = a * (
+                _log2_octave_ppm(max(a * 10**12 // r_tot, 1)) - q_lg
+            )
             t_b = (
-                b * (_log2_octave_ppm(b * nn) - _log2_octave_ppm(s_tot * g[term]))
+                b * (_log2_octave_ppm(max(b * 10**12 // s_tot, 1)) - q_lg)
                 if b > 0
                 else 0
             )

@@ -16,6 +16,7 @@ Usage:
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import os
 import sys
@@ -32,11 +33,29 @@ TABLES = (
 ).split()
 
 
+def _cell(v) -> str:
+    if v is None or v != v:
+        return "\x00NULL"
+    if isinstance(v, decimal.Decimal):
+        # exact-decimal canonical form: plain notation, trailing zeros
+        # trimmed, so Spark decimal(38,6) and DuckDB DECIMAL(38,2) of the
+        # same exact value hash identically — and a decimal sum past
+        # ~1e12 can never diverge by a double-rendering ulp (the q1
+        # sf>=1 presentation divergence, VERDICT r9 #5).
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        if s in ("-0", ""):
+            s = "0"
+        return s
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> tuple[list[str], pd.DataFrame]:
     cols = sorted(df.columns)
     out = df[cols].copy()
     for c in cols:
-        out[c] = out[c].map(lambda v: "\x00NULL" if v is None or v != v else str(v))
+        out[c] = out[c].map(_cell)
     out = out.sort_values(cols, kind="mergesort").reset_index(drop=True)
     return cols, out
 
@@ -67,7 +86,14 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = QUERIES[name](spark, SF_DIR).toPandas()
-            ddf = con.execute(ORACLES[name]).df()
+            cur = con.execute(ORACLES[name])
+            if any("DECIMAL" in str(t) for _, t, *_ in cur.description):
+                # Arrow keeps DECIMAL exact (decimal.Decimal objects);
+                # .df() would render it through float64 and can diverge
+                # from Spark's exact Decimal by an ulp past ~1e12.
+                ddf = cur.arrow().to_pandas(date_as_object=False)
+            else:
+                ddf = cur.df()
         except Exception as exc:  # noqa: BLE001
             print(f"{name:35s} ERR  {type(exc).__name__}: {exc}")
             n_fail += 1
