@@ -50,6 +50,7 @@ import kafka_sink_spark.plans.analytics_payload  # noqa: F401,E402  (registers i
 import kafka_sink_spark.plans.analytics_annqa  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_tuning  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_budget  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_decomp  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
