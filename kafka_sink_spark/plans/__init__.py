@@ -51,6 +51,7 @@ import kafka_sink_spark.plans.analytics_annqa  # noqa: F401,E402  (registers int
 import kafka_sink_spark.plans.analytics_tuning  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_budget  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_decomp  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_assurance  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -102,6 +103,13 @@ DRIVER_PRIORITY: list[str] = [
     "docs_unimax_budget",
     "docs_mixture_reweight",
     "multimodal_dhash_neardup",
+    # -- new round-10 waves (10b, 10c) --
+    "lineitem_theil_decomposition",
+    "knn_ivf_nprobe_sweep",
+    "events_t_closeness",
+    "lineitem_conformal_interval",
+    "docs_ccnet_paragraph_dedup",
+    "embedding_mmr_rerank",
     # -- recert rotation: the full r4 cohort (oldest official rows) --
     "contamination_overlap",
     "corpus_top_terms",

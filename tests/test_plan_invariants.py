@@ -719,6 +719,8 @@ ALLOWED_UNPARTITIONED_WINDOWS = {
     "supplier_winsorized_balance": "$100-bucket balance-domain grid (plans/prefix.py)",
     "supplier_lorenz_curve": "$10k-cent revenue-bucket grid (plans/prefix.py)",
     "docs_unimax_budget": "|sources|-bounded waterfilling rank/prefix grid",
+    "events_t_closeness": "bit-length band grid (<=64 rows, value-domain-bounded)",
+    "lineitem_conformal_interval": "$1000-bucket score-domain grid (plans/prefix.py)",
 }
 
 # Operators whose output cardinality is bounded by a constant k — a Window
