@@ -52,6 +52,7 @@ import kafka_sink_spark.plans.analytics_tuning  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_budget  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_decomp  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_assurance  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_retrieval  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -110,6 +111,10 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_conformal_interval",
     "docs_ccnet_paragraph_dedup",
     "embedding_mmr_rerank",
+    "docs_bm25_topk",
+    "parts_hits_authority",
+    "lineitem_kfold_cv",
+    "events_cem_att",
     # -- recert rotation: the full r4 cohort (oldest official rows) --
     "contamination_overlap",
     "corpus_top_terms",
@@ -134,18 +139,11 @@ DRIVER_PRIORITY: list[str] = [
     "q22_global_sales",
     "shingle_kmv_estimate",
     "text_repetition_stats",
-    "text_scrub_pii",
-    # -- oldest r5 rows: avro/temporal parity + the decimal-rendering
-    # fix witnesses --
-    "sink_avro_struct_decode",
-    "sink_avro_union_decode",
-    "sink_codec_temporals",
-    "sink_counter_accrual",
-    "sink_daterange_precision",
-    "sink_timestamp_mapping",
-    "sink_ttl_writetime",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # r11 rotation debt (window is exactly 50): text_scrub_pii, the r5
+    # avro/temporal parity cohort (sink_avro_*, sink_codec_temporals,
+    # sink_counter_accrual, sink_daterange_precision,
+    # sink_timestamp_mapping, sink_ttl_writetime) and the
+    # decimal-rendering witnesses q1/q3 — all replica-green this round.
 ]
 
 
