@@ -272,18 +272,30 @@ def orders_priority_kl_by_nation(spark, sf_dir):
     # Outer c·bracket multiply rides DECIMAL(38,0).
     from kafka_sink_spark.plans.analytics_readability import spark_ratio_pt
 
-    p_pt = spark_ratio_pt("c", "tn")
-    q_pt = spark_ratio_pt("gc", "tg")
-    num = _SPARK_LOG2.format(x=p_pt)
-    den = _SPARK_LOG2.format(x=q_pt)
-    terms = j.select(
+    # Stage probabilities, then the signed product, each once per row —
+    # the lg template reads its argument 4× and the sign-split CASE the
+    # product 3×; inlined, the DECIMAL division would run up to 24×.
+    staged = j.select(
+        "nation",
+        "tn",
+        "c",
+        F.expr(spark_ratio_pt("c", "tn")).alias("p_pt"),
+        F.expr(spark_ratio_pt("gc", "tg")).alias("q_pt"),
+    ).select(
         "nation",
         "tn",
         F.expr(
-            f"CASE WHEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) >= 0"
-            f" THEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) div tn"
-            f" ELSE -((-(CAST(c AS DECIMAL(38,0)) * ({num} - {den}))) div tn)"
-            f" END"
+            "CAST(c AS DECIMAL(38,0))"
+            f" * (({_SPARK_LOG2.format(x='p_pt')})"
+            f" - ({_SPARK_LOG2.format(x='q_pt')}))"
+        ).alias("prod"),
+    )
+    terms = staged.select(
+        "nation",
+        "tn",
+        F.expr(
+            "CASE WHEN prod >= 0 THEN prod div tn"
+            " ELSE -((-prod) div tn) END"
         ).alias("t_ppm_bits"),
     )
     return terms.groupBy("nation").agg(

@@ -189,9 +189,13 @@ def lineitem_theil_decomposition(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.sum("rev").cast("long").alias("s"),
     )
+    # Stage the fixed-point probabilities and the signed product once
+    # per row (the lg template reads its argument 4×, the sign-split
+    # CASE the product 3× — inlined, the DECIMAL division would run up
+    # to 24× per cell; same staging discipline as keyness/MI/KL).
     lg_w = (
-        f"({_SPARK_LOG2.format(x=spark_ratio_pt('rev', 'sg'))}"
-        f" - {_SPARK_LOG2.format(x=spark_ratio_pt('1', 'ng'))})"
+        f"(({_SPARK_LOG2.format(x='p_pt')})"
+        f" - ({_SPARK_LOG2.format(x='q_pt')}))"
     )
     within = (
         cells.join(F.broadcast(grp), "grp")
@@ -199,11 +203,21 @@ def lineitem_theil_decomposition(spark, sf_dir):
             "grp",
             "ng",
             "sg",
-            F.expr(
-                _sign_split_spark(
-                    f"CAST(rev AS DECIMAL(38,0)) * {lg_w}", "sg"
-                )
-            ).alias("tw_term"),
+            "rev",
+            F.expr(spark_ratio_pt("rev", "sg")).alias("p_pt"),
+            F.expr(spark_ratio_pt("1", "ng")).alias("q_pt"),
+        )
+        .select(
+            "grp",
+            "ng",
+            "sg",
+            F.expr(f"CAST(rev AS DECIMAL(38,0)) * {lg_w}").alias("prod"),
+        )
+        .select(
+            "grp",
+            "ng",
+            "sg",
+            F.expr(_sign_split_spark("prod", "sg")).alias("tw_term"),
         )
         .groupBy("grp")
         .agg(
@@ -222,15 +236,23 @@ def lineitem_theil_decomposition(spark, sf_dir):
         ).alias("weight_ppm"),
     )
     lg_b = (
-        f"({_SPARK_LOG2.format(x=spark_ratio_pt('sg', 's'))}"
-        f" - {_SPARK_LOG2.format(x=spark_ratio_pt('ng', 'n'))})"
+        f"(({_SPARK_LOG2.format(x='p_pt')})"
+        f" - ({_SPARK_LOG2.format(x='q_pt')}))"
     )
     between = (
         grp.crossJoin(F.broadcast(tot))
         .select(
-            F.expr(
-                _sign_split_spark(f"CAST(sg AS DECIMAL(38,0)) * {lg_b}", "s")
-            ).alias("tb_term"),
+            "sg",
+            "s",
+            F.expr(spark_ratio_pt("sg", "s")).alias("p_pt"),
+            F.expr(spark_ratio_pt("ng", "n")).alias("q_pt"),
+        )
+        .select(
+            F.expr(f"CAST(sg AS DECIMAL(38,0)) * {lg_b}").alias("prod"),
+            "s",
+        )
+        .select(
+            F.expr(_sign_split_spark("prod", "s")).alias("tb_term"),
             "s",
         )
         .agg(
@@ -242,15 +264,25 @@ def lineitem_theil_decomposition(spark, sf_dir):
         )
     )
     lg_t = (
-        f"({_SPARK_LOG2.format(x=spark_ratio_pt('rev', 's'))}"
-        f" - {_SPARK_LOG2.format(x=spark_ratio_pt('1', 'n'))})"
+        f"(({_SPARK_LOG2.format(x='p_pt')})"
+        f" - ({_SPARK_LOG2.format(x='q_pt')}))"
     )
     total = (
         cells.crossJoin(F.broadcast(tot))
         .select(
-            F.expr(
-                _sign_split_spark(f"CAST(rev AS DECIMAL(38,0)) * {lg_t}", "s")
-            ).alias("tt_term"),
+            "rev",
+            "n",
+            "s",
+            F.expr(spark_ratio_pt("rev", "s")).alias("p_pt"),
+            F.expr(spark_ratio_pt("1", "n")).alias("q_pt"),
+        )
+        .select(
+            F.expr(f"CAST(rev AS DECIMAL(38,0)) * {lg_t}").alias("prod"),
+            "n",
+            "s",
+        )
+        .select(
+            F.expr(_sign_split_spark("prod", "s")).alias("tt_term"),
             "n",
             "s",
         )

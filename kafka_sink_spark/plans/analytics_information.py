@@ -184,27 +184,49 @@ def events_info_gain_by_hour(spark, sf_dir):
     tt = th.groupBy("event_type").agg(F.sum("c").alias("ct"))
     ht = th.groupBy("hod").agg(F.sum("c").alias("ch"))
     nt = th.agg(F.sum("c").alias("nn"))
+    # lg(q) depends only on the hour — evaluate it ONCE per hod on the
+    # 24-row broadcast grid instead of per (type, hod) row; this also
+    # halves the lg expression tree the optimizer has to plan.
+    htq = ht.crossJoin(F.broadcast(nt)).select(
+        "hod",
+        F.expr(spark_ratio_pt("ch", "nn")).alias("q_pt"),
+    ).select("hod", F.expr(_SPARK_LOG2.format(x="q_pt")).alias("lgq"))
     j = (
         th.join(F.broadcast(tt), "event_type")
-        .join(F.broadcast(ht), "hod")
+        .join(F.broadcast(htq), "hod")
         .crossJoin(F.broadcast(nt))
     )
     # Bounded probability-ratio form (r10) — see the oracle note: the
     # bracket is lg(P(hour|type)·1e12) − lg(P(hour)·1e12), arguments
     # bounded, biases cancelling under independence; outer multiply in
     # DECIMAL(38,0) so c·bracket never crosses int64 at any corpus size.
-    p_pt = spark_ratio_pt("c", "ct")
-    q_pt = spark_ratio_pt("ch", "nn")
-    num = _SPARK_LOG2.format(x=p_pt)
-    den = _SPARK_LOG2.format(x=q_pt)
-    terms = j.select(
+    # Stage the fixed-point probabilities, then the bracket, then the
+    # signed product — each exactly once per row: the lg template reads
+    # its argument 4× and the sign-split CASE reads the product 3×, so
+    # inlining would re-evaluate the DECIMAL division up to 24× per term
+    # (measured 1.9× on the whole query at sf0.1).
+    staged = j.select(
+        "event_type",
+        "ct",
+        "c",
+        "nn",
+        "lgq",
+        F.expr(spark_ratio_pt("c", "ct")).alias("p_pt"),
+    ).select(
+        "event_type",
+        "ct",
+        "nn",
+        F.expr(
+            "CAST(c AS DECIMAL(38,0))"
+            f" * (({_SPARK_LOG2.format(x='p_pt')}) - lgq)"
+        ).alias("prod"),
+    )
+    terms = staged.select(
         "event_type",
         "ct",
         F.expr(
-            f"CASE WHEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) >= 0"
-            f" THEN (CAST(c AS DECIMAL(38,0)) * ({num} - {den})) div nn"
-            f" ELSE -((-(CAST(c AS DECIMAL(38,0)) * ({num} - {den}))) div nn)"
-            f" END"
+            "CASE WHEN prod >= 0 THEN prod div nn"
+            " ELSE -((-prod) div nn) END"
         ).alias("t_ppm_bits"),
     )
     per = terms.groupBy("event_type").agg(

@@ -337,17 +337,35 @@ def lineitem_theil_index(spark, sf_dir):
     # lg(revenue-share·1e12) − lg(uniform-share·1e12).
     from kafka_sink_spark.plans.analytics_readability import spark_ratio_pt
 
-    lx = _SPARK_LOG2.format(x=spark_ratio_pt("rev", "s"))
-    ls = _SPARK_LOG2.format(x=spark_ratio_pt("1", "n"))
-    terms = x.crossJoin(F.broadcast(n)).select(
-        "n",
-        "s",
-        F.expr(
-            f"CASE WHEN (CAST(rev AS DECIMAL(38,0)) * ({lx} - {ls})) >= 0"
-            f" THEN (CAST(rev AS DECIMAL(38,0)) * ({lx} - {ls})) div s"
-            f" ELSE -((-(CAST(rev AS DECIMAL(38,0)) * ({lx} - {ls}))) div s)"
-            " END"
-        ).alias("t_ppm_bits"),
+    # Stage the fixed-point probabilities, then the signed product, each
+    # once per row (the lg template reads its argument 4×, the sign-split
+    # CASE the product 3× — same staging discipline as keyness/MI/KL).
+    lx = _SPARK_LOG2.format(x="p_pt")
+    ls = _SPARK_LOG2.format(x="q_pt")
+    terms = (
+        x.crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            "s",
+            "rev",
+            F.expr(spark_ratio_pt("rev", "s")).alias("p_pt"),
+            F.expr(spark_ratio_pt("1", "n")).alias("q_pt"),
+        )
+        .select(
+            "n",
+            "s",
+            F.expr(
+                f"CAST(rev AS DECIMAL(38,0)) * (({lx}) - ({ls}))"
+            ).alias("prod"),
+        )
+        .select(
+            "n",
+            "s",
+            F.expr(
+                "CASE WHEN prod >= 0 THEN prod div s"
+                " ELSE -((-prod) div s) END"
+            ).alias("t_ppm_bits"),
+        )
     )
     return terms.groupBy("n", "s").agg(
         F.sum("t_ppm_bits").cast("long").alias("theil_ppm_bits")

@@ -228,26 +228,52 @@ def corpus_keyness_g2(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("a"))
     )
     rt = tf.groupBy("source").agg(F.sum("a").alias("r"))
-    gt = tf.groupBy("term").agg(F.sum("a").alias("g"))
     nt = tf.agg(F.sum("a").alias("nn"))
+    # Bounded probability-ratio form (r10) — see the oracle note.  The
+    # outer a·bracket / b·bracket multiplies ride DECIMAL(38,0) so no
+    # count-product ever has to fit int64.
+    # lg(q) depends only on the term — evaluate it ONCE per vocab row
+    # before the (source, term) join (|sources|× fewer lg evaluations),
+    # and stage the per-row probabilities as bigint columns so the lg
+    # template's 4 argument references are plain reads, not repeated
+    # DECIMAL divisions.
+    gt = (
+        tf.groupBy("term")
+        .agg(F.sum("a").alias("g"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "term",
+            "g",
+            F.expr(spark_ratio_pt("g", "nn")).alias("q_pt"),
+        )
+        .select(
+            "term",
+            "g",
+            F.expr(_SPARK_LOG2.format(x="q_pt")).alias("lgq"),
+        )
+    )
     j = (
         tf.join(F.broadcast(rt), "source")
         .join(gt, "term")
         .crossJoin(F.broadcast(nt))
         .select(
-            "source", "term", "a", "r", "g", "nn",
+            "source", "term", "a", "r", "lgq",
             (F.col("g") - F.col("a")).alias("b"),
             (F.col("nn") - F.col("r")).alias("s"),
         )
     )
-    # Bounded probability-ratio form (r10) — see the oracle note.  The
-    # outer a·bracket / b·bracket multiplies ride DECIMAL(38,0) so no
-    # count-product ever has to fit int64.
-    pa_pt = spark_ratio_pt("a", "r")
-    pb_pt = spark_ratio_pt("b", "s")
-    q_pt = spark_ratio_pt("g", "nn")
-    bracket_a = f"(({_SPARK_LOG2.format(x=pa_pt)}) - ({_SPARK_LOG2.format(x=q_pt)}))"
-    bracket_b = f"(({_SPARK_LOG2.format(x=pb_pt)}) - ({_SPARK_LOG2.format(x=q_pt)}))"
+    j = j.select(
+        "source",
+        "term",
+        "a",
+        "b",
+        "r",
+        "lgq",
+        F.expr(spark_ratio_pt("a", "r")).alias("pa_pt"),
+        F.expr(spark_ratio_pt("b", "s")).alias("pb_pt"),
+    )
+    bracket_a = f"(({_SPARK_LOG2.format(x='pa_pt')}) - lgq)"
+    bracket_b = f"(({_SPARK_LOG2.format(x='pb_pt')}) - lgq)"
     scored = j.select(
         "source",
         "term",
