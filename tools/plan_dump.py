@@ -161,6 +161,14 @@ HEADLINERS = [
     "orders_seasonal_strength",  # calendar-bounded decomposition, one DEC38 ratio
     "events_cuped_variance_reduction",  # one fact shuffle, user-grid passes after
     "lineitem_xbar_control",  # day-partitioned WindowGroupLimit subgroups
+    "events_t_closeness",  # one (class,band) count; EMD on the bit-length grid
+    "lineitem_conformal_interval",  # one scan + broadcast fit + bucket-prefix rank pick
+    "docs_ccnet_paragraph_dedup",  # one hash-histogram shuffle, rollup census
+    "embedding_mmr_rerank",  # one corpus dot pass, checkpointed greedy rounds
+    "docs_bm25_topk",  # zero-shuffle tf/dl projection + scalar broadcast + TopK
+    "parts_hits_authority",  # edge dedup + 4 key-partitioned exchanges, TopK per side
+    "lineitem_kfold_cv",  # one (grp,fold) aggregate, closed-form refit, broadcast join
+    "events_cem_att",  # one 7x24-grid aggregate, grid arithmetic after
 ]
 
 
