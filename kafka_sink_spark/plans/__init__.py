@@ -53,6 +53,8 @@ import kafka_sink_spark.plans.analytics_budget  # noqa: F401,E402  (registers in
 import kafka_sink_spark.plans.analytics_decomp  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_assurance  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_retrieval  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_hamming  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_guardrails  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -139,7 +141,10 @@ DRIVER_PRIORITY: list[str] = [
     "q22_global_sales",
     "shingle_kmv_estimate",
     "text_repetition_stats",
-    # r11 rotation debt (window is exactly 50): text_scrub_pii, the r5
+    # r11 rotation debt (window is exactly 50): the wave-10e queries
+    # (knn_binary_hamming, knn_binary_recall, docs_blocklist_rate,
+    # events_page_hinkley, orders_cmh_test, parts_modularity — dual-SF
+    # replica green, never official), text_scrub_pii, the r5
     # avro/temporal parity cohort (sink_avro_*, sink_codec_temporals,
     # sink_counter_accrual, sink_daterange_precision,
     # sink_timestamp_mapping, sink_ttl_writetime) and the

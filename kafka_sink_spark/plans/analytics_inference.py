@@ -219,6 +219,34 @@ def events_trend_slope(spark, sf_dir):
 _LP_ITERS = 3
 
 
+def _lp_labels(e):
+    """3-round deterministic synchronous label propagation over the
+    directed-symmetric edge table ``e(src, dst)``: every node starts
+    labeled with itself; each round adopts the most frequent neighbor
+    label with min-label tie-break.  Shared by the community readout
+    and the modularity scorer."""
+    from pyspark.sql import Window
+
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ITERS):
+        cnt = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("nd"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("nd").orderBy(
+            F.col("cnt").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("nd").alias("node"), "lbl")
+        )
+    return labels
+
+
 def _lp_iter_cte(prev: str, idx: int) -> str:
     return f"""c{idx} AS (
       SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
@@ -269,31 +297,137 @@ def parts_label_propagation(spark, sf_dir):
     count, linear in edges — the same iterative-join discipline as the
     PageRank and HashMin-CC loops.
     """
-    from pyspark.sql import Window
-
     e = _copurchase_edges(spark, sf_dir)
-    labels = e.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(_LP_ITERS):
-        cnt = (
-            e.join(labels, e.src == labels.node)
-            .groupBy(F.col("dst").alias("nd"), "lbl")
-            .agg(F.count("*").alias("cnt"))
-        )
-        w = Window.partitionBy("nd").orderBy(
-            F.col("cnt").desc(), F.col("lbl").asc()
-        )
-        labels = (
-            cnt.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(F.col("nd").alias("node"), "lbl")
-        )
+    labels = _lp_labels(e)
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").alias("n_parts"),
         F.min("node").alias("min_part"),
         F.max("node").alias("max_part"),
     )
+
+
+_MODULARITY_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM e
+    ), {_lp_iter_cte('l0', 1)}, {_lp_iter_cte('l1', 2)}, {_lp_iter_cte('l2', 3)},
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS ee FROM e
+    ), comm AS (
+      SELECT l.lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(d.d) AS BIGINT) AS degree_sum
+      FROM l{_LP_ITERS} l JOIN deg d ON d.node = l.node
+      GROUP BY l.lbl
+    ), inte AS (
+      SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+      FROM e
+      JOIN l{_LP_ITERS} la ON la.node = e.src
+      JOIN l{_LP_ITERS} lb ON lb.node = e.dst
+      WHERE la.lbl = lb.lbl
+      GROUP BY la.lbl
+    ), rows_ AS (
+      SELECT c.community, c.n_parts,
+             CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+             c.degree_sum,
+             CAST((COALESCE(i.internal_edges, 0)::HUGEINT * 1000000) // t.ee
+                  - (c.degree_sum::HUGEINT * c.degree_sum * 1000000)
+                    // (t.ee * t.ee) AS BIGINT) AS q_contrib_ppm
+      FROM comm c LEFT JOIN inte i ON i.community = c.community, tot t
+    )
+    SELECT * FROM rows_
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS community,
+           CAST(SUM(n_parts) AS BIGINT),
+           CAST(SUM(internal_edges) AS BIGINT),
+           CAST(SUM(degree_sum) AS BIGINT),
+           CAST(SUM(q_contrib_ppm) AS BIGINT)
+    FROM rows_
+    """
+
+
+@register("parts_modularity", oracle=_MODULARITY_ORACLE)
+def parts_modularity(spark, sf_dir):
+    """Newman modularity of the 3-round label-propagation communities
+    over the parts co-purchase graph (Newman & Girvan 2004): per
+    community c, the contribution e_c/2m − (d_c/2m)² in ppm — internal
+    directed-edge fraction minus the degree-null expectation — and the
+    pooled community=−1 row is Q itself, the standard "are these
+    communities better than chance" score for the LP output.  Integer
+    convention: both ratio terms are non-negative truncating divisions
+    against the directed edge total (and its square in DECIMAL(38,0) ≙
+    HUGEINT), subtracted AFTER dividing, so no negative value ever
+    meets an integer division.
+
+    Scale shape: reuses the cached src-partitioned edge substrate and
+    the shared deterministic LP loop (each round one src-keyed join +
+    partial-combined count + per-node WindowGroupLimit rank-1); scoring
+    adds one degree rollup, one two-sided label join over the edges
+    (both joins key-partitioned on the node), and a |communities|-sized
+    readout under a single-row broadcast total.  Linear in edges,
+    state O(nodes) — the PageRank discipline applied to community QA.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    # three consumers (degree rollup + both edge-endpoint joins):
+    # checkpoint the O(nodes) label table so the LP loop runs once
+    labels = _lp_labels(e).localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("ee"))
+    comm = (
+        deg.join(labels, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    inte = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    rows = (
+        comm.join(inte, "community", "left")
+        .select(
+            "community",
+            "n_parts",
+            F.coalesce(F.col("internal_edges"), F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            "degree_sum",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_parts",
+            "internal_edges",
+            "degree_sum",
+            F.expr(
+                "CAST(CAST(internal_edges AS DECIMAL(38,0)) * 1000000 div ee"
+                " - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum * 1000000"
+                "   div (CAST(ee AS DECIMAL(38,0)) * ee) AS BIGINT)"
+            ).alias("q_contrib_ppm"),
+        )
+    )
+    total = rows.agg(
+        F.lit(-1).cast("long").alias("community"),
+        F.sum("n_parts").cast("long").alias("n_parts"),
+        F.sum("internal_edges").cast("long").alias("internal_edges"),
+        F.sum("degree_sum").cast("long").alias("degree_sum"),
+        F.sum("q_contrib_ppm").cast("long").alias("q_contrib_ppm"),
+    )
+    return rows.unionByName(total)
 
 
 # --------------------------------------------------------------------------
