@@ -141,9 +141,10 @@ DRIVER_PRIORITY: list[str] = [
     "q22_global_sales",
     "shingle_kmv_estimate",
     "text_repetition_stats",
-    # r11 rotation debt (window is exactly 50): the wave-10e queries
+    # r11 rotation debt (window is exactly 50): the wave-10e/10f queries
     # (knn_binary_hamming, knn_binary_recall, docs_blocklist_rate,
-    # events_page_hinkley, orders_cmh_test, parts_modularity — dual-SF
+    # events_page_hinkley, orders_cmh_test, parts_modularity,
+    # lineitem_hilbert_layout, docs_qlm_topk, events_sprt — dual-SF
     # replica green, never official), text_scrub_pii, the r5
     # avro/temporal parity cohort (sink_avro_*, sink_codec_temporals,
     # sink_counter_accrual, sink_daterange_precision,

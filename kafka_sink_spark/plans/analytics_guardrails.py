@@ -414,3 +414,143 @@ def orders_cmh_test(spark, sf_dir):
         ).alias("cmh_ppm"),
     )
     return rows.unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT sequential A/B decision per event type
+# --------------------------------------------------------------------------
+
+# H0: P(value > 30) = 0.5  vs  H1: P = 0.6, alpha = beta = 0.05.
+# Per-observation LLR increments and the Wald boundaries are CONSTANTS of
+# the design, embedded as exact ppm-bit literals (lg2(0.6/0.5), lg2(0.4/0.5),
+# lg2(0.95/0.05)) identical in both engines — the data only ever counts.
+_SPRT_THRESHOLD = 30
+_SPRT_A_PPM = 263_034  # lg2(p1/p0) per success
+_SPRT_B_PPM = -321_928  # lg2((1-p1)/(1-p0)) per failure
+_SPRT_BOUND_PPM = 4_247_928  # lg2((1-beta)/alpha); lower bound is its negation
+
+
+_SPRT_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, event_id, ts,
+             CASE WHEN value > {_SPRT_THRESHOLD} THEN 1 ELSE 0 END AS succ
+      FROM events
+    ), c AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER w AS t,
+             SUM(succ) OVER w AS k
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), l AS (
+      SELECT event_type, t, k,
+             k * {_SPRT_A_PPM} + (t - k) * ({_SPRT_B_PPM}) AS llr
+      FROM c
+    ), agg AS (
+      SELECT event_type,
+             CAST(MAX(t) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN t = n2.nmax THEN k END) AS BIGINT) AS k,
+             CAST(MAX(CASE WHEN t = n2.nmax THEN llr END) AS BIGINT)
+               AS llr_final_ppm,
+             CAST(COALESCE(MIN(CASE WHEN llr >= {_SPRT_BOUND_PPM}
+                                    THEN t END), 0) AS BIGINT) AS t_accept,
+             CAST(COALESCE(MIN(CASE WHEN llr <= -{_SPRT_BOUND_PPM}
+                                    THEN t END), 0) AS BIGINT) AS t_reject
+      FROM l, (SELECT event_type AS et, MAX(t) AS nmax FROM l GROUP BY 1) n2
+      WHERE l.event_type = n2.et
+      GROUP BY event_type
+    )
+    SELECT event_type, n, k, llr_final_ppm,
+           CAST(CASE
+             WHEN t_accept > 0 AND (t_reject = 0 OR t_accept <= t_reject)
+               THEN t_accept
+             WHEN t_reject > 0 THEN t_reject
+             ELSE 0 END AS BIGINT) AS decision_t,
+           CAST(CASE
+             WHEN t_accept > 0 AND (t_reject = 0 OR t_accept <= t_reject)
+               THEN 1
+             WHEN t_reject > 0 THEN -1
+             ELSE 0 END AS BIGINT) AS decision
+    FROM agg ORDER BY event_type
+    """
+
+
+@register("events_sprt", oracle=_SPRT_ORACLE)
+def events_sprt(spark, sf_dir):
+    """Wald sequential probability ratio test per event type (Wald
+    1945): H0 P(value > 30) = 0.5 vs H1 P = 0.6 at alpha = beta = 0.05.
+    Because the Bernoulli LLR has CONSTANT per-observation increments,
+    LLR_t = k_t·lg2(p1/p0) + (t−k_t)·lg2(q1/q0) is pure integer
+    arithmetic on the cumulative success count — the sequential test
+    that stops an experiment the moment the evidence clears the Wald
+    boundary ±lg2(19), instead of waiting for a fixed horizon.
+    Reported per type: n, successes, the final LLR, the first boundary
+    crossing (0 = never decided) and the decision (+1 accept H1,
+    −1 accept H0, 0 still running).
+
+    Scale shape: one type-keyed cumulative window (the same single sort
+    the Page–Hinkley alarm uses), then a partial-combined conditional
+    aggregate; the per-type series is the partition, so the inherently
+    sequential statistic parallelizes across types exactly like a
+    per-key stateful streaming operator.
+    """
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    v = events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr(
+            f"CASE WHEN value > {_SPRT_THRESHOLD} THEN 1 ELSE 0 END"
+        ).alias("succ"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    l = v.select(
+        "event_type",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("succ").over(w_cum).alias("k"),
+    ).select(
+        "event_type",
+        "t",
+        "k",
+        F.expr(
+            f"k * {_SPRT_A_PPM} + (t - k) * ({_SPRT_B_PPM})"
+        ).alias("llr"),
+    )
+    agg = l.groupBy("event_type").agg(
+        F.max("t").cast("long").alias("n"),
+        F.max_by("k", "t").cast("long").alias("k"),
+        F.max_by("llr", "t").cast("long").alias("llr_final_ppm"),
+        F.coalesce(
+            F.min(F.when(F.col("llr") >= _SPRT_BOUND_PPM, F.col("t"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("t_accept"),
+        F.coalesce(
+            F.min(F.when(F.col("llr") <= -_SPRT_BOUND_PPM, F.col("t"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("t_reject"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        "llr_final_ppm",
+        F.expr(
+            "CAST(CASE"
+            " WHEN t_accept > 0 AND (t_reject = 0 OR t_accept <= t_reject)"
+            "   THEN t_accept"
+            " WHEN t_reject > 0 THEN t_reject"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("decision_t"),
+        F.expr(
+            "CAST(CASE"
+            " WHEN t_accept > 0 AND (t_reject = 0 OR t_accept <= t_reject)"
+            "   THEN 1"
+            " WHEN t_reject > 0 THEN -1"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("decision"),
+    ).orderBy("event_type")

@@ -277,3 +277,141 @@ def events_top_paths(spark, sf_dir):
             F.expr("cnt * 1000000 div n").alias("share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout diagnostics over (l_partkey, l_suppkey)
+# --------------------------------------------------------------------------
+
+_H_BITS = 8
+_H_N = 1 << _H_BITS  # 256x256 grid -> 16-bit Hilbert index
+_H_BUCKET_SHIFT = 12  # keep the top 4 bits -> 16 layout buckets
+
+
+def _hilbert_stage(s: int) -> tuple[str, str, str, str, str]:
+    """Portable SQL for one xy2d round (Hilbert 1891; the standard
+    public bit-twiddling formulation): rx/ry tests, quadrant distance
+    increment, and the reflect-then-swap rotation.  Plain &, CASE and
+    arithmetic — the same text runs in Spark SQL and DuckDB."""
+    rx = f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END"
+    ry = f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END"
+    quad = (
+        "CASE WHEN rx = 1 AND ry = 0 THEN 3"
+        " WHEN rx = 1 AND ry = 1 THEN 2"
+        " WHEN rx = 0 AND ry = 1 THEN 1 ELSE 0 END"
+    )
+    d = f"hd + {s * s} * ({quad})"
+    new_x = (
+        f"CASE WHEN ry = 0 THEN"
+        f" (CASE WHEN rx = 1 THEN {_H_N} - 1 - hy ELSE hy END)"
+        f" ELSE hx END"
+    )
+    new_y = (
+        f"CASE WHEN ry = 0 THEN"
+        f" (CASE WHEN rx = 1 THEN {_H_N} - 1 - hx ELSE hx END)"
+        f" ELSE hy END"
+    )
+    return rx, ry, d, new_x, new_y
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        "h0 AS (SELECT l_partkey, l_suppkey, bp AS hx, bs AS hy,"
+        " 0 AS hd FROM b)"
+    ]
+    for i in range(_H_BITS):
+        s = _H_N >> (i + 1)
+        rx, ry, d, nx, ny = _hilbert_stage(s)
+        ctes.append(
+            f"r{i + 1} AS (SELECT *, {rx} AS rx, {ry} AS ry FROM h{i})"
+        )
+        ctes.append(
+            f"h{i + 1} AS (SELECT l_partkey, l_suppkey, {nx} AS hx,"
+            f" {ny} AS hy, {d} AS hd FROM r{i + 1})"
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH mx AS (
+      SELECT MAX(l_partkey) AS pm, MAX(l_suppkey) AS sm FROM lineitem
+    ), b AS (
+      SELECT l_partkey, l_suppkey,
+             (l_partkey * {_H_N}) // (mx.pm + 1) AS bp,
+             (l_suppkey * {_H_N}) // (mx.sm + 1) AS bs
+      FROM lineitem, mx
+    ),
+    {chain}
+    SELECT hd // {1 << _H_BUCKET_SHIFT} AS h_bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+           MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max,
+           CAST((MAX(l_partkey) - MIN(l_partkey) + 1)
+                * (MAX(l_suppkey) - MIN(l_suppkey) + 1) AS BIGINT)
+             AS envelope_area
+    FROM h{_H_BITS} GROUP BY 1
+    """
+
+
+@register("lineitem_hilbert_layout", oracle=_hilbert_oracle())
+def lineitem_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve layout diagnostics over (l_partkey, l_suppkey) —
+    the locality-better sibling of ``lineitem_zorder_layout``: quantize
+    both keys to 8 bits, map through 8 unrolled rounds of the standard
+    xy2d bit transform (distance increment per quadrant, reflect-then-
+    swap rotation — the curve where consecutive indices are always
+    grid-adjacent, unlike Morton's discontinuous jumps), and report the
+    16 top-level Hilbert buckets with per-dimension envelopes AND the
+    envelope area — the number to compare against the Z-order buckets
+    when choosing a 100 TB table's multi-dimensional clustering
+    (Delta/Iceberg expose exactly this choice).
+
+    Scale shape: one scalar max (broadcast), then a pure zero-shuffle
+    projection chain — 8 rounds of CASE/AND bit arithmetic that
+    Catalyst collapses into one codegen span — and one 16-group
+    partial-combined aggregate.  Identical cost shape to the Z-order
+    audit: layout choice costs one scan either way.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("pm"), F.max("l_suppkey").alias("sm")
+    )
+    cur = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"l_partkey * {_H_N} div (pm + 1)").alias("hx"),
+        F.expr(f"l_suppkey * {_H_N} div (sm + 1)").alias("hy"),
+        F.lit(0).alias("hd"),
+    )
+    for i in range(_H_BITS):
+        s = _H_N >> (i + 1)
+        rx, ry, d, nx, ny = _hilbert_stage(s)
+        staged = cur.select(
+            "l_partkey",
+            "l_suppkey",
+            "hx",
+            "hy",
+            "hd",
+            F.expr(rx).alias("rx"),
+            F.expr(ry).alias("ry"),
+        )
+        cur = staged.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(nx).alias("hx"),
+            F.expr(ny).alias("hy"),
+            F.expr(d).alias("hd"),
+        )
+    return cur.groupBy(
+        F.expr(f"hd div {1 << _H_BUCKET_SHIFT}").alias("h_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("p_min"),
+        F.max("l_partkey").alias("p_max"),
+        F.min("l_suppkey").alias("s_min"),
+        F.max("l_suppkey").alias("s_max"),
+        F.expr(
+            "CAST((MAX(l_partkey) - MIN(l_partkey) + 1)"
+            " * (MAX(l_suppkey) - MIN(l_suppkey) + 1) AS BIGINT)"
+        ).alias("envelope_area"),
+    )

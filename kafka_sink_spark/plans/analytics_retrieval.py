@@ -605,3 +605,146 @@ def events_cem_att(spark, sf_dir):
         ).alias("diff_micro"),
     )
     return per.unionByName(att)
+
+
+# --------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval
+# --------------------------------------------------------------------------
+
+_QLM_TERMS = ("slow", "hash", "the")
+_QLM_MU = 2000  # Zhai & Lafferty's Dirichlet prior
+_QLM_K = 10
+_QLM_SCALE = 1_000_000_000  # corpus probabilities staged as ppb integers
+
+
+def _qlm_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(t, x -> x = '{term}')) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(_QLM_TERMS)
+    )
+    cf_cols = ",\n             ".join(
+        f"CAST(SUM(tf{i}) AS BIGINT) AS cf{i}"
+        for i in range(len(_QLM_TERMS))
+    )
+    # staged corpus probabilities: p_ppb = cf·1e9 // T (bounded, one per
+    # scalar row — the ratio convention, never a count·count log argument)
+    p_cols = ", ".join(
+        f"CAST(cf{i} * {_QLM_SCALE}::HUGEINT // T AS BIGINT) AS p{i}"
+        for i in range(len(_QLM_TERMS))
+    )
+    lg_scale = _DUCK_LOG2.format(x=str(_QLM_SCALE))
+    lg_len = _DUCK_LOG2.format(x=f"(dl + {_QLM_MU})")
+    score = " + ".join(
+        f"({_DUCK_LOG2.format(x=f'(tf{i} * {_QLM_SCALE} + {_QLM_MU} * z.p{i})')}"
+        f" - {lg_len} - {lg_scale})"
+        for i in range(len(_QLM_TERMS))
+    )
+    return rf"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), d AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM arr
+    ), z0 AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS T,
+             {cf_cols}
+      FROM d
+    ), z AS (
+      SELECT T, {p_cols} FROM z0
+    ), sc AS (
+      SELECT doc_id, dl, CAST({score} AS BIGINT) AS score
+      FROM d, z
+    ), top AS (
+      SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT {_QLM_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, CAST(dl AS BIGINT) AS dl,
+           CAST(score AS BIGINT) AS score_ppm_bits
+    FROM top
+    """
+
+
+@register("docs_qlm_topk", oracle=_qlm_oracle())
+def docs_qlm_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    SIGIR 2001) for the fixed query {terms} with µ = {mu}: score(d) =
+    Σ_t lg( (tf + µ·p(t|C)) / (dl + µ) ) in ppm-bits — the language-
+    modeling counterpart to BM25 (``docs_bm25_topk``), and the second
+    lexical baseline a hybrid retrieval stack evaluates.  Smoothing
+    scores EVERY document (no match filter) — the ranking depends on
+    document length even at tf = 0, which is the Dirichlet prior's
+    defining behavior.
+
+    Integer convention: the corpus probabilities stage ONCE as ppb
+    integers p = cf·1e9 div T on the scalar row (the round-10 ratio
+    convention), so every log argument is bounded by a SINGLE count
+    times a constant — tf·1e9 + µ·p, dl + µ, and the constant 1e9 —
+    and nothing overflows at any corpus size; the octave-log2 ladder
+    then renders each term as lg(num) − lg(dl+µ) − lg(1e9).
+
+    Scale shape: ONE zero-shuffle projection computes dl and per-term
+    tf in the same pass; cf/T reduce to one broadcast scalar row; the
+    top-{k} is a global ORDER BY LIMIT (TakeOrderedAndProject) and the
+    rank window runs over those {k} rows only.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select("doc_id", text.tokens(F.col("text")).alias("_t"))
+
+    def _tf(term):
+        # single-arg lambda (the two-arg form binds (element, index))
+        return F.size(F.filter(F.col("_t"), lambda x: x == F.lit(term)))
+
+    d = staged.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("dl"),
+        *[
+            _tf(term).cast("long").alias(f"tf{i}")
+            for i, term in enumerate(_QLM_TERMS)
+        ],
+    )
+    z0 = d.agg(
+        F.sum("dl").cast("long").alias("T"),
+        *[
+            F.sum(f"tf{i}").cast("long").alias(f"cf{i}")
+            for i in range(len(_QLM_TERMS))
+        ],
+    )
+    z = z0.select(
+        "T",
+        *[
+            F.expr(
+                f"CAST(CAST(cf{i} AS DECIMAL(38,0)) * {_QLM_SCALE} div T"
+                f" AS BIGINT)"
+            ).alias(f"p{i}")
+            for i in range(len(_QLM_TERMS))
+        ],
+    )
+    lg_scale = _SPARK_LOG2.format(x=str(_QLM_SCALE))
+    lg_len = _SPARK_LOG2.format(x=f"(dl + {_QLM_MU})")
+    score = " + ".join(
+        f"({_SPARK_LOG2.format(x=f'(tf{i} * {_QLM_SCALE} + {_QLM_MU} * p{i})')}"
+        f" - {lg_len} - {lg_scale})"
+        for i in range(len(_QLM_TERMS))
+    )
+    sc = d.crossJoin(F.broadcast(z)).select(
+        "doc_id",
+        "dl",
+        F.expr(f"CAST({score} AS BIGINT)").alias("score"),
+    )
+    top = sc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_QLM_K)
+    rw = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        F.col("score").cast("long").alias("score_ppm_bits"),
+    )
+
+
+docs_qlm_topk.__doc__ = docs_qlm_topk.__doc__.format(
+    terms=_QLM_TERMS, mu=_QLM_MU, k=_QLM_K
+)
