@@ -169,6 +169,16 @@ HEADLINERS = [
     "parts_hits_authority",  # edge dedup + 4 key-partitioned exchanges, TopK per side
     "lineitem_kfold_cv",  # one (grp,fold) aggregate, closed-form refit, broadcast join
     "events_cem_att",  # one 7x24-grid aggregate, grid arithmetic after
+    # round-10e/10f waves
+    "knn_binary_hamming",  # 24B/row sign-code scan, broadcast probe, WindowGroupLimit
+    "knn_binary_recall",  # two broadcast shortlists joined on the query grid
+    "docs_blocklist_rate",  # zero-shuffle lambda screen, |sources| rollup
+    "events_page_hinkley",  # 3 cumulative windows on ONE per-type sort
+    "events_sprt",  # same single sort; constant-increment LLR walk
+    "orders_cmh_test",  # orders<->customer shuffle join, 25-strata rollup
+    "parts_modularity",  # shared LP labels, node-keyed degree/label joins
+    "docs_qlm_topk",  # zero-shuffle tf/dl pass + ppb-staged scalar broadcast + TopK
+    "lineitem_hilbert_layout",  # 8 xy2d rounds in one codegen span, 16-group agg
 ]
 
 
