@@ -317,9 +317,9 @@ _CMH_ORACLE = f"""
              CAST(r1::HUGEINT * c1 * 1000000 // n AS BIGINT) AS e_ppm,
              CAST(((r1::HUGEINT * (n - r1) // n)
                    * (c1::HUGEINT * (n - c1) // (n - 1))
-                   * 1000000000) // n AS BIGINT) AS v_ppb,
-             CAST(a * 1000000 - r1::HUGEINT * c1 * 1000000 // n AS BIGINT)
-               AS dev_ppm,
+                   * 1000000000::HUGEINT) // n AS BIGINT) AS v_ppb,
+             CAST(a::HUGEINT * 1000000 - r1::HUGEINT * c1 * 1000000 // n
+                  AS BIGINT) AS dev_ppm,
              CAST(0 AS BIGINT) AS cmh_ppm
       FROM s
     )
@@ -388,13 +388,21 @@ def orders_cmh_test(spark, sf_dir):
         F.expr(
             "CAST(CAST(r1 AS DECIMAL(38,0)) * c1 * 1000000 div n AS BIGINT)"
         ).alias("e_ppm"),
+        # `div` renders each staged quotient as BIGINT — recast to
+        # DECIMAL(38,0) BEFORE the next multiply or the ×1e9 runs in long
+        # arithmetic and overflows (caught by the sf10 ladder; DuckDB's
+        # HUGEINT pipeline never narrows, so the recast also keeps the
+        # two engines on the same arithmetic)
         F.expr(
-            "CAST(((CAST(r1 AS DECIMAL(38,0)) * (n - r1) div n)"
-            " * (CAST(c1 AS DECIMAL(38,0)) * (n - c1) div (n - 1))"
+            "CAST((CAST(CAST(r1 AS DECIMAL(38,0)) * (n - r1) div n"
+            "       AS DECIMAL(38,0))"
+            " * CAST(CAST(c1 AS DECIMAL(38,0)) * (n - c1) div (n - 1)"
+            "       AS DECIMAL(38,0))"
             " * 1000000000) div n AS BIGINT)"
         ).alias("v_ppb"),
         F.expr(
-            "CAST(a * 1000000 - CAST(r1 AS DECIMAL(38,0)) * c1 * 1000000"
+            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000"
+            " - CAST(r1 AS DECIMAL(38,0)) * c1 * 1000000"
             " div n AS BIGINT)"
         ).alias("dev_ppm"),
         F.lit(0).cast("long").alias("cmh_ppm"),
