@@ -55,6 +55,7 @@ import kafka_sink_spark.plans.analytics_assurance  # noqa: F401,E402  (registers
 import kafka_sink_spark.plans.analytics_retrieval  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_hamming  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_guardrails  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_refinement  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -141,10 +142,11 @@ DRIVER_PRIORITY: list[str] = [
     "q22_global_sales",
     "shingle_kmv_estimate",
     "text_repetition_stats",
-    # r11 rotation debt (window is exactly 50): the wave-10e/10f queries
-    # (knn_binary_hamming, knn_binary_recall, docs_blocklist_rate,
+    # r11 rotation debt (window is exactly 50): the wave-10e/10f/10g
+    # queries (knn_binary_hamming, knn_binary_recall, docs_blocklist_rate,
     # events_page_hinkley, orders_cmh_test, parts_modularity,
-    # lineitem_hilbert_layout, docs_qlm_topk, events_sprt — dual-SF
+    # lineitem_hilbert_layout, docs_qlm_topk, events_sprt,
+    # embedding_residual_vq, knn_map, docs_dsir_ess — dual-SF
     # replica green, never official), text_scrub_pii, the r5
     # avro/temporal parity cohort (sink_avro_*, sink_codec_temporals,
     # sink_counter_accrual, sink_daterange_precision,
