@@ -146,8 +146,9 @@ DRIVER_PRIORITY: list[str] = [
     # queries (knn_binary_hamming, knn_binary_recall, docs_blocklist_rate,
     # events_page_hinkley, orders_cmh_test, parts_modularity,
     # lineitem_hilbert_layout, docs_qlm_topk, events_sprt,
-    # embedding_residual_vq, knn_map, docs_dsir_ess — dual-SF
-    # replica green, never official), text_scrub_pii, the r5
+    # embedding_residual_vq, knn_map, docs_dsir_ess, docs_hybrid_rrf,
+    # stream_sprt_twin — dual-SF replica green, never official),
+    # text_scrub_pii, the r5
     # avro/temporal parity cohort (sink_avro_*, sink_codec_temporals,
     # sink_counter_accrual, sink_daterange_precision,
     # sink_timestamp_mapping, sink_ttl_writetime) and the

@@ -322,3 +322,136 @@ def events_anomaly_seasonal(spark, sf_dir):
         F.col("n").cast("long").alias("n_cell"),
         F.round(F.col("s").cast("double") / F.col("n") / 1e6, 6).alias("cell_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid lexical+dense retrieval: BM25 x cosine, fused with RRF
+# --------------------------------------------------------------------------
+
+_HY_SIDE_TOPK = 20  # depth of each input rank list
+_HY_K = 10  # fused results returned
+_HY_QVEC = 0  # the dense query: embedding of vec_id 0 (doc_id-aligned)
+_HY_RRF_C = 60
+
+
+def _hybrid_oracle() -> str:
+    from kafka_sink_spark.plans.analytics_retrieval import _bm25_sc_ctes
+
+    dim = 64
+    dot = _dot_sql("qe", "ce", dim)
+    nq = _norm_sql("qe", dim)
+    nc = _norm_sql("ce", dim)
+    return f"""
+    WITH {_bm25_sc_ctes()}, lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank_lex
+      FROM (SELECT * FROM sc WHERE n_terms > 0
+            ORDER BY score DESC, doc_id LIMIT {_HY_SIDE_TOPK})
+    ), dense AS (
+      SELECT doc_id, rank_dense FROM (
+        SELECT c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY round(({dot}) / ({nq} * {nc}), 6) DESC, c.vec_id
+               ) AS BIGINT) AS rank_dense
+        FROM (SELECT embedding AS qe FROM embeddings
+              WHERE vec_id = {_HY_QVEC}) q,
+             (SELECT vec_id, embedding AS ce FROM embeddings
+              WHERE vec_id <> {_HY_QVEC}) c
+      ) WHERE rank_dense <= {_HY_SIDE_TOPK}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d2.doc_id) AS doc_id,
+             CAST(COALESCE(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+             CAST(COALESCE(d2.rank_dense, 0) AS BIGINT) AS rank_dense,
+             CAST(CASE WHEN l.doc_id IS NULL THEN 0
+                       ELSE 1000000 // ({_HY_RRF_C} + l.rank_lex) END
+                + CASE WHEN d2.doc_id IS NULL THEN 0
+                       ELSE 1000000 // ({_HY_RRF_C} + d2.rank_dense) END
+               AS BIGINT) AS rrf_ppm
+      FROM lex l FULL OUTER JOIN dense d2 ON d2.doc_id = l.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, rank_lex, rank_dense, rrf_ppm
+    FROM (SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT {_HY_K})
+    """
+
+
+@register("docs_hybrid_rrf", oracle=_hybrid_oracle())
+def docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (the BM25 + dense-vector stack every modern RAG
+    deployment runs): the certified BM25 scorer ranks the lexical side
+    for the fixed 3-term query, the certified brute-force cosine ranks
+    the dense side for the doc-0 query vector (vec_id ≙ doc_id in the
+    corpus), each list truncates at {side}, and Reciprocal Rank Fusion
+    (Cormack/Clarke/Büttcher 2009) merges them with the catalog's exact
+    1e6 div ({c}+rank) convention — absent-side contributions are 0 and
+    the report keeps both input ranks (0 = not on that list) so the
+    fused top-{k} is auditable.
+
+    Scale shape: each side is its own certified plan (zero-shuffle BM25
+    projection + scalar broadcast; broadcast-query cosine scan) capped
+    by TakeOrderedAndProject at {side} rows; the fusion is a full outer
+    join of two ≤{side}-row lists — constant-size regardless of corpus —
+    and the final rank window sits above a LIMIT.  At 100 TB each side
+    would come from its own index (inverted lists / IVF-PQ, both in the
+    catalog); the fusion stage is identical.
+    """
+    from kafka_sink_spark.extensions import similarity
+    from kafka_sink_spark.plans.analytics_retrieval import _bm25_scored
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("n_terms") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_HY_SIDE_TOPK)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank_lex"),
+        )
+    )
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dense = (
+        similarity.knn_bruteforce(
+            emb, emb.where(F.col("vec_id") == _HY_QVEC), k=_HY_SIDE_TOPK
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank_dense"),
+        )
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rank_lex"), F.lit(0))
+            .cast("long")
+            .alias("rank_lex"),
+            F.coalesce(F.col("rank_dense"), F.lit(0))
+            .cast("long")
+            .alias("rank_dense"),
+            F.expr(
+                f"CAST(CASE WHEN rank_lex IS NULL THEN 0"
+                f" ELSE 1000000 div ({_HY_RRF_C} + rank_lex) END"
+                f" + CASE WHEN rank_dense IS NULL THEN 0"
+                f" ELSE 1000000 div ({_HY_RRF_C} + rank_dense) END AS BIGINT)"
+            ).alias("rrf_ppm"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id")).limit(_HY_K)
+    rw = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        "rrf_ppm",
+    )
+
+
+docs_hybrid_rrf.__doc__ = docs_hybrid_rrf.__doc__.format(
+    side=_HY_SIDE_TOPK, c=_HY_RRF_C, k=_HY_K
+)

@@ -562,3 +562,75 @@ def events_sprt(spark, sf_dir):
             " ELSE 0 END AS BIGINT)"
         ).alias("decision"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Streaming SPRT twin — the real stateful operator, driver-certified
+# --------------------------------------------------------------------------
+
+_STREAM_SPRT_RUNS = __import__("itertools").count()
+
+
+@register("stream_sprt_twin", oracle=_SPRT_ORACLE)
+def stream_sprt_twin(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming SPRT (streaming/analytics.py
+    running_sprt: applyInPandasWithState, per-type state = FOUR integers
+    (t, k, first-crossing, decision)), certified by EXECUTING the real
+    streaming query: the events table replays through a file source with
+    trigger(availableNow=True), and the per-type final emission must
+    hash-equal the batch ``events_sprt`` oracle, because both sides fold
+    the identical constant-increment integer LLR in (ts, event_id)
+    order.  This is what the sequential test is FOR on a stream — the
+    experiment stops itself at the boundary crossing instead of waiting
+    for a batch horizon; the twin proves the stream and batch forms are
+    the same decision function.
+
+    Scale shape: state is four integers per key (bounded by the type/arm
+    cardinality, never the stream length — even tighter than the EWMA
+    twin's value window); Arrow batches keep the Python hop vectorized;
+    the only shuffle is the event_type exchange.
+    """
+    import tempfile
+
+    from kafka_sink_spark.plans.stream_twin import finish_stream_twin
+    from kafka_sink_spark.streaming.analytics import running_sprt
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    sel = events.select("event_id", "ts", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="stream_sprt_src_")
+    sel.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    name = f"stream_sprt_twin_{next(_STREAM_SPRT_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_sprt_ck_")
+    q = (
+        running_sprt(
+            stream,
+            threshold=_SPRT_THRESHOLD,
+            a_ppm=_SPRT_A_PPM,
+            b_ppm=_SPRT_B_PPM,
+            bound_ppm=_SPRT_BOUND_PPM,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # update-mode memory sink keeps one row per emission; the final state
+    # per type is the emission with the largest n (monotone)
+    result = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("k", "n").alias("k"),
+            F.max_by("llr_final_ppm", "n").alias("llr_final_ppm"),
+            F.max_by("decision_t", "n").alias("decision_t"),
+            F.max_by("decision", "n").alias("decision"),
+        )
+        .orderBy("event_type")
+    )
+    return finish_stream_twin(spark, q, name, result, (src, ck))

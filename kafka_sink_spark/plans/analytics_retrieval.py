@@ -63,7 +63,10 @@ _BM25_TERMS = ("dup", "spark", "join")  # one rare term, two common
 _BM25_K = 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_sc_ctes() -> str:
+    """The arr→d→z→sc CTE chain producing BM25 scores per document —
+    shared by the top-k oracle and the hybrid-RRF oracle so the scoring
+    formula can never drift between the two."""
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(t, x -> x = '{term}')) AS BIGINT) AS tf{i}"
         for i, term in enumerate(_BM25_TERMS)
@@ -93,8 +96,7 @@ def _bm25_oracle() -> str:
         f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
         for i in range(len(_BM25_TERMS))
     )
-    return rf"""
-    WITH arr AS (
+    return rf"""arr AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
       FROM documents
@@ -110,7 +112,12 @@ def _bm25_oracle() -> str:
       SELECT doc_id, dl, ({score}) AS score,
              CAST({nt} AS INTEGER) AS n_terms
       FROM d, z
-    ), top AS (
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_sc_ctes()}, top AS (
       SELECT * FROM sc WHERE n_terms > 0
       ORDER BY score DESC, doc_id LIMIT {_BM25_K}
     )
@@ -122,28 +129,13 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("docs_bm25_topk", oracle=_bm25_oracle())
-def docs_bm25_topk(spark, sf_dir):
-    """BM25 top-{k} retrieval (Robertson, TREC-3) for the fixed query
-    {terms} with the Lucene idf ln(1 + (N−df+0.5)/(df+0.5)) =
-    lg((2N+2)/(2df+1)) on the octave-log2 ladder (ppm-bits, single-count
-    arguments — nothing overflows at any corpus size) and the k1 = 1.2,
-    b = 0.75 saturation term cleared to the exact integer rational
-    44·tf·T / (20·tf·T + 6·T + 18·dl·N) (ppm, decimal(38) products,
-    T = corpus tokens, dl = document length).  Per-term contribution is
-    idf·tfc div 1e6 micro-bits; documents matching no query term are
-    dropped; ranking is (score desc, doc_id).
-
-    Scale shape: ONE zero-shuffle projection computes dl and the
-    per-term tf columns in the same pass (no (doc, term) explode
-    shuffle); df/T/N are one broadcast scalar row; the top-{k} is a
-    global ORDER BY LIMIT (TakeOrderedAndProject — O(k) per task) and
-    the rank window runs over those {k} rows only.
-    """
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, dl, score, n_terms) BM25 scores per document — the Spark
+    twin of the ``_bm25_sc_ctes`` oracle chain, shared by the top-k query
+    and the hybrid-RRF fusion."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    staged = docs.select(
-        "doc_id", text.tokens(F.col("text")).alias("_t")
-    )
+    staged = docs.select("doc_id", text.tokens(F.col("text")).alias("_t"))
+
     def _tf(term):
         # single-arg lambda: a two-parameter lambda would select pyspark's
         # (element, index) filter form and bind the term to the index
@@ -189,16 +181,33 @@ def docs_bm25_topk(spark, sf_dir):
         f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
         for i in range(len(_BM25_TERMS))
     )
-    sc = (
-        d.crossJoin(F.broadcast(z))
-        .select(
-            "doc_id",
-            "dl",
-            F.expr(score).alias("score"),
-            F.expr(f"CAST({nt} AS INT)").alias("n_terms"),
-        )
-        .filter(F.col("n_terms") > 0)
+    return d.crossJoin(F.broadcast(z)).select(
+        "doc_id",
+        "dl",
+        F.expr(score).alias("score"),
+        F.expr(f"CAST({nt} AS INT)").alias("n_terms"),
     )
+
+
+@register("docs_bm25_topk", oracle=_bm25_oracle())
+def docs_bm25_topk(spark, sf_dir):
+    """BM25 top-{k} retrieval (Robertson, TREC-3) for the fixed query
+    {terms} with the Lucene idf ln(1 + (N−df+0.5)/(df+0.5)) =
+    lg((2N+2)/(2df+1)) on the octave-log2 ladder (ppm-bits, single-count
+    arguments — nothing overflows at any corpus size) and the k1 = 1.2,
+    b = 0.75 saturation term cleared to the exact integer rational
+    44·tf·T / (20·tf·T + 6·T + 18·dl·N) (ppm, decimal(38) products,
+    T = corpus tokens, dl = document length).  Per-term contribution is
+    idf·tfc div 1e6 micro-bits; documents matching no query term are
+    dropped; ranking is (score desc, doc_id).
+
+    Scale shape: ONE zero-shuffle projection computes dl and the
+    per-term tf columns in the same pass (no (doc, term) explode
+    shuffle); df/T/N are one broadcast scalar row; the top-{k} is a
+    global ORDER BY LIMIT (TakeOrderedAndProject — O(k) per task) and
+    the rank window runs over those {k} rows only.
+    """
+    sc = _bm25_scored(spark, sf_dir).filter(F.col("n_terms") > 0)
     top = sc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_K)
     rw = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return top.select(

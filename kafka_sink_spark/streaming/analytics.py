@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -408,4 +409,106 @@ def hll_register_stream(events: DataFrame) -> DataFrame:
         )
         .groupBy("event_type", "idx")
         .agg(F.max("rho").alias("reg"))
+    )
+
+
+# --- stateful sequential probability ratio test -----------------------------
+
+SPRT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("k", LongType()),
+        StructField("llr_final_ppm", LongType()),
+        StructField("decision_t", LongType()),
+        StructField("decision", LongType()),
+    ]
+)
+
+_SPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("k", LongType()),
+        StructField("decision_t", LongType()),
+        StructField("decision", LongType()),
+    ]
+)
+
+
+def _sprt_fn_factory(threshold: float, a_ppm: int, b_ppm: int, bound_ppm: int):
+    """Build the per-key SPRT fold.  State is FOUR integers per key —
+    the sequential test is just a cumulative success count because the
+    Bernoulli LLR has constant per-observation increments, so the
+    streaming form carries no window at all (contrast the EWMA twin's
+    bounded value array)."""
+
+    def _fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        t, k, decision_t, decision = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if state.exists:
+                state.update((t, k, decision_t, decision))
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for r in pdf.itertuples(index=False):
+            t += 1
+            if float(r.value) > threshold:
+                k += 1
+            llr = k * a_ppm + (t - k) * b_ppm
+            if decision_t == 0:
+                if llr >= bound_ppm:
+                    decision_t, decision = t, 1
+                elif llr <= -bound_ppm:
+                    decision_t, decision = t, -1
+        state.update((t, k, decision_t, decision))
+        llr = k * a_ppm + (t - k) * b_ppm
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n": [t],
+                "k": [k],
+                "llr_final_ppm": [llr],
+                "decision_t": [decision_t],
+                "decision": [decision],
+            }
+        )
+
+    return _fn
+
+
+def running_sprt(
+    events: DataFrame,
+    threshold: float,
+    a_ppm: int,
+    b_ppm: int,
+    bound_ppm: int,
+) -> DataFrame:
+    """The STREAMING form of the batch ``events_sprt`` catalog query
+    (Wald 1945): per event type, a four-integer state tuple
+    (t, k, first-crossing, decision) updated per micro-batch — the
+    experiment stops ITSELF the moment the boundary is crossed, which is
+    the whole point of running SPRT on a stream instead of a batch
+    horizon.  Emissions are the running decision row per type (update
+    mode); on complete data the final emission equals the batch query
+    bit-for-bit because both fold the identical integer LLR in
+    (ts, event_id) order."""
+    return (
+        events.select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _sprt_fn_factory(threshold, a_ppm, b_ppm, bound_ppm),
+            outputStructType=SPRT_OUTPUT_SCHEMA,
+            stateStructType=_SPRT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
