@@ -179,6 +179,12 @@ HEADLINERS = [
     "parts_modularity",  # shared LP labels, node-keyed degree/label joins
     "docs_qlm_topk",  # zero-shuffle tf/dl pass + ppb-staged scalar broadcast + TopK
     "lineitem_hilbert_layout",  # 8 xy2d rounds in one codegen span, 16-group agg
+    # round-10g/10h waves
+    "embedding_residual_vq",  # two Lloyd fits (broadcast codebook joins), residual persisted
+    "knn_map",  # knn-family scan + per-query <=5-row cumulative window
+    "docs_dsir_ess",  # persisted DSIR pipeline + one two-moment aggregate
+    "docs_hybrid_rrf",  # two TopK-capped sides, constant-size RRF fusion join
+    "stream_sprt_twin",  # applyInPandasWithState, 4-int state per type
 ]
 
 
