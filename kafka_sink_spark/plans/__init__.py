@@ -68,91 +68,76 @@ import kafka_sink_spark.plans.analytics_refinement  # noqa: F401,E402  (register
 # tools/driver_check.py sweep (REPLICA_r*.md) plus the judge's own replica
 # run.
 #
-# Round-10 rotation: per the r9 verdict's #1 ask — the FOURTEEN wave-9
-# queries that stayed out of round 9's recert-heavy window lead (dual-SF
-# replica- and judge-replica-verified, never an official row), the new
-# round-10 wave (10a: mixture/budget curation + payload dHash) follows,
-# and the remaining 33 slots re-certify the OLDEST official rows: the
-# full r4 cohort (24 queries — TPC-H q2/q4*/q11-q22 rows, contamination/
-# curation/dedup/multimodal analytics) and the oldest nine r5 rows (the
-# sink_avro/codec-temporal parity cohort plus q1/q3, which this round's
-# DuckDB decimal→double rendering fix touched — fresh official rows
-# prove the fix).  The r9 verdict's explicit drop: sink_now_timeuuid
-# (guaranteed `no_oracle`) never re-enters a window — its determinism
-# twin sink_now_timeuuid_invariants is the certificate and rotates like
-# any other row.  The list is kept at EXACTLY 50 entries (window size;
-# enforced by tests/test_catalog_contract.py); everything else follows
-# in original registration order and stays locally gated by
-# tools/driver_check.py + tests/test_entry_oracle.py over all
+# Round-11 rotation: per the r10 verdict's #1 ask — the FOURTEEN wave-10
+# (10e-10h) queries that never held an official row lead (all dual-SF
+# replica green in REPLICA_r10.md), followed by the oldest official rows
+# recertified oldest-first: text_scrub_pii (stuck at r4 — the single
+# oldest row in the catalog), the full r5 sink parity cohort
+# (sink_avro_*, sink_codec_temporals, sink_counter_accrual,
+# sink_daterange_precision, sink_timestamp_mapping, sink_ttl_writetime),
+# the decimal-rendering witnesses q1/q3, and the heaviest remaining r5
+# rows (TPC-H q4-q20 class + the r5 dedup/docs/events/corpus analytics).
+# New round-11 wave queries are inserted ahead of the recert tail as
+# they land replica-green (the r10 pattern: waves certify same-round
+# when slots allow; displaced recerts stay r5-latest and simply lead
+# the r12 recert queue).  The list is kept at EXACTLY 50 entries
+# (window size; enforced by tests/test_catalog_contract.py); everything
+# else follows in original registration order and stays locally gated
+# by tools/driver_check.py + tests/test_entry_oracle.py over all
 # oracle-paired queries at sf0.01.
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- certification debt: waves 9a-9e, never held an official row --
-    "orders_hill_tail_index",
-    "corpus_keyness_g2",
-    "supplier_lorenz_curve",
-    "stream_topk_twin",
-    "events_info_gain_by_hour",
-    "docs_sentence_dispersion",
-    "multimodal_payload_entropy",
-    "docs_js_divergence_splits",
-    "knn_distance_margin",
-    "embedding_ivf_balance",
-    "knn_recall_vs_planes",
-    "dedup_minhash_band_tuning",
-    "embedding_pq_distortion_by_subspace",
-    "multimodal_chunk_dedup_ratio",
-    # -- new round-10 wave (10a) --
-    "docs_unimax_budget",
-    "docs_mixture_reweight",
-    "multimodal_dhash_neardup",
-    # -- new round-10 waves (10b, 10c) --
-    "lineitem_theil_decomposition",
-    "knn_ivf_nprobe_sweep",
-    "events_t_closeness",
-    "lineitem_conformal_interval",
-    "docs_ccnet_paragraph_dedup",
-    "embedding_mmr_rerank",
-    "docs_bm25_topk",
-    "parts_hits_authority",
-    "lineitem_kfold_cv",
-    "events_cem_att",
-    # -- recert rotation: the full r4 cohort (oldest official rows) --
-    "contamination_overlap",
-    "corpus_top_terms",
-    "dedup_df_pruned_pairs",
-    "dedup_incremental",
-    "docs_pack_sequences",
-    "docs_sample_stratified",
-    "docs_temperature_resample",
-    "embedding_label_centroids",
-    "lineitem_quantile_profile",
-    "lineitem_unpivot_components",
-    "multimodal_real_decode",
-    "orders_priority_rollup",
-    "q2_min_acctbal_supplier",
-    "q11_part_value",
-    "q13_customer_distribution",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "shingle_kmv_estimate",
-    "text_repetition_stats",
-    # r11 rotation debt (window is exactly 50): the wave-10e/10f/10g
-    # queries (knn_binary_hamming, knn_binary_recall, docs_blocklist_rate,
-    # events_page_hinkley, orders_cmh_test, parts_modularity,
-    # lineitem_hilbert_layout, docs_qlm_topk, events_sprt,
-    # embedding_residual_vq, knn_map, docs_dsir_ess, docs_hybrid_rrf,
-    # stream_sprt_twin — dual-SF replica green, never official),
-    # text_scrub_pii, the r5
-    # avro/temporal parity cohort (sink_avro_*, sink_codec_temporals,
-    # sink_counter_accrual, sink_daterange_precision,
-    # sink_timestamp_mapping, sink_ttl_writetime) and the
-    # decimal-rendering witnesses q1/q3 — all replica-green this round.
+    "docs_blocklist_rate",
+    "docs_dsir_ess",
+    "docs_hybrid_rrf",
+    "docs_qlm_topk",
+    "embedding_residual_vq",
+    "events_page_hinkley",
+    "events_sprt",
+    "knn_binary_hamming",
+    "knn_binary_recall",
+    "knn_map",
+    "lineitem_hilbert_layout",
+    "orders_cmh_test",
+    "parts_modularity",
+    "stream_sprt_twin",
+    "text_scrub_pii",
+    "sink_avro_struct_decode",
+    "sink_avro_union_decode",
+    "sink_codec_temporals",
+    "sink_counter_accrual",
+    "sink_daterange_precision",
+    "sink_timestamp_mapping",
+    "sink_ttl_writetime",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_with_returns",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q20_part_suppliers",
+    "dedup_cluster_sizes",
+    "dedup_survivors",
+    "docs_gopher_filter",
+    "docs_repeated_spans",
+    "events_asof_attribution",
+    "events_sessionize",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_markov_transitions",
+    "knn_pq",
+    "corpus_bigram_lift",
+    "corpus_bpe_pair_counts",
+    "corpus_source_report",
+    "pipeline_training_data",
+    "orders_market_basket",
 ]
 
 
