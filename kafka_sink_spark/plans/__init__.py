@@ -56,6 +56,7 @@ import kafka_sink_spark.plans.analytics_retrieval  # noqa: F401,E402  (registers
 import kafka_sink_spark.plans.analytics_hamming  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_guardrails  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_refinement  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_weblm  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -102,6 +103,14 @@ DRIVER_PRIORITY: list[str] = [
     "orders_cmh_test",
     "parts_modularity",
     "stream_sprt_twin",
+    # -- new round-11 wave (11a: CCNet stages + indexed hybrid RRF),
+    # dual-SF replica green before entering the window --
+    "docs_url_canonical_dedup",
+    "docs_host_fuzzy_dedup",
+    "docs_kn_bigram_nll",
+    "docs_kn_perplexity_filter",
+    "docs_hybrid_rrf_indexed",
+    # -- oldest official row in the catalog (r4) --
     "text_scrub_pii",
     "sink_avro_struct_decode",
     "sink_avro_union_decode",
@@ -133,11 +142,9 @@ DRIVER_PRIORITY: list[str] = [
     "events_retention_cohorts",
     "events_markov_transitions",
     "knn_pq",
-    "corpus_bigram_lift",
-    "corpus_bpe_pair_counts",
-    "corpus_source_report",
-    "pipeline_training_data",
-    "orders_market_basket",
+    # (corpus_bigram_lift, corpus_bpe_pair_counts, corpus_source_report,
+    # pipeline_training_data, orders_market_basket stay r5-latest and
+    # lead the r12 recert queue — displaced by the 11a wave.)
 ]
 
 

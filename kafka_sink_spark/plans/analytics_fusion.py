@@ -455,3 +455,226 @@ def docs_hybrid_rrf(spark, sf_dir):
 docs_hybrid_rrf.__doc__ = docs_hybrid_rrf.__doc__.format(
     side=_HY_SIDE_TOPK, c=_HY_RRF_C, k=_HY_K
 )
+
+
+# --------------------------------------------------------------------------
+# Hybrid RRF on the TRAINED index paths (r10 verdict ask #6): the same
+# constant-size fusion stage, fed by the IVF-PQ index on the dense side and
+# posting-list (inverted-index access pattern) BM25 on the lexical side —
+# no full-corpus SCORING scan on either side.
+# --------------------------------------------------------------------------
+
+
+def _bm25_posting_scored(spark, sf_dir):
+    """BM25 scores via the inverted-list access pattern: only documents
+    holding at least one query term ever enter the scoring join (the
+    posting explode filters to the query's terms), unlike _bm25_scored
+    which scores the whole corpus.  Global stats (T, n, df) are the
+    1-row broadcast index metadata.  Values are identical to
+    _bm25_scored rows with n_terms > 0 (same formula, same fixed-point
+    ladder), which is what the shared ``sc`` oracle chain certifies."""
+    from kafka_sink_spark.extensions import text
+    from kafka_sink_spark.plans.analytics_readability import _SPARK_LOG2
+    from kafka_sink_spark.plans.analytics_retrieval import (
+        _BM25_TERMS,
+        _DEC,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    staged = docs.select(
+        "doc_id",
+        text.tokens(F.col("text")).alias("_t"),
+    ).select(
+        "doc_id",
+        F.size("_t").cast("long").alias("dl"),
+        F.expr(f"filter(_t, x -> x IN ({terms_sql}))").alias("_hits"),
+    )
+    # posting rows: one per (doc, matching term occurrence) — the shape an
+    # inverted index serves for the query's terms only
+    post = staged.select(
+        "doc_id", "dl", F.explode("_hits").alias("tok")
+    )
+    d = post.groupBy("doc_id", "dl").agg(
+        *[
+            F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ]
+    )
+    # index metadata: corpus totals from the doc-length projection, df from
+    # the posting-derived tf table (documents absent from it have tf = 0)
+    z = (
+        staged.agg(
+            F.sum("dl").cast("long").alias("T"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .crossJoin(
+            F.broadcast(
+                d.agg(
+                    *[
+                        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+                        .cast("long")
+                        .alias(f"df{i}")
+                        for i in range(len(_BM25_TERMS))
+                    ]
+                )
+            )
+        )
+    )
+    idf = {
+        i: f"({_SPARK_LOG2.format(x='(2 * n + 2)')}"
+        f" - {_SPARK_LOG2.format(x=f'(2 * df{i} + 1)')})"
+        for i in range(len(_BM25_TERMS))
+    }
+    tfc = {
+        i: f"(CAST(44 AS DECIMAL(38,0)) * tf{i} * T * 1000000"
+        f" div (CAST(20 AS DECIMAL(38,0)) * tf{i} * T"
+        f" + CAST(6 AS DECIMAL(38,0)) * T"
+        f" + CAST(18 AS DECIMAL(38,0)) * dl * n))"
+        for i in range(len(_BM25_TERMS))
+    }
+    score = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" CAST(({_DEC.format(idf[i])} * {tfc[i]}) div 1000000 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return d.crossJoin(F.broadcast(z)).select(
+        "doc_id", F.expr(score).alias("score")
+    )
+
+
+def _hybrid_indexed_oracle() -> str:
+    from kafka_sink_spark.plans.analytics_retrieval import _bm25_sc_ctes
+    from kafka_sink_spark.plans.analytics_training import _ivf_pq_ctes
+
+    ivf = ",\n    ".join(_ivf_pq_ctes(n_queries=1))
+    return f"""
+    WITH {_bm25_sc_ctes()}, {ivf}, lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank_lex
+      FROM (SELECT * FROM sc WHERE n_terms > 0
+            ORDER BY score DESC, doc_id LIMIT {_HY_SIDE_TOPK})
+    ), dense AS (
+      SELECT doc_id, rank_dense FROM (
+        SELECT neighbor_id AS doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY afix, neighbor_id
+               ) AS BIGINT) AS rank_dense
+        FROM ad
+      ) WHERE rank_dense <= {_HY_SIDE_TOPK}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d2.doc_id) AS doc_id,
+             CAST(COALESCE(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+             CAST(COALESCE(d2.rank_dense, 0) AS BIGINT) AS rank_dense,
+             CAST(CASE WHEN l.doc_id IS NULL THEN 0
+                       ELSE 1000000 // ({_HY_RRF_C} + l.rank_lex) END
+                + CASE WHEN d2.doc_id IS NULL THEN 0
+                       ELSE 1000000 // ({_HY_RRF_C} + d2.rank_dense) END
+               AS BIGINT) AS rrf_ppm
+      FROM lex l FULL OUTER JOIN dense d2 ON d2.doc_id = l.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, rank_lex, rank_dense, rrf_ppm
+    FROM (SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT {_HY_K})
+    """
+
+
+@register("docs_hybrid_rrf_indexed", oracle=_hybrid_indexed_oracle())
+def docs_hybrid_rrf_indexed(spark, sf_dir):
+    """Hybrid RRF fed by the TRAINED INDEX PATHS end-to-end — the shape a
+    production RAG stack actually deploys at 100 TB, proving the
+    constant-size fusion claim of docs_hybrid_rrf on indexed inputs:
+
+    - dense side: the certified IVF-PQ index (Lloyd-trained coarse
+      quantizer + product-quantized residuals, Jégou et al. 2011) —
+      candidates are CELL-BUCKETED (nprobe/C of the corpus), scored by
+      asymmetric distance, never a full-corpus similarity scan;
+    - lexical side: BM25 through the inverted-list access pattern — the
+      posting explode keeps only documents containing a query term, so
+      the scoring join touches the postings of the 3 query terms plus a
+      1-row broadcast of index metadata (T, n, df), never a full-corpus
+      scoring pass (the corpus pass that builds postings/doc-lengths is
+      the index build, amortized across every query against it);
+    - fusion: the identical RRF stage — a full-outer join of two ≤{side}
+      row lists, constant-size regardless of corpus.
+
+    Values are pinned to the same certified scorers: the lexical scores
+    equal _bm25_scored on n_terms>0 rows (shared ``sc`` oracle chain);
+    the dense ranking equals knn_ivf_pq's ADC order (shared CTE chain,
+    n_queries = 1)."""
+    from kafka_sink_spark.extensions import similarity
+    from kafka_sink_spark.plans.analytics_training import (
+        _IVFPQ_COARSE_ITERS,
+        _IVFPQ_PQ_ITERS,
+        _IVFT_C,
+        _IVFT_NPROBE,
+        _PQT_DIM,
+        _PQT_K,
+        _PQT_M,
+    )
+
+    lex = (
+        _bm25_posting_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_HY_SIDE_TOPK)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank_lex"),
+        )
+    )
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dense = similarity.knn_ivf_pq(
+        emb,
+        k=_HY_SIDE_TOPK,
+        n_queries=1,
+        n_centroids=_IVFT_C,
+        nprobe=_IVFT_NPROBE,
+        m_subspaces=_PQT_M,
+        k_codewords=_PQT_K,
+        dim=_PQT_DIM,
+        coarse_iterations=_IVFPQ_COARSE_ITERS,
+        pq_iterations=_IVFPQ_PQ_ITERS,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank_dense"),
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rank_lex"), F.lit(0))
+            .cast("long")
+            .alias("rank_lex"),
+            F.coalesce(F.col("rank_dense"), F.lit(0))
+            .cast("long")
+            .alias("rank_dense"),
+            F.expr(
+                f"CAST(CASE WHEN rank_lex IS NULL THEN 0"
+                f" ELSE 1000000 div ({_HY_RRF_C} + rank_lex) END"
+                f" + CASE WHEN rank_dense IS NULL THEN 0"
+                f" ELSE 1000000 div ({_HY_RRF_C} + rank_dense) END AS BIGINT)"
+            ).alias("rrf_ppm"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id")).limit(_HY_K)
+    rw = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(rw).cast("int").alias("rank"),
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        "rrf_ppm",
+    )
+
+
+docs_hybrid_rrf_indexed.__doc__ = docs_hybrid_rrf_indexed.__doc__.format(
+    side=_HY_SIDE_TOPK
+)

@@ -1,0 +1,543 @@
+"""Round-11a wave: web-corpus canonical dedup and a held-out Kneser-Ney
+bigram LM quality filter — the two CCNet/CommonCrawl pipeline stages the
+catalog still lacked (the r10 verdict's #5 ask), in the package's
+exact-integer, oracle-twinned style.
+
+- ``docs_url_canonical_dedup``  URL canonicalization + exact canonical-URL
+  dedup, the first stage of every CommonCrawl-derived pipeline (Wenzek et
+  al. 2020 CCNet; Penedo et al. 2023 RefinedWeb dedup §4.1): each document
+  carries a deterministic synthetic URL (scheme/host case noise, default
+  ports, tracking params, fragments, trailing slashes — the exact noise
+  classes public canonicalizers strip), the canonicalizer is the reusable
+  ``extensions.web.canonicalize_url`` column expression (pure built-ins,
+  fully codegen), and the report is per-host raw vs canonical counts with
+  the duplicate rate in ppm.
+- ``docs_host_fuzzy_dedup``  within-host fuzzy content dedup — the
+  RefinedWeb/CCNet practice of bucketing by registered host and collapsing
+  near-identical pages inside the bucket: the content fingerprint is the
+  doc's dominant token (ties lexicographic) + its length octave,
+  md5-keyed — a coarse, recall-oriented content-profile bucket; clusters with >1 member are near-dups and the
+  min-doc_id member survives.
+- ``docs_kn_bigram_nll``  interpolated Kneser-Ney bigram LM (Kneser & Ney
+  1995; Chen & Goodman 1999 eq. 4.26, absolute discount D = 3/4 carried as
+  the exact rational), trained on the held split doc_id%10<8 and scored on
+  the held-out split: per-source mean negative log2-likelihood in ppm-bits
+  per bigram.  THE perplexity-style LM quality screen of CCNet's KenLM
+  stage, transcendental-free: every probability is an exact rational
+  rendered at 1e12 fixed point (the r10 bounded probability-ratio
+  convention — log arguments bounded by 1e12 at ANY corpus size) and
+  logged on the octave-log2 ladder.
+- ``docs_kn_perplexity_filter``  the per-document readout of the same LM:
+  held-out documents histogrammed by sixteenth-bit NLL buckets with the
+  CCNet-style keep/drop verdict at the fixed 5.0 bits/bigram threshold —
+  the shape a perplexity filter sweeps to pick its cut.
+
+Determinism per the package convention: integer arithmetic end-to-end
+(DECIMAL(38,0)/HUGEINT intermediates), truncating division on non-negative
+operands, octave-log2 ppm-bits with 1e12-bounded arguments, md5 digests,
+ties broken on ids.
+
+Reference anchor: datastax/kafka-sink has no analytics surface
+(sink/src/main is record mapping + DSE writes, SURVEY.md §2); this module
+extends COVERAGE.md's dedup + quality families with the CCNet stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_sink_spark.extensions import text
+from kafka_sink_spark.extensions.web import canonicalize_url
+from kafka_sink_spark.plans.analytics_corpus import _doc_bigrams
+from kafka_sink_spark.plans.queries import register
+from kafka_sink_spark.session import load_tables
+
+# --------------------------------------------------------------------------
+# Synthetic URL derivation (FIXTURES.md style: the documents table has no
+# url column, so each doc carries a deterministic URL derived from
+# (doc_id, source) — replicated verbatim in the oracle CTE.  The noise
+# classes are exactly the ones public canonicalizers normalize: scheme and
+# host case, default ports, www prefix, trailing slashes, utm_*/fbclid
+# tracking params, unsorted param order, fragments.
+# --------------------------------------------------------------------------
+
+_URL_SQL_SPARK = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',"
+    "CASE WHEN doc_id % 3 = 0"
+    "  THEN upper(concat('www.', source, '.Example.com'))"
+    "  ELSE concat('www.', source, '.Example.com') END,"
+    "CASE WHEN doc_id % 7 = 0 THEN"
+    "  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ELSE '' END,"
+    "concat('/p/', CAST(doc_id % 11 AS STRING)),"
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,"
+    "CASE WHEN doc_id % 4 = 0"
+    "  THEN concat('?utm_source=feed&ref=', CAST(doc_id % 3 AS STRING))"
+    " WHEN doc_id % 4 = 1"
+    "  THEN concat('?ref=', CAST(doc_id % 3 AS STRING), '&utm_campaign=x')"
+    " ELSE '' END,"
+    "CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)"
+)
+
+_URL_SQL_DUCK = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||"
+    " CASE WHEN doc_id % 3 = 0"
+    "   THEN upper('www.' || source || '.Example.com')"
+    "   ELSE 'www.' || source || '.Example.com' END ||"
+    " CASE WHEN doc_id % 7 = 0 THEN"
+    "   CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ELSE '' END ||"
+    " '/p/' || CAST(doc_id % 11 AS VARCHAR) ||"
+    " CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||"
+    " CASE WHEN doc_id % 4 = 0"
+    "   THEN '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR)"
+    "  WHEN doc_id % 4 = 1"
+    "   THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'"
+    "  ELSE '' END ||"
+    " CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)"
+)
+
+# The DuckDB twin of extensions.web.canonicalize_url, stage by stage over a
+# column named raw_url (kept in lockstep with the Spark expression; the
+# shared structure is pinned by tests/test_weblm.py).
+_CANON_DUCK = """
+    nf AS (
+      SELECT doc_id, split_part(raw_url, '#', 1) AS nofrag FROM raw
+    ), sq AS (
+      SELECT doc_id, split_part(nofrag, '?', 1) AS base,
+             CASE WHEN instr(nofrag, '?') > 0
+                  THEN substr(nofrag, instr(nofrag, '?') + 1)
+                  ELSE '' END AS qs
+      FROM nf
+    ), hp AS (
+      SELECT doc_id, qs,
+             CASE WHEN instr(rest, '/') > 0
+                  THEN substr(rest, 1, instr(rest, '/') - 1)
+                  ELSE rest END AS hostport,
+             CASE WHEN instr(rest, '/') > 0
+                  THEN substr(rest, instr(rest, '/'))
+                  ELSE '/' END AS rawpath
+      FROM (SELECT doc_id, qs,
+                   substr(base, instr(base, '://') + 3) AS rest
+            FROM sq)
+    ), cn AS (
+      SELECT doc_id,
+             CASE WHEN h2 LIKE 'www.%' THEN substr(h2, 5) ELSE h2 END AS host,
+             CASE WHEN p1 = '' THEN '/' ELSE p1 END AS path,
+             array_to_string(list_sort(list_filter(string_split(qs, '&'),
+               p -> p <> '' AND NOT (p LIKE 'utm_%')
+                    AND NOT (p LIKE 'fbclid%'))), '&') AS qcanon
+      FROM (SELECT doc_id, qs,
+                   CASE WHEN h1 LIKE '%:443' THEN substr(h1, 1, length(h1) - 4)
+                        WHEN h1 LIKE '%:80' THEN substr(h1, 1, length(h1) - 3)
+                        ELSE h1 END AS h2,
+                   regexp_replace(rawpath, '/+$', '') AS p1
+            FROM (SELECT doc_id, qs, lower(hostport) AS h1, rawpath FROM hp))
+    ), canon AS (
+      SELECT doc_id, host,
+             host || path ||
+             CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END AS curl
+      FROM cn
+    )"""
+
+
+_URL_DEDUP_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_SQL_DUCK} AS raw_url FROM documents
+    ), {_CANON_DUCK}
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST((COUNT(*) - COUNT(DISTINCT curl)) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM canon GROUP BY host
+    """
+
+
+@register("docs_url_canonical_dedup", oracle=_URL_DEDUP_ORACLE)
+def docs_url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL exact dedup — the first screen of every
+    CommonCrawl-derived corpus build (CCNet, RefinedWeb): canonicalize
+    each document's URL (lowercase scheme+host, strip www./default
+    ports/fragments/tracking params, sort surviving params, trim trailing
+    slashes — ``extensions.web.canonicalize_url``, pure built-in column
+    ops) and report, per registered host, the raw URL count, the distinct
+    canonical count, and the duplicate rate in ppm.
+
+    Scale shape: the canonicalizer is a zero-shuffle codegen projection;
+    the report is ONE partial-combined aggregate keyed by host with a
+    distinct-on-(host, curl) pre-aggregation — both keys are
+    data-colocated (curl embeds host), so the distinct and the rollup
+    share one shuffle.  At 100 TB this is the standard
+    canonical-key-partitioned dedup: no all-pairs stage, no skew beyond
+    host popularity (the salting recipe in SCALE.md applies unchanged).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    canon = (
+        docs.select("doc_id", F.expr(_URL_SQL_SPARK).alias("raw_url"))
+        .select("doc_id", *canonicalize_url(F.col("raw_url")))
+    )
+    return (
+        canon.select("host", F.col("curl"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("curl").cast("long").alias("n_canonical"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_canonical",
+            F.expr(
+                "CAST((n_urls - n_canonical) * 1000000 div n_urls AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Within-host fuzzy content dedup
+# --------------------------------------------------------------------------
+
+_FUZZY_TOP = 1  # fingerprint = the dominant token (ties lexicographic)
+
+
+_HOST_FUZZY_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, source || '.example.com' AS host, t.tok
+      FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), unnest(toks) AS t(tok)
+    ), tc AS (
+      SELECT doc_id, host, tok, COUNT(*) AS cnt
+      FROM tok GROUP BY 1, 2, 3
+    ), rk AS (
+      SELECT doc_id, host, tok, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, tok) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS dl
+      FROM tc
+    ), fp AS (
+      SELECT doc_id, host,
+             md5(string_agg(tok, '|' ORDER BY rn)
+                 || '|' || CAST(length(bin(MIN(dl))) - 1 AS VARCHAR))
+               AS fingerprint
+      FROM rk WHERE rn <= {_FUZZY_TOP}
+      GROUP BY doc_id, host
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) - COUNT(DISTINCT fingerprint) AS BIGINT) AS dup_docs,
+           CAST((COUNT(*) - COUNT(DISTINCT fingerprint)) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM fp GROUP BY host
+    """
+
+
+@register("docs_host_fuzzy_dedup", oracle=_HOST_FUZZY_ORACLE)
+def docs_host_fuzzy_dedup(spark, sf_dir):
+    """Within-host fuzzy content dedup — the RefinedWeb/CCNet second
+    screen after canonical-URL dedup: bucket documents by registered host
+    (the canonical host of the synthetic URL scheme), fingerprint each
+    document's CONTENT PROFILE (its {top} dominant token(s) by count, ties
+    lexicographic, plus its length octave, md5-keyed — a coarse,
+    recall-oriented blocking profile), and collapse
+    same-fingerprint docs inside the host bucket.  Reported per host:
+    docs, clusters, near-dup count and rate in ppm.
+
+    Scale shape: token counting is one partial-combined aggregate on
+    (doc_id, token); the top-{top} selection is a doc_id-partitioned
+    window (never global); the fingerprint rollup and the host report are
+    partial-combined aggregates on md5 digests — the exact-dedup shuffle
+    shape proven by dedup_exact, bucketed by host so 100 TB corpora
+    shard cleanly (host popularity skew → the SCALE.md salting recipe).
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = (
+        docs.select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.explode(text.tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "host", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok"))
+    wd = Window.partitionBy("doc_id")
+    rk = tc.select(
+        "doc_id",
+        "host",
+        "tok",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(wd).alias("dl"),
+    ).where(F.col("rn") <= _FUZZY_TOP)
+    fp = (
+        rk.groupBy("doc_id", "host")
+        .agg(
+            F.md5(
+                F.concat(
+                    F.array_join(
+                        F.expr("transform(array_sort(collect_list("
+                               "struct(rn, tok))), s -> s.tok)"),
+                        "|",
+                    ),
+                    F.lit("|"),
+                    F.expr("CAST(length(bin(MIN(dl))) - 1 AS STRING)"),
+                )
+            ).alias("fingerprint")
+        )
+    )
+    return (
+        fp.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("fingerprint").cast("long").alias("n_clusters"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_clusters",
+            F.expr("CAST(n_docs - n_clusters AS BIGINT)").alias("dup_docs"),
+            F.expr(
+                "CAST((n_docs - n_clusters) * 1000000 div n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+docs_host_fuzzy_dedup.__doc__ = docs_host_fuzzy_dedup.__doc__.format(
+    top=_FUZZY_TOP
+)
+
+
+# --------------------------------------------------------------------------
+# Held-out Kneser-Ney bigram LM: per-source NLL and the per-doc filter
+# --------------------------------------------------------------------------
+
+# octave_log2_ppm(10**12) — the log of the fixed-point scale, subtracted
+# from every lg(p_pt) so the readout is NEGATIVE log-likelihood in
+# ppm-bits (p_pt < 1e12 always, so the NLL is strictly positive).
+_LG1E12 = 39_818_989
+_KN_KEEP_QBITS = 80  # keep docs under 5.0 bits/bigram (80 sixteenth-bits)
+
+# Spark/DuckDB octave-log2 (duplicated from analytics_readability to keep
+# this module import-light; the templates are pinned identical by
+# tests/test_weblm.py).
+_SPARK_LOG2 = (
+    "((length(bin({x})) - 1) * 1000000"
+    " + CAST((CAST(({x} - shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1))"
+    " AS DECIMAL(38,0))"
+    " * 1000000) div shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1)"
+    " AS BIGINT))"
+)
+_DUCK_LOG2 = (
+    "((length(bin({x})) - 1) * 1000000"
+    " + CAST((({x} - (1::BIGINT << (length(bin({x})) - 1)))::HUGEINT"
+    " * 1000000) // (1::BIGINT << (length(bin({x})) - 1)) AS BIGINT))"
+)
+
+_BIGRAM_SQL = """
+      SELECT doc_id,
+             t[i + 1] AS w1, t[i + 2] AS w2
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+        FROM documents
+      ), unnest(range(len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+"""
+
+# The KN probability of a test bigram, fixed-point 1e12, exact rationals:
+#   seen context w1 (c1 rows exist):
+#     p = max(c12 - D, 0)/c1 + D * n1(w1)/c1 * nc(w2)/B      with D = 3/4
+#       = (max(4*c12 - 3, 0) * B + 3 * n1 * nc) / (4 * c1 * B)
+#   unseen context w1: back off to the continuation distribution
+#     p = nc(w2)/B
+# clamped >= 1 fixed-point unit so the octave log is defined (a true
+# probability below 1e-12 carries < 1e-12 of the mass; the r10 bounded
+# probability-ratio convention).
+_P_PT_DUCK = """
+      CASE WHEN c1 IS NULL THEN
+        greatest(COALESCE(nc, 0)::HUGEINT * 1000000000000 // B, 1)
+      ELSE
+        greatest(((CASE WHEN 4 * COALESCE(c12, 0) > 3
+                        THEN 4 * COALESCE(c12, 0) - 3 ELSE 0 END)::HUGEINT * B
+                  + 3::HUGEINT * n1 * COALESCE(nc, 0))
+                 * 1000000000000 // (4::HUGEINT * c1 * B), 1)
+      END
+"""
+
+_P_PT_SPARK = (
+    "CASE WHEN c1 IS NULL THEN"
+    " greatest(CAST(COALESCE(nc, 0) AS DECIMAL(38,0)) * 1000000000000 div B,"
+    " CAST(1 AS BIGINT))"
+    " ELSE"
+    " greatest((CAST(CASE WHEN 4 * COALESCE(c12, 0) > 3"
+    " THEN 4 * COALESCE(c12, 0) - 3 ELSE 0 END AS DECIMAL(38,0)) * B"
+    " + CAST(3 AS DECIMAL(38,0)) * n1 * COALESCE(nc, 0))"
+    " * 1000000000000 div (CAST(4 AS DECIMAL(38,0)) * c1 * B),"
+    " CAST(1 AS BIGINT)) END"
+)
+
+_KN_CTES = f"""bg AS (
+      {_BIGRAM_SQL}
+    ), tr AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg WHERE doc_id % 10 < 8 GROUP BY w1, w2
+    ), mc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1
+      FROM tr GROUP BY w1
+    ), cw AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM tr GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS B FROM tr
+    ), te AS (
+      SELECT b.doc_id,
+             CAST({{p_pt}} AS BIGINT) AS p_pt
+      FROM (SELECT * FROM bg WHERE doc_id % 10 >= 8) b
+      LEFT JOIN tr ON tr.w1 = b.w1 AND tr.w2 = b.w2
+      LEFT JOIN mc ON mc.w1 = b.w1
+      LEFT JOIN cw ON cw.w2 = b.w2
+      CROSS JOIN tot
+    ), perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM({_LG1E12} - {{lg}}) AS BIGINT) AS nll_sum
+      FROM te GROUP BY doc_id
+    )"""
+
+
+def _kn_nll_oracle() -> str:
+    ctes = _KN_CTES.format(
+        p_pt=_P_PT_DUCK, lg=_DUCK_LOG2.format(x="p_pt")
+    )
+    return f"""
+    WITH {ctes}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_bg) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p.nll_sum) // SUM(p.n_bg) AS BIGINT) AS nll_ppm_bits
+    FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """
+
+
+def _kn_scored(spark, sf_dir):
+    """(doc_id, n_bg, nll_sum) over held-out docs — the Spark twin of the
+    ``perdoc`` oracle CTE, shared by the per-source NLL report and the
+    per-doc perplexity filter."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bg = _doc_bigrams(docs)
+    tr = (
+        bg.where(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    mc = tr.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1"),
+    )
+    cw = tr.groupBy("w2").agg(F.count("*").cast("long").alias("nc"))
+    tot = tr.agg(F.count("*").cast("long").alias("B"))
+    te = (
+        bg.where(F.col("doc_id") % 10 >= 8)
+        .join(tr, ["w1", "w2"], "left")
+        .join(mc, ["w1"], "left")
+        .join(cw, ["w2"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({_P_PT_SPARK} AS BIGINT)").alias("p_pt"),
+        )
+    )
+    lg = _SPARK_LOG2.format(x="p_pt")
+    return te.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bg"),
+        F.expr(f"CAST(SUM({_LG1E12} - {lg}) AS BIGINT)").alias("nll_sum"),
+    )
+
+
+@register("docs_kn_bigram_nll", oracle=_kn_nll_oracle())
+def docs_kn_bigram_nll(spark, sf_dir):
+    """Held-out Kneser-Ney bigram LM quality scoring — the CCNet/KenLM
+    stage (Wenzek et al. 2020): an interpolated-KN bigram model
+    (Kneser & Ney 1995; absolute discount D = 3/4 as the exact rational)
+    is trained on the doc_id%10<8 split and every held-out document is
+    scored; the report is per-source mean NEGATIVE LOG2-LIKELIHOOD in
+    ppm-bits per bigram — the "which sources read unnaturally" signal a
+    perplexity screen thresholds.
+
+    Every probability is the exact rational
+    (max(4c₁₂−3,0)·B + 3·N1₊(w1,·)·N1₊(·,w2)) / (4·c₁·B) rendered at 1e12
+    fixed point (truncating, clamped ≥ 1) and logged on the octave-log2
+    ladder — arguments bounded by 1e12 at ANY corpus size (the r10
+    convention), so there is no int64 cliff at 100 TB.
+
+    Scale shape: bigram-type counts and both marginals are
+    partial-combined aggregates bounded by vocabulary²; scoring joins the
+    held-out bigram stream against the three count tables on bigram/word
+    keys (vocabulary-bounded sides — broadcastable for real corpora) plus
+    a broadcast 1-row total; the rollup is one aggregate per source. One
+    tokenize pass, persisted (_doc_bigrams substrate, shared with the
+    DSIR/LM-predictability family)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    perdoc = _kn_scored(spark, sf_dir)
+    return (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bg").cast("long").alias("n_bigrams"),
+            F.expr("CAST(SUM(nll_sum) div SUM(n_bg) AS BIGINT)").alias(
+                "nll_ppm_bits"
+            ),
+        )
+    )
+
+
+def _kn_filter_oracle() -> str:
+    ctes = _KN_CTES.format(
+        p_pt=_P_PT_DUCK, lg=_DUCK_LOG2.format(x="p_pt")
+    )
+    return f"""
+    WITH {ctes}
+    SELECT qbits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           qbits < {_KN_KEEP_QBITS} AS keep
+    FROM (SELECT CAST((nll_sum // n_bg) // 62500 AS BIGINT) AS qbits
+          FROM perdoc)
+    GROUP BY qbits
+    """
+
+
+@register("docs_kn_perplexity_filter", oracle=_kn_filter_oracle())
+def docs_kn_perplexity_filter(spark, sf_dir):
+    """The per-document readout of the held-out KN bigram LM: held-out
+    docs histogrammed by SIXTEENTH-BIT buckets of NLL-per-bigram, with the
+    CCNet-style keep/drop verdict at the fixed 5.0 bits/bigram cut — the
+    exact sweep a perplexity filter runs to place its threshold (CCNet
+    keeps the low-perplexity head/middle and drops the tail).
+
+    Scale shape: identical to docs_kn_bigram_nll up to the per-doc
+    aggregate; the histogram is one partial-combined aggregate on a
+    bounded bucket key (NLL per bigram ≤ lg(1e12) ≈ 40 bits ⇒ ≤ 640
+    sixteenth-bit buckets at any scale)."""
+    perdoc = _kn_scored(spark, sf_dir)
+    return (
+        perdoc.select(
+            F.expr("CAST((nll_sum div n_bg) div 62500 AS BIGINT)").alias(
+                "qbits"
+            )
+        )
+        .groupBy("qbits")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "qbits",
+            "n_docs",
+            (F.col("qbits") < F.lit(_KN_KEEP_QBITS)).alias("keep"),
+        )
+    )
