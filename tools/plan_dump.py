@@ -185,6 +185,10 @@ HEADLINERS = [
     "docs_dsir_ess",  # persisted DSIR pipeline + one two-moment aggregate
     "docs_hybrid_rrf",  # two TopK-capped sides, constant-size RRF fusion join
     "stream_sprt_twin",  # applyInPandasWithState, 4-int state per type
+    # round-11a wave
+    "docs_url_canonical_dedup",  # one codegen canonicalize projection + host-keyed rollup
+    "docs_kn_bigram_nll",  # vocab-bounded count joins over persisted bigrams
+    "docs_hybrid_rrf_indexed",  # IVF-PQ cells + posting-list BM25, RRF fusion
 ]
 
 
