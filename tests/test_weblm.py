@@ -243,3 +243,22 @@ def test_host_fuzzy_counts_consistent(spark):
     for r in rows:
         assert r["dup_docs"] == r["n_docs"] - r["n_clusters"]
         assert 0 < r["n_clusters"] <= r["n_docs"]
+
+
+def test_url_dedup_plan_pruned_and_no_cartesian(spark):
+    """The canonicalization pass must read only (doc_id, source) — never
+    the text column — and plan no cartesian product."""
+    df = QUERIES["docs_url_canonical_dedup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("text" not in l for l in read), read
+
+
+def test_kn_plan_no_cartesian(spark):
+    """The KN scoring joins are equi-joins on word keys plus ONE broadcast
+    1-row total — never a cartesian product."""
+    for name in ("docs_kn_bigram_nll", "docs_kn_perplexity_filter"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
