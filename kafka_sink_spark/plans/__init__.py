@@ -110,6 +110,11 @@ DRIVER_PRIORITY: list[str] = [
     "docs_kn_bigram_nll",
     "docs_kn_perplexity_filter",
     "docs_hybrid_rrf_indexed",
+    # -- new round-11 wave (11b: mirror detection, KN trigram backoff,
+    # indexed-vs-exact hybrid recall) --
+    "docs_mirror_detection",
+    "docs_kn_trigram_nll",
+    "docs_hybrid_recall_vs_exact",
     # -- oldest official row in the catalog (r4) --
     "text_scrub_pii",
     "sink_avro_struct_decode",
@@ -138,13 +143,11 @@ DRIVER_PRIORITY: list[str] = [
     "docs_repeated_spans",
     "events_asof_attribution",
     "events_sessionize",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_markov_transitions",
     "knn_pq",
     # (corpus_bigram_lift, corpus_bpe_pair_counts, corpus_source_report,
-    # pipeline_training_data, orders_market_basket stay r5-latest and
-    # lead the r12 recert queue — displaced by the 11a wave.)
+    # pipeline_training_data, orders_market_basket, events_funnel_conversion,
+    # events_retention_cohorts, events_markov_transitions stay r5-latest and
+    # lead the r12 recert queue — displaced by the 11a/11b waves.)
 ]
 
 

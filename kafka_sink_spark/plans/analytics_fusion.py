@@ -678,3 +678,96 @@ def docs_hybrid_rrf_indexed(spark, sf_dir):
 docs_hybrid_rrf_indexed.__doc__ = docs_hybrid_rrf_indexed.__doc__.format(
     side=_HY_SIDE_TOPK
 )
+
+
+# --------------------------------------------------------------------------
+# Round-11b: recall of the indexed hybrid vs the exact hybrid
+# --------------------------------------------------------------------------
+
+
+def _hybrid_recall_oracle() -> str:
+    from kafka_sink_spark.plans.analytics_retrieval import _bm25_sc_ctes
+    from kafka_sink_spark.plans.analytics_training import _ivf_pq_ctes
+
+    dim = 64
+    dot = _dot_sql("qe", "ce", dim)
+    nq = _norm_sql("qe", dim)
+    nc = _norm_sql("ce", dim)
+    ivf = ",\n    ".join(_ivf_pq_ctes(n_queries=1))
+    rrf = (
+        f"CAST(CASE WHEN l.doc_id IS NULL THEN 0"
+        f" ELSE 1000000 // ({_HY_RRF_C} + l.rank_lex) END"
+        f" + CASE WHEN d2.doc_id IS NULL THEN 0"
+        f" ELSE 1000000 // ({_HY_RRF_C} + d2.rank_dense) END AS BIGINT)"
+    )
+    return f"""
+    WITH {_bm25_sc_ctes()}, {ivf}, lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank_lex
+      FROM (SELECT * FROM sc WHERE n_terms > 0
+            ORDER BY score DESC, doc_id LIMIT {_HY_SIDE_TOPK})
+    ), dense_x AS (
+      SELECT doc_id, rank_dense FROM (
+        SELECT c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY round(({dot}) / ({nq} * {nc}), 6) DESC, c.vec_id
+               ) AS BIGINT) AS rank_dense
+        FROM (SELECT embedding AS qe FROM embeddings
+              WHERE vec_id = {_HY_QVEC}) q,
+             (SELECT vec_id, embedding AS ce FROM embeddings
+              WHERE vec_id <> {_HY_QVEC}) c
+      ) WHERE rank_dense <= {_HY_SIDE_TOPK}
+    ), dense_i AS (
+      SELECT doc_id, rank_dense FROM (
+        SELECT neighbor_id AS doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY afix, neighbor_id
+               ) AS BIGINT) AS rank_dense
+        FROM ad
+      ) WHERE rank_dense <= {_HY_SIDE_TOPK}
+    ), top_x AS (
+      SELECT doc_id FROM (
+        SELECT COALESCE(l.doc_id, d2.doc_id) AS doc_id, {rrf} AS rrf_ppm
+        FROM lex l FULL OUTER JOIN dense_x d2 ON d2.doc_id = l.doc_id
+      ) ORDER BY rrf_ppm DESC, doc_id LIMIT {_HY_K}
+    ), top_i AS (
+      SELECT doc_id FROM (
+        SELECT COALESCE(l.doc_id, d2.doc_id) AS doc_id, {rrf} AS rrf_ppm
+        FROM lex l FULL OUTER JOIN dense_i d2 ON d2.doc_id = l.doc_id
+      ) ORDER BY rrf_ppm DESC, doc_id LIMIT {_HY_K}
+    )
+    SELECT CAST({_HY_K} AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(COUNT(*) * 1000000 // {_HY_K} AS BIGINT) AS recall_ppm
+    FROM top_x JOIN top_i USING (doc_id)
+    """
+
+
+@register("docs_hybrid_recall_vs_exact", oracle=_hybrid_recall_oracle())
+def docs_hybrid_recall_vs_exact(spark, sf_dir):
+    """Recall@{k} of the INDEXED hybrid (IVF-PQ dense + posting-list BM25,
+    docs_hybrid_rrf_indexed) against the EXACT hybrid (full cosine scan +
+    full BM25, docs_hybrid_rrf) — the acceptance number that decides
+    whether the index path can replace the exact path in production: how
+    much of the exact fused top-{k} the approximate fused top-{k}
+    retains.
+
+    Scale shape: both sides are the already-certified constant-size
+    fusion outputs (≤{k} rows each); the overlap is a join of two
+    {k}-row lists — the whole query's corpus-sized work is the two
+    certified retrieval stacks it composes."""
+    a = docs_hybrid_rrf(spark, sf_dir).select("doc_id")
+    b = docs_hybrid_rrf_indexed(spark, sf_dir).select("doc_id")
+    return a.join(b, "doc_id").agg(
+        F.lit(_HY_K).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_common"),
+        F.expr(f"CAST(COUNT(*) * 1000000 div {_HY_K} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+docs_hybrid_recall_vs_exact.__doc__ = docs_hybrid_recall_vs_exact.__doc__.format(
+    k=_HY_K
+)

@@ -541,3 +541,384 @@ def docs_kn_perplexity_filter(spark, sf_dir):
             (F.col("qbits") < F.lit(_KN_KEEP_QBITS)).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11b: cross-host mirror detection (df-pruned fingerprint join)
+# --------------------------------------------------------------------------
+
+_MIRROR_MAX_HOSTS = 10  # df-pruning: drop fingerprints seen on > F hosts
+_MIRROR_TOPK = 10
+
+_FP_CTES = f"""tok AS (
+      SELECT doc_id, source || '.example.com' AS host, t.tok
+      FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), unnest(toks) AS t(tok)
+    ), tc AS (
+      SELECT doc_id, host, tok, COUNT(*) AS cnt
+      FROM tok GROUP BY 1, 2, 3
+    ), rk AS (
+      SELECT doc_id, host, tok, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, tok) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS dl
+      FROM tc
+    ), fp AS (
+      SELECT doc_id, host,
+             md5(string_agg(tok, '|' ORDER BY rn)
+                 || '|' || CAST(length(bin(MIN(dl))) - 1 AS VARCHAR))
+               AS fingerprint
+      FROM rk WHERE rn <= {_FUZZY_TOP}
+      GROUP BY doc_id, host
+    )"""
+
+_MIRROR_ORACLE = f"""
+    WITH {_FP_CTES}, hf AS (
+      SELECT DISTINCT host, fingerprint FROM fp
+    ), rare AS (
+      SELECT fingerprint FROM hf GROUP BY fingerprint
+      HAVING COUNT(*) <= {_MIRROR_MAX_HOSTS}
+    ), hfr AS (
+      SELECT hf.host, hf.fingerprint FROM hf JOIN rare USING (fingerprint)
+    ), pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fp
+      FROM hfr a JOIN hfr b
+        ON a.fingerprint = b.fingerprint AND a.host < b.host
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fp FROM hf GROUP BY host
+    )
+    SELECT host_a, host_b, shared_fp,
+           CAST(shared_fp * 1000000
+                // least(sa.n_fp, sb.n_fp) AS BIGINT) AS overlap_ppm
+    FROM pairs
+    JOIN sizes sa ON sa.host = pairs.host_a
+    JOIN sizes sb ON sb.host = pairs.host_b
+    ORDER BY shared_fp DESC, host_a, host_b LIMIT {_MIRROR_TOPK}
+    """
+
+
+@register("docs_mirror_detection", oracle=_MIRROR_ORACLE)
+def docs_mirror_detection(spark, sf_dir):
+    """Cross-host mirror detection — the CommonCrawl screen for mirror
+    farms / CDNs serving the same content under many hosts: host pairs
+    ranked by how many DISTINCT content fingerprints they share, with the
+    overlap coefficient shared/min(|A|,|B|) in ppm.
+
+    The pair join is DF-PRUNED (the dedup_df_pruned_pairs discipline): a
+    fingerprint seen on more than {maxh} hosts is dropped BEFORE the
+    self-join, so a ubiquitous boilerplate fingerprint can never fan out
+    H² pairs — true mirrors are identified by RARE shared content, and
+    candidate volume stays Σ min(df,F)² per fingerprint.  Scale shape:
+    one fingerprint-keyed distinct, one bounded self-join, one
+    partial-combined pair rollup, TakeOrderedAndProject top-{k}.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tc = (
+        docs.select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.explode(text.tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "host", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("tok"))
+    wd = Window.partitionBy("doc_id")
+    fp = (
+        tc.select(
+            "doc_id",
+            "host",
+            "tok",
+            F.row_number().over(w).alias("rn"),
+            F.sum("cnt").over(wd).alias("dl"),
+        )
+        .where(F.col("rn") <= _FUZZY_TOP)
+        .groupBy("doc_id", "host")
+        .agg(
+            F.md5(
+                F.concat(
+                    F.array_join(
+                        F.expr("transform(array_sort(collect_list("
+                               "struct(rn, tok))), s -> s.tok)"),
+                        "|",
+                    ),
+                    F.lit("|"),
+                    F.expr("CAST(length(bin(MIN(dl))) - 1 AS STRING)"),
+                )
+            ).alias("fingerprint")
+        )
+    )
+    hf = fp.select("host", "fingerprint").distinct()
+    rare = (
+        hf.groupBy("fingerprint")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= _MIRROR_MAX_HOSTS)
+        .select("fingerprint")
+    )
+    hfr = hf.join(rare, "fingerprint")
+    pairs = (
+        hfr.alias("a")
+        .join(
+            hfr.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+    )
+    sizes = hf.groupBy("host").agg(F.count("*").cast("long").alias("n_fp"))
+    return (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("n_fp").alias("na")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("n_fp").alias("nb")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "shared_fp",
+            F.expr(
+                "CAST(shared_fp * 1000000 div least(na, nb) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy(F.col("shared_fp").desc(), "host_a", "host_b")
+        .limit(_MIRROR_TOPK)
+    )
+
+
+docs_mirror_detection.__doc__ = docs_mirror_detection.__doc__.format(
+    maxh=_MIRROR_MAX_HOSTS, k=_MIRROR_TOPK
+)
+
+
+# --------------------------------------------------------------------------
+# Round-11b: interpolated Kneser-Ney TRIGRAM NLL (backoff recursion into
+# the certified bigram model)
+# --------------------------------------------------------------------------
+
+# P_KN3(w3|w1w2) = max(c123-D,0)/c12• + D·N1+(w1w2,·)/c12• · P_KN2(w3|w2)
+# with D = 3/4 and P_KN2 the wave-11a bigram model (itself backing off to
+# the continuation distribution).  Fixed point:
+#   p3_pt = (max(4·c123-3, 0)·1e12 + 3·n1_12·p2_pt) div (4·c12dot)
+# where p2_pt is the (already clamped ≥1) bigram fixed point — so the
+# recursion composes in ONE extra integer expression and every argument
+# stays bounded by 1e12.  Unseen (w1,w2) context backs off to p2_pt.
+_TRI_CTES = f"""tg AS (
+      SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+        FROM documents
+      ), unnest(range(len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3
+    ), bg AS (
+      {_BIGRAM_SQL}
+    ), tr AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg WHERE doc_id % 10 < 8 GROUP BY w1, w2
+    ), mc AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1
+      FROM tr GROUP BY w1
+    ), cw AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM tr GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS B FROM tr
+    ), tr3 AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+      FROM tg WHERE doc_id % 10 < 8 GROUP BY w1, w2, w3
+    ), mc3 AS (
+      SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12dot,
+             CAST(COUNT(*) AS BIGINT) AS n1_12
+      FROM tr3 GROUP BY w1, w2
+    ), te3 AS (
+      SELECT g.doc_id,
+             CAST(CASE WHEN m3.c12dot IS NULL THEN p2_pt
+             ELSE greatest(
+               ((CASE WHEN 4 * COALESCE(t3.c123, 0) > 3
+                      THEN 4 * COALESCE(t3.c123, 0) - 3
+                      ELSE 0 END)::HUGEINT * 1000000000000
+                + 3::HUGEINT * m3.n1_12 * p2_pt)
+               // (4::HUGEINT * m3.c12dot), 1)
+             END AS BIGINT) AS p_pt
+      FROM (
+        SELECT g0.doc_id, g0.w1, g0.w2, g0.w3,
+               CAST({{p2}} AS BIGINT) AS p2_pt
+        FROM (SELECT * FROM tg WHERE doc_id % 10 >= 8) g0
+        LEFT JOIN tr ON tr.w1 = g0.w2 AND tr.w2 = g0.w3
+        LEFT JOIN mc ON mc.w1 = g0.w2
+        LEFT JOIN cw ON cw.w2 = g0.w3
+        CROSS JOIN tot
+      ) g
+      LEFT JOIN tr3 t3 ON t3.w1 = g.w1 AND t3.w2 = g.w2 AND t3.w3 = g.w3
+      LEFT JOIN mc3 m3 ON m3.w1 = g.w1 AND m3.w2 = g.w2
+    ), perdoc3 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tg,
+             CAST(SUM({_LG1E12} - {{lg}}) AS BIGINT) AS nll_sum
+      FROM te3 GROUP BY doc_id
+    )"""
+
+
+def _kn3_oracle() -> str:
+    ctes = _TRI_CTES.format(
+        p2=_P_PT_DUCK, lg=_DUCK_LOG2.format(x="p_pt")
+    )
+    return f"""
+    WITH {ctes}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tg) AS BIGINT) AS n_trigrams,
+           CAST(SUM(p.nll_sum) // SUM(p.n_tg) AS BIGINT) AS nll_ppm_bits
+    FROM perdoc3 p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """
+
+
+_DOC_TRIGRAM_CACHE: dict = {}
+
+
+def _doc_trigrams(docs):
+    """(doc_id, w1, w2, w3) — adjacent token triples, persisted per
+    (session, source plan) like _doc_bigrams."""
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        docs._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    cached = _DOC_TRIGRAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = text.tokens(F.col("text"))
+    triples = F.expr(
+        "transform(sequence(1, size(_t) - 2), "
+        "i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2,"
+        " element_at(_t, i + 2) AS w3))"
+    )
+    out = (
+        docs.select("doc_id", t.alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select("doc_id", F.explode(triples).alias("_p"))
+        .select(
+            "doc_id",
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
+            F.col("_p.w3").alias("w3"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _DOC_TRIGRAM_CACHE[key] = out
+    return out
+
+
+@register("docs_kn_trigram_nll", oracle=_kn3_oracle())
+def docs_kn_trigram_nll(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM LM over the held split — the full
+    backoff recursion (Chen & Goodman 1999 eq. 4.26): the trigram level
+    discounts by D = 3/4 and interpolates into the certified wave-11a
+    BIGRAM model (which itself backs off to the continuation
+    distribution), composing in ONE extra integer expression
+    p3 = (max(4c₁₂₃−3,0)·1e12 + 3·N1₊(w1w2,·)·p2) div (4·c₁₂•) — every
+    log argument still bounded by 1e12 at any corpus size.  Per-source
+    mean NLL in ppm-bits per trigram; lower than the bigram NLL where
+    trigram context genuinely helps (the order-selection signal).
+
+    Scale shape: trigram-type counts and the (w1,w2) marginal are
+    partial-combined aggregates bounded by vocabulary³ observed types;
+    scoring joins the held-out trigram stream against five
+    vocabulary-bounded count tables + a broadcast 1-row total — the same
+    shuffle budget as the bigram model plus two joins."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bg = _doc_bigrams(docs)
+    tgr = _doc_trigrams(docs)
+    tr = (
+        bg.where(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    mc = tr.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1"),
+    )
+    cw = tr.groupBy("w2").agg(F.count("*").cast("long").alias("nc"))
+    tot = tr.agg(F.count("*").cast("long").alias("B"))
+    tr3 = (
+        tgr.where(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c123"))
+    )
+    mc3 = tr3.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("c12dot"),
+        F.count("*").cast("long").alias("n1_12"),
+    )
+    # bigram backoff probability of (w2, w3): rename the bigram count
+    # tables onto the trigram's last-two-word key
+    g = (
+        tgr.where(F.col("doc_id") % 10 >= 8)
+        .join(
+            tr.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                "c12",
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            mc.select(F.col("w1").alias("w2"), "c1", "n1"), ["w2"], "left"
+        )
+        .join(cw.select(F.col("w2").alias("w3"), "nc"), ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "w1",
+            "w2",
+            "w3",
+            F.expr(f"CAST({_P_PT_SPARK} AS BIGINT)").alias("p2_pt"),
+        )
+    )
+    te3 = (
+        g.join(tr3, ["w1", "w2", "w3"], "left")
+        .join(mc3, ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CASE WHEN c12dot IS NULL THEN p2_pt"
+                " ELSE greatest("
+                "(CAST(CASE WHEN 4 * COALESCE(c123, 0) > 3"
+                " THEN 4 * COALESCE(c123, 0) - 3 ELSE 0 END"
+                " AS DECIMAL(38,0)) * 1000000000000"
+                " + CAST(3 AS DECIMAL(38,0)) * n1_12 * p2_pt)"
+                " div (CAST(4 AS DECIMAL(38,0)) * c12dot),"
+                " CAST(1 AS BIGINT)) END AS BIGINT)"
+            ).alias("p_pt"),
+        )
+    )
+    lg = _SPARK_LOG2.format(x="p_pt")
+    perdoc = te3.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tg"),
+        F.expr(f"CAST(SUM({_LG1E12} - {lg}) AS BIGINT)").alias("nll_sum"),
+    )
+    return (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tg").cast("long").alias("n_trigrams"),
+            F.expr("CAST(SUM(nll_sum) div SUM(n_tg) AS BIGINT)").alias(
+                "nll_ppm_bits"
+            ),
+        )
+    )

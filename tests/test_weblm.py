@@ -262,3 +262,103 @@ def test_kn_plan_no_cartesian(spark):
         df = QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# Round-11b: trigram KN, mirror detection, hybrid recall
+# --------------------------------------------------------------------------
+
+
+def _kn3_reference(docs):
+    """Pure-Python interpolated KN trigram NLL per held-out doc."""
+    toks = {
+        d: [w for w in re.split(r"\s+", t) if w] for d, _, t in docs
+    }
+    c12, c1, n1, nc = {}, {}, {}, {}
+    c123, c12dot, n1_12 = {}, {}, {}
+    for d, tk in toks.items():
+        if d % 10 < 8:
+            for pair in zip(tk, tk[1:]):
+                c12[pair] = c12.get(pair, 0) + 1
+            for tri in zip(tk, tk[1:], tk[2:]):
+                c123[tri] = c123.get(tri, 0) + 1
+    for (w1, w2), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1[w1] = n1.get(w1, 0) + 1
+        nc[w2] = nc.get(w2, 0) + 1
+    for (w1, w2, w3), c in c123.items():
+        c12dot[(w1, w2)] = c12dot.get((w1, w2), 0) + c
+        n1_12[(w1, w2)] = n1_12.get((w1, w2), 0) + 1
+    B = len(c12)
+
+    def p2_pt(w2, w3):
+        if w2 not in c1:
+            return max(nc.get(w3, 0) * 10**12 // B, 1)
+        num = max(4 * c12.get((w2, w3), 0) - 3, 0) * B
+        num += 3 * n1[w2] * nc.get(w3, 0)
+        return max(num * 10**12 // (4 * c1[w2] * B), 1)
+
+    per_doc = {}
+    for d, tk in toks.items():
+        if d % 10 < 8 or len(tk) < 3:
+            continue
+        nll = 0
+        for w1, w2, w3 in zip(tk, tk[1:], tk[2:]):
+            p2 = p2_pt(w2, w3)
+            if (w1, w2) not in c12dot:
+                p_pt = p2
+            else:
+                num = max(4 * c123.get((w1, w2, w3), 0) - 3, 0) * 10**12
+                num += 3 * n1_12[(w1, w2)] * p2
+                p_pt = max(num // (4 * c12dot[(w1, w2)]), 1)
+            assert 1 <= p_pt < 10**12
+            nll += _LG1E12 - _lg2_octave_ppm(p_pt)
+        per_doc[d] = (len(tk) - 2, nll)
+    return per_doc
+
+
+def test_kn_trigram_matches_python_reference(spark):
+    docs = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in load_tables(spark, SF_DIR, ("documents",))["documents"]
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    per_doc = _kn3_reference(docs)
+    src = {d: s for d, s, _ in docs}
+    expect = {}
+    for doc_id, (n_tg, nll) in per_doc.items():
+        e = expect.setdefault(src[doc_id], [0, 0, 0])
+        e[0] += 1
+        e[1] += n_tg
+        e[2] += nll
+    got = {
+        r["source"]: r
+        for r in QUERIES["docs_kn_trigram_nll"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for s, (n_docs, n_tg, nll) in expect.items():
+        assert got[s]["n_docs"] == n_docs, s
+        assert got[s]["n_trigrams"] == n_tg, s
+        assert got[s]["nll_ppm_bits"] == nll // n_tg, s
+
+
+def test_mirror_detection_consistent(spark):
+    from kafka_sink_spark.plans.analytics_weblm import _MIRROR_TOPK
+
+    rows = QUERIES["docs_mirror_detection"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _MIRROR_TOPK
+    for r in rows:
+        assert r["host_a"] < r["host_b"]
+        assert r["shared_fp"] > 0
+        assert 0 < r["overlap_ppm"] <= 1_000_000
+    # ranked by shared_fp desc
+    shared = [r["shared_fp"] for r in rows]
+    assert shared == sorted(shared, reverse=True)
+
+
+def test_hybrid_recall_bounds(spark):
+    row = QUERIES["docs_hybrid_recall_vs_exact"](spark, SF_DIR).collect()[0]
+    assert row["k"] == 10
+    assert 0 <= row["n_common"] <= row["k"]
+    assert row["recall_ppm"] == row["n_common"] * 1_000_000 // row["k"]
