@@ -115,6 +115,9 @@ DRIVER_PRIORITY: list[str] = [
     "docs_mirror_detection",
     "docs_kn_trigram_nll",
     "docs_hybrid_recall_vs_exact",
+    # -- new round-11 wave (11c: streaming URL-dedup twin, LM order gain) --
+    "stream_url_dedup_twin",
+    "docs_kn_order_gain",
     # -- oldest official row in the catalog (r4) --
     "text_scrub_pii",
     "sink_avro_struct_decode",
@@ -141,13 +144,12 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_survivors",
     "docs_gopher_filter",
     "docs_repeated_spans",
-    "events_asof_attribution",
-    "events_sessionize",
     "knn_pq",
     # (corpus_bigram_lift, corpus_bpe_pair_counts, corpus_source_report,
     # pipeline_training_data, orders_market_basket, events_funnel_conversion,
-    # events_retention_cohorts, events_markov_transitions stay r5-latest and
-    # lead the r12 recert queue — displaced by the 11a/11b waves.)
+    # events_retention_cohorts, events_markov_transitions,
+    # events_asof_attribution, events_sessionize stay r5-latest and
+    # lead the r12 recert queue — displaced by the 11a/11b/11c waves.)
 ]
 
 

@@ -922,3 +922,216 @@ def docs_kn_trigram_nll(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11c: streaming canonical-URL dedup twin (REAL availableNow replay)
+# --------------------------------------------------------------------------
+
+_STREAM_URL_RUNS = iter(range(1_000_000))
+
+_STREAM_URL_ORACLE = f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_SQL_DUCK} AS raw_url FROM documents
+    ), {_CANON_DUCK}
+    SELECT host, curl,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_doc_id
+    FROM canon GROUP BY host, curl
+    """
+
+
+@register("stream_url_dedup_twin", oracle=_STREAM_URL_ORACLE)
+def stream_url_dedup_twin(spark, sf_dir):
+    """The canonical-URL dedup stage run as a REAL Structured Streaming
+    query — the shape a crawl-ingest pipeline actually runs (URLs arrive
+    continuously; the dedup ledger is streaming state): documents are
+    staged into a file source, the canonicalizer projection
+    (extensions.web.canonicalize_url — identical column expression as the
+    batch query) runs inside the stream, and a streaming groupBy
+    (host, curl) maintains the per-canonical-URL ledger (arrival count +
+    min-doc_id survivor).  trigger(availableNow=True) + complete-mode
+    memory sink; the FINAL state must hash-equal the batch canonical
+    rollup — a lost update, a canonicalizer divergence between the batch
+    and streaming paths, or a curl that split state would each break the
+    driver comparison.
+
+    Scale shape: state is one row per DISTINCT canonical URL (the dedup
+    ledger itself — the minimum any URL-dedup service carries), keyed by
+    the same (host-embedding) canonical key as the batch shuffle; min and
+    count are both partial-combinable, so micro-batches do map-side
+    combine before touching state."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select("doc_id", F.expr(_URL_SQL_SPARK).alias("raw_url"))
+    src = tempfile.mkdtemp(prefix="stream_url_src_")
+    staged.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, raw_url string").parquet(
+        src
+    )
+    canon = stream.select("doc_id", *canonicalize_url(F.col("raw_url")))
+    ledger = canon.groupBy("host", "curl").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("doc_id").cast("long").alias("survivor_doc_id"),
+    )
+    from kafka_sink_spark.plans.stream_twin import finish_stream_twin
+
+    name = f"stream_url_dedup_twin_{next(_STREAM_URL_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_url_ck_")
+    q = (
+        ledger.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    result = spark.table(name).select(
+        "host", "curl", "n_urls", "survivor_doc_id"
+    )
+    return finish_stream_twin(spark, q, name, result, (src, ck))
+
+
+# --------------------------------------------------------------------------
+# Round-11c: LM order-selection gain (bigram → trigram NLL delta)
+# --------------------------------------------------------------------------
+
+
+def _kn_order_gain_oracle() -> str:
+    # _TRI_CTES already defines bg/tr/mc/cw/tot (the bigram model) plus the
+    # trigram tables and perdoc3; append the bigram te/perdoc chain (names
+    # disjoint) and join the two per-doc scores.
+    tri = _TRI_CTES.format(p2=_P_PT_DUCK, lg=_DUCK_LOG2.format(x="p_pt"))
+    bi_te = f"""te AS (
+      SELECT b.doc_id,
+             CAST({_P_PT_DUCK} AS BIGINT) AS p_pt
+      FROM (SELECT * FROM bg WHERE doc_id % 10 >= 8) b
+      LEFT JOIN tr ON tr.w1 = b.w1 AND tr.w2 = b.w2
+      LEFT JOIN mc ON mc.w1 = b.w1
+      LEFT JOIN cw ON cw.w2 = b.w2
+      CROSS JOIN tot
+    ), perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM({_LG1E12} - {_DUCK_LOG2.format(x="p_pt")}) AS BIGINT)
+               AS nll_sum
+      FROM te GROUP BY doc_id
+    )"""
+    return f"""
+    WITH {tri}, {bi_te}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p2.nll_sum) // SUM(p2.n_bg) AS BIGINT) AS bigram_nll,
+           CAST(SUM(p3.nll_sum) // SUM(p3.n_tg) AS BIGINT) AS trigram_nll,
+           CAST(SUM(p2.nll_sum) // SUM(p2.n_bg)
+                - SUM(p3.nll_sum) // SUM(p3.n_tg) AS BIGINT) AS gain_ppm_bits
+    FROM perdoc p2
+    JOIN perdoc3 p3 ON p3.doc_id = p2.doc_id
+    JOIN documents d ON d.doc_id = p2.doc_id
+    GROUP BY d.source
+    """
+
+
+@register("docs_kn_order_gain", oracle=_kn_order_gain_oracle())
+def docs_kn_order_gain(spark, sf_dir):
+    """LM order selection — the bits-per-token gain of moving the KN model
+    from bigram to trigram order, per source (Chen & Goodman's standard
+    order-sweep readout): positive gain means trigram context genuinely
+    predicts the held-out text better; NEGATIVE gain (as on this
+    synthetic word-salad corpus) is the classic overfitting-by-order
+    signal — the discount cost of the sparse trigram table buys no
+    predictive power, so a curation pipeline would keep the cheaper
+    bigram screen.  Both NLLs are the certified wave-11a/11b scores
+    joined per held-out doc (docs with ≥ 3 tokens on both sides) and
+    rolled up per source with the catalog's truncating-division
+    convention.
+
+    Scale shape: the two scoring chains share the persisted
+    bigram/trigram substrates and all count tables; the delta adds one
+    doc-keyed join of two per-doc aggregates + the per-source rollup."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bi = _kn_scored(spark, sf_dir)
+    # trigram per-doc scores: same chain as docs_kn_trigram_nll up to the
+    # per-doc aggregate (the bigram/trigram substrates are persisted, so
+    # this second consumer costs the count joins only)
+    bg = _doc_bigrams(docs)
+    tgr = _doc_trigrams(docs)
+    tr = (
+        bg.where(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    mc = tr.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1"),
+    )
+    cw = tr.groupBy("w2").agg(F.count("*").cast("long").alias("nc"))
+    tot = tr.agg(F.count("*").cast("long").alias("B"))
+    tr3 = (
+        tgr.where(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c123"))
+    )
+    mc3 = tr3.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("c12dot"),
+        F.count("*").cast("long").alias("n1_12"),
+    )
+    g = (
+        tgr.where(F.col("doc_id") % 10 >= 8)
+        .join(
+            tr.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), "c12"),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(mc.select(F.col("w1").alias("w2"), "c1", "n1"), ["w2"], "left")
+        .join(cw.select(F.col("w2").alias("w3"), "nc"), ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "w1",
+            "w2",
+            "w3",
+            F.expr(f"CAST({_P_PT_SPARK} AS BIGINT)").alias("p2_pt"),
+        )
+    )
+    te3 = (
+        g.join(tr3, ["w1", "w2", "w3"], "left")
+        .join(mc3, ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CASE WHEN c12dot IS NULL THEN p2_pt"
+                " ELSE greatest("
+                "(CAST(CASE WHEN 4 * COALESCE(c123, 0) > 3"
+                " THEN 4 * COALESCE(c123, 0) - 3 ELSE 0 END"
+                " AS DECIMAL(38,0)) * 1000000000000"
+                " + CAST(3 AS DECIMAL(38,0)) * n1_12 * p2_pt)"
+                " div (CAST(4 AS DECIMAL(38,0)) * c12dot),"
+                " CAST(1 AS BIGINT)) END AS BIGINT)"
+            ).alias("p_pt"),
+        )
+    )
+    lg = _SPARK_LOG2.format(x="p_pt")
+    tri = te3.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tg"),
+        F.expr(f"CAST(SUM({_LG1E12} - {lg}) AS BIGINT)").alias("nll3_sum"),
+    )
+    return (
+        bi.withColumnRenamed("nll_sum", "nll2_sum")
+        .join(tri, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("CAST(SUM(nll2_sum) div SUM(n_bg) AS BIGINT)").alias(
+                "bigram_nll"
+            ),
+            F.expr("CAST(SUM(nll3_sum) div SUM(n_tg) AS BIGINT)").alias(
+                "trigram_nll"
+            ),
+            F.expr(
+                "CAST(SUM(nll2_sum) div SUM(n_bg)"
+                " - SUM(nll3_sum) div SUM(n_tg) AS BIGINT)"
+            ).alias("gain_ppm_bits"),
+        )
+    )

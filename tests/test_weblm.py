@@ -362,3 +362,58 @@ def test_hybrid_recall_bounds(spark):
     assert row["k"] == 10
     assert 0 <= row["n_common"] <= row["k"]
     assert row["recall_ppm"] == row["n_common"] * 1_000_000 // row["k"]
+
+
+# --------------------------------------------------------------------------
+# Round-11c: streaming URL-dedup twin, LM order gain
+# --------------------------------------------------------------------------
+
+
+def test_stream_url_twin_equals_batch_rollup(spark):
+    """The streaming ledger's final state must equal the batch canonical
+    rollup exactly (same canonicalizer expression, same grouping)."""
+    rows = {
+        (r["host"], r["curl"]): (r["n_urls"], r["survivor_doc_id"])
+        for r in QUERIES["stream_url_dedup_twin"](spark, SF_DIR).collect()
+    }
+    from kafka_sink_spark.plans.analytics_weblm import _URL_SQL_SPARK
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    batch = {
+        (r["host"], r["curl"]): (r["n_urls"], r["survivor_doc_id"])
+        for r in docs.select(
+            "doc_id", F.expr(_URL_SQL_SPARK).alias("raw_url")
+        )
+        .select("doc_id", *canonicalize_url(F.col("raw_url")))
+        .groupBy("host", "curl")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("doc_id").cast("long").alias("survivor_doc_id"),
+        )
+        .collect()
+    }
+    assert rows == batch
+
+
+def test_kn_order_gain_consistent_with_nll_queries(spark):
+    """gain = bigram_nll − trigram_nll, and both columns must equal the
+    standalone certified queries' per-source values (every held-out doc
+    here has ≥3 tokens, so the join drops nothing)."""
+    gain = {
+        r["source"]: r
+        for r in QUERIES["docs_kn_order_gain"](spark, SF_DIR).collect()
+    }
+    bi = {
+        r["source"]: r["nll_ppm_bits"]
+        for r in QUERIES["docs_kn_bigram_nll"](spark, SF_DIR).collect()
+    }
+    tri = {
+        r["source"]: r["nll_ppm_bits"]
+        for r in QUERIES["docs_kn_trigram_nll"](spark, SF_DIR).collect()
+    }
+    assert set(gain) == set(bi) == set(tri)
+    for s, r in gain.items():
+        assert r["bigram_nll"] == bi[s], s
+        assert r["trigram_nll"] == tri[s], s
+        assert r["gain_ppm_bits"] == r["bigram_nll"] - r["trigram_nll"], s
