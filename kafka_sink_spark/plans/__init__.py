@@ -115,9 +115,11 @@ DRIVER_PRIORITY: list[str] = [
     "docs_mirror_detection",
     "docs_kn_trigram_nll",
     "docs_hybrid_recall_vs_exact",
-    # -- new round-11 wave (11c: streaming URL-dedup twin, LM order gain) --
+    # -- new round-11 wave (11c/11d: streaming URL-dedup twin, LM order
+    # gain, unigram base of the order ladder) --
     "stream_url_dedup_twin",
     "docs_kn_order_gain",
+    "docs_kn_unigram_nll",
     # -- oldest official row in the catalog (r4) --
     "text_scrub_pii",
     "sink_avro_struct_decode",
@@ -143,12 +145,11 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_cluster_sizes",
     "dedup_survivors",
     "docs_gopher_filter",
-    "docs_repeated_spans",
     "knn_pq",
     # (corpus_bigram_lift, corpus_bpe_pair_counts, corpus_source_report,
     # pipeline_training_data, orders_market_basket, events_funnel_conversion,
     # events_retention_cohorts, events_markov_transitions,
-    # events_asof_attribution, events_sessionize stay r5-latest and
+    # events_asof_attribution, events_sessionize, docs_repeated_spans stay r5-latest and
     # lead the r12 recert queue — displaced by the 11a/11b/11c waves.)
 ]
 

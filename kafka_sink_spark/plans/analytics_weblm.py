@@ -1135,3 +1135,106 @@ def docs_kn_order_gain(spark, sf_dir):
             ).alias("gain_ppm_bits"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11d: unigram KN NLL — the base of the order ladder
+# --------------------------------------------------------------------------
+
+# The KN unigram IS the continuation distribution P_cont(w) = N1+(·,w)/B —
+# the same table the bigram model backs off to, so the 1→2→3-gram order
+# sweep (this query, docs_kn_bigram_nll, docs_kn_trigram_nll,
+# docs_kn_order_gain) shares one set of count tables end to end.
+_UNI_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, t.tok
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id % 10 >= 8
+      ), unnest(toks) AS t(tok)
+    ), bg AS (
+      {_BIGRAM_SQL}
+    ), tr AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg WHERE doc_id % 10 < 8 GROUP BY w1, w2
+    ), cw AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM tr GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS B FROM tr
+    ), te AS (
+      SELECT tk.doc_id,
+             CAST(greatest(COALESCE(cw.nc, 0)::HUGEINT * 1000000000000 // B,
+                           1) AS BIGINT) AS p_pt
+      FROM tk LEFT JOIN cw ON cw.w2 = tk.tok CROSS JOIN tot
+    ), perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM({_LG1E12} - {_DUCK_LOG2.format(x="p_pt")}) AS BIGINT)
+               AS nll_sum
+      FROM te GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(p.nll_sum) // SUM(p.n_tok) AS BIGINT) AS nll_ppm_bits
+    FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """
+
+
+@register("docs_kn_unigram_nll", oracle=_UNI_ORACLE)
+def docs_kn_unigram_nll(spark, sf_dir):
+    """Unigram KN NLL — the base of the order ladder: the KN unigram is
+    exactly the CONTINUATION distribution P_cont(w) = N1₊(·,w)/B that the
+    bigram model backs off to (Kneser & Ney 1995's core insight: type
+    counts, not token counts, at the backoff level), so this query scores
+    every held-out TOKEN against the same count tables the 2/3-gram
+    models share.  Per-source mean NLL in ppm-bits per token; together
+    with docs_kn_bigram_nll / docs_kn_trigram_nll / docs_kn_order_gain
+    this completes the 1→2→3-gram order sweep a curation pipeline runs to
+    pick its screen.
+
+    Scale shape: one token explode over the held split, one left join
+    against the vocabulary-bounded continuation table + a broadcast 1-row
+    total, partial-combined per-doc and per-source rollups."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bg = _doc_bigrams(docs)
+    tr = (
+        bg.where(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    cw = tr.groupBy("w2").agg(F.count("*").cast("long").alias("nc"))
+    tot = tr.agg(F.count("*").cast("long").alias("B"))
+    tk = (
+        docs.where(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    )
+    te = (
+        tk.join(cw.select(F.col("w2").alias("tok"), "nc"), ["tok"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(greatest(CAST(COALESCE(nc, 0) AS DECIMAL(38,0))"
+                " * 1000000000000 div B, CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("p_pt"),
+        )
+    )
+    lg = _SPARK_LOG2.format(x="p_pt")
+    perdoc = te.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.expr(f"CAST(SUM({_LG1E12} - {lg}) AS BIGINT)").alias("nll_sum"),
+    )
+    return (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.expr("CAST(SUM(nll_sum) div SUM(n_tok) AS BIGINT)").alias(
+                "nll_ppm_bits"
+            ),
+        )
+    )

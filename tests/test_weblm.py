@@ -417,3 +417,48 @@ def test_kn_order_gain_consistent_with_nll_queries(spark):
         assert r["bigram_nll"] == bi[s], s
         assert r["trigram_nll"] == tri[s], s
         assert r["gain_ppm_bits"] == r["bigram_nll"] - r["trigram_nll"], s
+
+
+def test_kn_unigram_matches_python_reference(spark):
+    """The unigram KN is the continuation distribution: score every
+    held-out token with nc(w)/B, clamped fixed-point."""
+    docs = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in load_tables(spark, SF_DIR, ("documents",))["documents"]
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    c12, nc = {}, {}
+    for d, _, t in docs:
+        if d % 10 < 8:
+            toks = [w for w in re.split(r"\s+", t) if w]
+            for pair in zip(toks, toks[1:]):
+                c12[pair] = c12.get(pair, 0) + 1
+    for (_, w2), _c in c12.items():
+        nc[w2] = nc.get(w2, 0) + 1
+    B = len(c12)
+    expect = {}
+    for d, s, t in docs:
+        if d % 10 < 8:
+            continue
+        toks = [w for w in re.split(r"\s+", t) if w]
+        if not toks:
+            continue
+        nll = sum(
+            _LG1E12
+            - _lg2_octave_ppm(max(nc.get(w, 0) * 10**12 // B, 1))
+            for w in toks
+        )
+        e = expect.setdefault(s, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(toks)
+        e[2] += nll
+    got = {
+        r["source"]: r
+        for r in QUERIES["docs_kn_unigram_nll"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for s, (n_docs, n_tok, nll) in expect.items():
+        assert got[s]["n_docs"] == n_docs, s
+        assert got[s]["n_tokens"] == n_tok, s
+        assert got[s]["nll_ppm_bits"] == nll // n_tok, s
