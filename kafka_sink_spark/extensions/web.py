@@ -51,11 +51,15 @@ def canonicalize_url(raw: Column) -> tuple[Column, Column]:
     host = F.when(h2.like("www.%"), F.substr(h2, F.lit(5))).otherwise(h2)
     p1 = F.regexp_replace(rawpath, r"/+$", "")
     path = F.when(p1 == "", F.lit("/")).otherwise(p1)
+    # Exact-prefix tracking-param semantics (r11 ADVICE): match on the KEY
+    # (text before '='), startswith for the literal 'utm_' prefix (LIKE's
+    # '_' wildcard would also drop e.g. 'utmx') and equality for 'fbclid'
+    # (the old 'fbclid%' LIKE also dropped 'fbclidfoo').
     params = F.filter(
         F.split(qs, "&"),
         lambda p: (p != F.lit(""))
-        & ~p.like("utm_%")
-        & ~p.like("fbclid%"),
+        & ~F.split_part(p, F.lit("="), F.lit(1)).startswith("utm_")
+        & (F.split_part(p, F.lit("="), F.lit(1)) != F.lit("fbclid")),
     )
     qcanon = F.array_join(F.array_sort(params), "&")
     curl = F.concat(

@@ -69,90 +69,77 @@ import kafka_sink_spark.plans.analytics_weblm  # noqa: F401,E402  (registers int
 # tools/driver_check.py sweep (REPLICA_r*.md) plus the judge's own replica
 # run.
 #
-# Round-11 rotation: per the r10 verdict's #1 ask — the FOURTEEN wave-10
-# (10e-10h) queries that never held an official row lead (all dual-SF
-# replica green in REPLICA_r10.md), followed by the oldest official rows
-# recertified oldest-first: text_scrub_pii (stuck at r4 — the single
-# oldest row in the catalog), the full r5 sink parity cohort
-# (sink_avro_*, sink_codec_temporals, sink_counter_accrual,
-# sink_daterange_precision, sink_timestamp_mapping, sink_ttl_writetime),
-# the decimal-rendering witnesses q1/q3, and the heaviest remaining r5
-# rows (TPC-H q4-q20 class + the r5 dedup/docs/events/corpus analytics).
-# New round-11 wave queries are inserted ahead of the recert tail as
-# they land replica-green (the r10 pattern: waves certify same-round
-# when slots allow; displaced recerts stay r5-latest and simply lead
-# the r12 recert queue).  The list is kept at EXACTLY 50 entries
-# (window size; enforced by tests/test_catalog_contract.py); everything
-# else follows in original registration order and stays locally gated
-# by tools/driver_check.py + tests/test_entry_oracle.py over all
-# oracle-paired queries at sf0.01.
+# Round-12 rotation: per the r11 verdict's #1 ask — burn the recert age
+# tail oldest-first.  74 catalog queries were last officially certified in
+# r5/r6 (aggregated over CORRECTNESS_r01-r11); the window carries the FULL
+# 24-query r5 cohort followed by the 26 alphabetically-first r6-cohort
+# queries (includes every query the verdict named: dedup_semantic,
+# corpus_heavy_hitters, embedding_power_iteration, customer_fuzzy_pairs,
+# docs_winnowing).  The remaining 24 r6 queries (events_top_paths ...
+# stream_sliding_rollup_twin, plus the new 12a/12b wave queries, which per
+# the verdict's #4/#6 asks are r13 window debt: dual-SF replica green this
+# round, certified officially next round) lead the r13 recert queue.
+# After this window lands, no query's last official certification is older
+# than r7.  The list is kept at EXACTLY 50 entries (window size; enforced
+# by tests/test_catalog_contract.py); everything else follows in original
+# registration order and stays locally gated by tools/driver_check.py +
+# tests/test_entry_oracle.py over all oracle-paired queries at sf0.01.
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    "docs_blocklist_rate",
-    "docs_dsir_ess",
-    "docs_hybrid_rrf",
-    "docs_qlm_topk",
-    "embedding_residual_vq",
-    "events_page_hinkley",
-    "events_sprt",
-    "knn_binary_hamming",
-    "knn_binary_recall",
-    "knn_map",
-    "lineitem_hilbert_layout",
-    "orders_cmh_test",
-    "parts_modularity",
-    "stream_sprt_twin",
-    # -- new round-11 wave (11a: CCNet stages + indexed hybrid RRF),
-    # dual-SF replica green before entering the window --
-    "docs_url_canonical_dedup",
-    "docs_host_fuzzy_dedup",
-    "docs_kn_bigram_nll",
-    "docs_kn_perplexity_filter",
-    "docs_hybrid_rrf_indexed",
-    # -- new round-11 wave (11b: mirror detection, KN trigram backoff,
-    # indexed-vs-exact hybrid recall) --
-    "docs_mirror_detection",
-    "docs_kn_trigram_nll",
-    "docs_hybrid_recall_vs_exact",
-    # -- new round-11 wave (11c/11d: streaming URL-dedup twin, LM order
-    # gain, unigram base of the order ladder) --
-    "stream_url_dedup_twin",
-    "docs_kn_order_gain",
-    "docs_kn_unigram_nll",
-    # -- oldest official row in the catalog (r4) --
-    "text_scrub_pii",
-    "sink_avro_struct_decode",
-    "sink_avro_union_decode",
-    "sink_codec_temporals",
-    "sink_counter_accrual",
-    "sink_daterange_precision",
-    "sink_timestamp_mapping",
-    "sink_ttl_writetime",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_part_suppliers",
-    "dedup_cluster_sizes",
-    "dedup_survivors",
-    "docs_gopher_filter",
-    "knn_pq",
-    # (corpus_bigram_lift, corpus_bpe_pair_counts, corpus_source_report,
-    # pipeline_training_data, orders_market_basket, events_funnel_conversion,
-    # events_retention_cohorts, events_markov_transitions,
-    # events_asof_attribution, events_sessionize, docs_repeated_spans stay r5-latest and
-    # lead the r12 recert queue — displaced by the 11a/11b/11c waves.)
+    # -- full r5 cohort (oldest official rows in the catalog) --
+    "corpus_bigram_lift",
+    "corpus_bpe_pair_counts",
+    "corpus_source_report",
+    "docs_repeated_spans",
+    "events_asof_attribution",
+    "events_cube_rollup",
+    "events_dau_wau",
+    "events_engagement_matrix",
+    "events_funnel_conversion",
+    "events_hourly_rollup",
+    "events_markov_transitions",
+    "events_pivot_daily",
+    "events_range_window",
+    "events_retention_cohorts",
+    "events_rolling_window",
+    "events_salted_rollup",
+    "events_sessionize",
+    "events_set_ops",
+    "events_topk_per_user",
+    "events_user_rfm",
+    "events_value_band_join",
+    "events_value_ntile",
+    "orders_market_basket",
+    "pipeline_training_data",
+    # -- 26 alphabetically-first r6-cohort queries --
+    "corpus_bpe_merge_apply",
+    "corpus_heavy_hitters",
+    "corpus_vocab_growth",
+    "customer_fuzzy_pairs",
+    "dedup_minhash_accuracy",
+    "dedup_ppjoin_pairs",
+    "dedup_semantic",
+    "docs_chunk_overlap",
+    "docs_dsir_weights",
+    "docs_gopher_repetition",
+    "docs_keyword_topk",
+    "docs_language_id",
+    "docs_lm_predictability",
+    "docs_maximal_spans",
+    "docs_train_split_report",
+    "docs_winnowing",
+    "embedding_power_iteration",
+    "embedding_quantize_int8",
+    "events_ab_test",
+    "events_anomaly_seasonal",
+    "events_countmin_accuracy",
+    "events_ewma",
+    "events_ewma_anomaly",
+    "events_gap_median",
+    "events_mad_outliers",
+    "events_scd2_state",
 ]
-
 
 def _reorder_catalog() -> None:
     """Reorder QUERIES/ORACLES in place (they are shared by reference across

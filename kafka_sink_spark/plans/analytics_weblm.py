@@ -125,8 +125,9 @@ _CANON_DUCK = """
              CASE WHEN h2 LIKE 'www.%' THEN substr(h2, 5) ELSE h2 END AS host,
              CASE WHEN p1 = '' THEN '/' ELSE p1 END AS path,
              array_to_string(list_sort(list_filter(string_split(qs, '&'),
-               p -> p <> '' AND NOT (p LIKE 'utm_%')
-                    AND NOT (p LIKE 'fbclid%'))), '&') AS qcanon
+               p -> p <> ''
+                    AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+                    AND string_split(p, '=')[1] <> 'fbclid')), '&') AS qcanon
       FROM (SELECT doc_id, qs,
                    CASE WHEN h1 LIKE '%:443' THEN substr(h1, 1, length(h1) - 4)
                         WHEN h1 LIKE '%:80' THEN substr(h1, 1, length(h1) - 3)
@@ -324,20 +325,14 @@ docs_host_fuzzy_dedup.__doc__ = docs_host_fuzzy_dedup.__doc__.format(
 _LG1E12 = 39_818_989
 _KN_KEEP_QBITS = 80  # keep docs under 5.0 bits/bigram (80 sixteenth-bits)
 
-# Spark/DuckDB octave-log2 (duplicated from analytics_readability to keep
-# this module import-light; the templates are pinned identical by
-# tests/test_weblm.py).
-_SPARK_LOG2 = (
-    "((length(bin({x})) - 1) * 1000000"
-    " + CAST((CAST(({x} - shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1))"
-    " AS DECIMAL(38,0))"
-    " * 1000000) div shiftleft(CAST(1 AS BIGINT), length(bin({x})) - 1)"
-    " AS BIGINT))"
-)
-_DUCK_LOG2 = (
-    "((length(bin({x})) - 1) * 1000000"
-    " + CAST((({x} - (1::BIGINT << (length(bin({x})) - 1)))::HUGEINT"
-    " * 1000000) // (1::BIGINT << (length(bin({x})) - 1)) AS BIGINT))"
+# Spark/DuckDB octave-log2: the single source of truth lives in
+# analytics_readability (r11 ADVICE — the former duplicated copies claimed
+# a pin test that did not exist; importing removes the drift surface
+# entirely).  Both modules are registered via plans/__init__, so the extra
+# import costs nothing.
+from kafka_sink_spark.plans.analytics_readability import (  # noqa: E402
+    _DUCK_LOG2,
+    _SPARK_LOG2,
 )
 
 _BIGRAM_SQL = """
