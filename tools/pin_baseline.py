@@ -49,6 +49,14 @@ def main() -> None:
         "sf": run.get("sf"),
         "queries": {k: round(v, 3) for k, v in run["queries"].items()},
     }
+    # Host-mode canary pin (r11 verdict ask #2): the run's min-of-reps
+    # canary time becomes the denominator for the next round's
+    # canary-normalized ratios.
+    canary = run.get("canary") or {}
+    if canary:
+        out["canary"] = min(
+            v for k, v in canary.items() if k in ("start", "end")
+        )
     with open(base_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
