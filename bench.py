@@ -196,7 +196,8 @@ def main() -> None:
             canary_ratio = (
                 canary_now / canary_base if canary_base else 1.0
             )
-            out["canary"]["pinned"] = canary_base
+            if canary_base:
+                out["canary"]["pinned"] = canary_base
             out["canary"]["ratio"] = round(canary_ratio, 3)
 
             cmp0 = compare_to_baseline(times, baseq, canary_ratio)

@@ -294,39 +294,23 @@ def parts_copurchase_pagerank_residual(spark, sf_dir):
     turns "3 iterations is enough" from an assumption into a measured,
     hash-pinned number.
 
-    Scale shape: shares the persisted `_copurchase_edges` substrate and
-    the per-iteration 2-shuffle shape of `parts_copurchase_pagerank`;
-    each residual is one node-keyed join + partial-combined sum of the
-    (bounded, one-row-per-node) rank tables.
+    Scale shape: reuses the persisted per-iteration rank ladder of
+    `parts_copurchase_pagerank` (`_pr_rank_ladder` — r11 verdict ask #3:
+    the former per-branch lineage re-evaluation was O(iters^2) and made
+    this the catalog's slowest query); each residual branch is one
+    node-keyed join + partial-combined sum of two cached
+    one-row-per-node rank tables.
     """
     from kafka_sink_spark.plans.analytics_mining import (
-        _PR_BASE,
         _PR_ITERS,
-        _PR_SCALE,
-        _copurchase_edges,
+        _pr_rank_ladder,
     )
 
-    e = _copurchase_edges(spark, sf_dir)
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("r"))
+    ladder = _pr_rank_ladder(spark, sf_dir)
     residuals = []
     for it in range(1, _PR_ITERS + 1):
-        contrib = ranks.join(deg, "node").select(
-            "node", F.expr("r div d").alias("unit")
-        )
-        sums = (
-            e.join(contrib, e.src == contrib.node)
-            .groupBy("dst")
-            .agg(F.sum("unit").alias("c"))
-        )
-        nxt = nodes.join(sums, nodes.node == sums.dst, "left").select(
-            "node",
-            (
-                F.lit(_PR_BASE) + F.expr("85 * coalesce(c, 0L) div 100")
-            ).alias("r"),
-        )
-        prev = ranks.select("node", F.col("r").alias("r_prev"))
+        nxt = ladder[it]
+        prev = ladder[it - 1].select("node", F.col("r").alias("r_prev"))
         residuals.append(
             nxt.join(prev, "node").agg(
                 F.lit(it).cast("long").alias("iter"),
@@ -339,7 +323,6 @@ def parts_copurchase_pagerank_residual(spark, sf_dir):
                 ).alias("residual_ppm"),
             )
         )
-        ranks = nxt
     import functools
 
     return functools.reduce(lambda a, b: a.unionByName(b), residuals)
