@@ -788,3 +788,40 @@ def test_every_unpartitioned_window_is_sanctioned(spark):
         "allowance entries with no remaining unpartitioned window — "
         f"prune them: {sorted(stale_allowance)}"
     )
+
+
+def test_span_excision_hash_shuffles_no_cartesian(spark):
+    """Span excision (12a): duplicate-set detection and coverage joins are
+    hash-keyed — no cartesian, no unpartitioned window; the final per-doc
+    rollup combines map-side (partial_count), and the documents scan reads
+    only the three needed columns."""
+    plan = _plan(spark, "docs_span_excision")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    fmt = _formatted(spark, "docs_span_excision")
+    assert "n_chars" not in fmt and "lang" not in fmt.split("PushedFilters")[0]
+
+
+def test_line_dedup_window_is_hash_partitioned(spark):
+    """Line dedup (12a): the occurrence-rank window partitions by the
+    60-bit line hash (never a global sort), and line STRINGS are hashed
+    before the exchange — only hashes and char counts shuffle."""
+    plan = _plan(spark, "docs_line_dedup")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # the hash is projected (_w0) and the exchange feeding the window is
+    # keyed on it — never on the raw line string, never unpartitioned
+    assert "hashpartitioning(_w0" in plan, plan
+
+
+def test_classifier_single_pass_partial_combine(spark):
+    """Quality classifier (12a): one explode → one per-doc rollup with
+    map-side combine; the weight table is arithmetic on the bucket id, so
+    there must be no extra join, window, or cartesian anywhere."""
+    for name in ("docs_quality_classifier", "docs_classifier_keep_rate"):
+        plan = _plan(spark, name)
+        assert "partial_count" in plan, name
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Join" not in plan, name

@@ -1,0 +1,156 @@
+"""Behavior invariants for the round-12a wave (plans/analytics_sanitize.py):
+span excision, line dedup, and the hashed linear quality classifier against
+hand-computed micro-fixtures and a pure-Python reference scorer."""
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from kafka_sink_spark.plans import QUERIES
+from kafka_sink_spark.plans.analytics_sanitize import (
+    _CLS_BIAS_MICRO,
+    _CLS_BUCKETS,
+    _CLS_WMASK,
+    _CLS_WMOD,
+    _CLS_WMUL,
+)
+
+
+def _docs_fixture(spark, tmp_path, rows):
+    """Write a documents.parquet micro-fixture and return its sf_dir."""
+    df = spark.createDataFrame(
+        [
+            (i, t, "en", f"src{i % 2}", len(t))
+            for i, t in enumerate(rows)
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+@pytest.fixture()
+def span_fixture(spark, tmp_path):
+    # doc 0 and doc 1 share the 8-token span "a b c d e f g h";
+    # doc 2 is short (no spans) and untouched.
+    return _docs_fixture(
+        spark,
+        tmp_path,
+        [
+            "a b c d e f g h x y z",
+            "p q a b c d e f g h",
+            "one two three",
+        ],
+    )
+
+
+def test_span_excision_micro(spark, span_fixture):
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_span_excision"](spark, span_fixture).collect()
+    }
+    # doc 0: span covers positions 0-7 (8 single-char tokens), keeps x y z
+    assert rows[0]["n_tokens"] == 11
+    assert rows[0]["n_removed_tokens"] == 8
+    assert rows[0]["removed_chars"] == 8
+    assert rows[0]["kept_chars"] == 3
+    # doc 1: same span at positions 2-9, keeps p q
+    assert rows[1]["n_tokens"] == 10
+    assert rows[1]["n_removed_tokens"] == 8
+    assert rows[1]["kept_chars"] == 2
+    # doc 2: under 8 tokens — no spans, nothing excised
+    assert rows[2]["n_removed_tokens"] == 0
+    assert rows[2]["removed_ppm"] == 0
+    # ppm uses char mass: doc 0 removed 8 of 11 token chars
+    assert rows[0]["removed_ppm"] == 8 * 1_000_000 // 11
+
+
+def test_excision_length_dist_consistent(spark, span_fixture):
+    per = QUERIES["docs_span_excision"](spark, span_fixture).collect()
+    dist = QUERIES["docs_excision_length_dist"](
+        spark, span_fixture
+    ).collect()
+    assert sum(r["n_docs"] for r in dist) == len(per)
+    assert sum(r["removed_chars"] for r in dist) == sum(
+        r["removed_chars"] for r in per
+    )
+
+
+@pytest.fixture()
+def line_fixture(spark, tmp_path):
+    ws = " ".join(f"w{i}" for i in range(10))
+    us = " ".join(f"u{i}" for i in range(10))
+    # doc 0: the boilerplate line (first occurrence — kept)
+    # doc 1: same line + a unique line (dup removed, unique kept)
+    # doc 2: the same line TWICE (both occurrences are later than doc 0's
+    #        — both removed; within-doc repeats count as occurrences too)
+    return _docs_fixture(spark, tmp_path, [ws, f"{ws} {us}", f"{ws} {ws}"])
+
+
+def test_line_dedup_first_occurrence_kept(spark, line_fixture):
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_line_dedup"](spark, line_fixture).collect()
+    }
+    assert rows[0]["n_lines"] == 1
+    assert rows[0]["n_removed_lines"] == 0
+    assert rows[1]["n_lines"] == 2
+    assert rows[1]["n_removed_lines"] == 1  # the boilerplate copy
+    assert rows[2]["n_lines"] == 2
+    assert rows[2]["n_removed_lines"] == 2  # both later occurrences
+    assert rows[2]["kept_chars"] == 0
+
+
+def _py_score(text: str) -> tuple[int, int]:
+    """Pure-Python reference for the classifier score."""
+    t = [w for w in text.split() if w]
+    terms = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+    ws = []
+    for term in terms:
+        f = int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % _CLS_BUCKETS
+        ws.append(((f * _CLS_WMUL) % _CLS_WMASK) % _CLS_WMOD)
+    n = len(ws)
+    return n, sum(ws) * 1_000_000 // n - _CLS_BIAS_MICRO
+
+
+def test_classifier_matches_python_reference(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spark shuffles partition keys",
+        "one",
+    ]
+    sf = _docs_fixture(spark, tmp_path, texts)
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["docs_quality_classifier"](spark, sf).collect()
+    }
+    for i, text in enumerate(texts):
+        n, score = _py_score(text)
+        assert rows[i]["n_feats"] == n, text
+        assert rows[i]["score_micro"] == score, text
+        assert rows[i]["keep"] == (1 if score >= 0 else 0)
+
+
+def test_keep_rate_consistent_with_per_doc(spark, tmp_path):
+    texts = [f"alpha beta w{i} gamma delta epsilon" for i in range(8)]
+    sf = _docs_fixture(spark, tmp_path, texts)
+    per = QUERIES["docs_quality_classifier"](spark, sf).collect()
+    agg = QUERIES["docs_classifier_keep_rate"](spark, sf).collect()
+    assert sum(r["n_docs"] for r in agg) == len(per)
+    assert sum(r["kept_docs"] for r in agg) == sum(r["keep"] for r in per)
+    for srow in agg:
+        scores = [
+            r["score_micro"] for r in per if r["doc_id"] % 2 == int(srow["source"][3:])
+        ]
+        assert srow["min_score_micro"] == min(scores)
+        assert srow["max_score_micro"] == max(scores)
+        shifted = sum(s + _CLS_BIAS_MICRO for s in scores)
+        assert (
+            srow["mean_score_micro"]
+            == shifted // len(scores) - _CLS_BIAS_MICRO
+        )
