@@ -279,6 +279,67 @@ docs_excision_length_dist.__doc__ = docs_excision_length_dist.__doc__.format(
 # --------------------------------------------------------------------------
 
 
+# Shared per-doc line-dedup frame: consumed by docs_line_dedup and
+# docs_sanitize_pipeline (same substrate discipline as _EXCISION_CACHE).
+_LINE_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _line_per_doc(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, n_removed_lines, kept_chars, removed_chars) under
+    the first-occurrence-kept rule (see docs_line_dedup)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LINE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select("doc_id", text.tokens(F.col("text")).alias("_t"))
+    nseg = F.expr(f"CAST((size(_t) + {_LINE_W - 1}) div {_LINE_W} AS INT)")
+    seg = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda s: F.array_join(
+                    F.slice(F.col("_t"), s * _LINE_W + 1, _LINE_W), " "
+                ),
+            )
+        ).alias("s", "line"),
+    ).where(F.length("line") > 0)
+    ranked = seg.select(
+        "doc_id",
+        "s",
+        F.length("line").alias("chars"),
+        F.row_number()
+        .over(
+            Window.partitionBy(text.md5_long(F.col("line"))).orderBy(
+                F.col("doc_id").asc(), F.col("s").asc()
+            )
+        )
+        .alias("rn"),
+    )
+    per = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed_lines"),
+            F.sum(F.when(F.col("rn") == 1, F.col("chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.when(F.col("rn") > 1, F.col("chars")).otherwise(0))
+            .cast("long")
+            .alias("removed_chars"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _LINE_CACHE[key] = per
+    return per
+
+
 @register(
     "docs_line_dedup",
     oracle=f"""
@@ -325,46 +386,14 @@ def docs_line_dedup(spark, sf_dir):
     cardinality = distinct lines, rows per partition = occurrence count —
     the skew ceiling is the most-repeated boilerplate line, exactly the
     quantity this pass removes) → per-doc partial-combined rollup.  Line
-    STRINGS never shuffle, only hashes and char counts."""
-    from pyspark.sql import Window
-
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    staged = docs.select("doc_id", text.tokens(F.col("text")).alias("_t"))
-    nseg = F.expr(f"CAST((size(_t) + {_LINE_W - 1}) div {_LINE_W} AS INT)")
-    seg = staged.select(
+    STRINGS never shuffle, only hashes and char counts.  The per-doc
+    frame is persisted and shared with docs_sanitize_pipeline."""
+    return _line_per_doc(spark, sf_dir).select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda s: F.array_join(
-                    F.slice(F.col("_t"), s * _LINE_W + 1, _LINE_W), " "
-                ),
-            )
-        ).alias("s", "line"),
-    ).where(F.length("line") > 0)
-    ranked = seg.select(
-        "doc_id",
-        "s",
-        F.length("line").alias("chars"),
-        F.row_number()
-        .over(
-            Window.partitionBy(text.md5_long(F.col("line"))).orderBy(
-                F.col("doc_id").asc(), F.col("s").asc()
-            )
-        )
-        .alias("rn"),
-    )
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed_lines"),
-        F.sum(F.when(F.col("rn") == 1, F.col("chars")).otherwise(0))
-        .cast("long")
-        .alias("kept_chars"),
-        F.sum(F.when(F.col("rn") > 1, F.col("chars")).otherwise(0))
-        .cast("long")
-        .alias("removed_chars"),
+        "n_lines",
+        "n_removed_lines",
+        "kept_chars",
+        "removed_chars",
     )
 
 
@@ -521,4 +550,207 @@ def docs_classifier_keep_rate(spark, sf_dir):
         ).alias("mean_score_micro"),
         F.min("score_micro").alias("min_score_micro"),
         F.max("score_micro").alias("max_score_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-12b: streaming line-dedup ledger twin + composed pipeline report
+# --------------------------------------------------------------------------
+
+_STREAM_LINE_RUNS = iter(range(1_000_000))
+
+_STREAM_LINE_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, s,
+             array_to_string(
+               list_slice(t, s * {_LINE_W} + 1, s * {_LINE_W} + {_LINE_W}),
+               ' ') AS line
+      FROM toks,
+           unnest(range((len(t) + {_LINE_W - 1}) // {_LINE_W})) AS u(s)
+    ), led AS (
+      SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS hx,
+             COUNT(*) AS n_occ,
+             MIN(doc_id) AS survivor,
+             MIN(length(line)) AS chars
+      FROM seg WHERE length(line) > 0
+      GROUP BY hx
+    )
+    SELECT CAST(n_occ AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(survivor) AS BIGINT) AS survivor_doc_sum,
+           CAST(SUM(chars) AS BIGINT) AS line_chars_sum
+    FROM led GROUP BY n_occ
+    """
+
+
+@register("stream_line_dedup_twin", oracle=_STREAM_LINE_ORACLE)
+def stream_line_dedup_twin(spark, sf_dir):
+    """The line-dedup ledger run as a REAL Structured Streaming query —
+    the shape a continuous-ingest boilerplate filter actually runs (lines
+    arrive with their documents; the dedup ledger is streaming state):
+    segments are staged into a file source, the 60-bit line hash is
+    projected inside the stream, and a streaming groupBy(hash) maintains
+    the per-line ledger (occurrence count + min-doc_id survivor + line
+    chars).  trigger(availableNow=True) + complete-mode memory sink; the
+    final state is rolled up into the occurrence histogram, which must
+    hash-equal the batch oracle — a lost update or a hash divergence
+    between the batch and streaming segmenters breaks the comparison.
+
+    Scale shape: state is one row per DISTINCT line (the ledger itself —
+    the minimum any line-dedup service carries); count/min are both
+    partial-combinable, so micro-batches combine map-side before touching
+    state.  The histogram readout bounds the driver-compared output to
+    |distinct occurrence counts| rows."""
+    import tempfile
+
+    from kafka_sink_spark.plans.stream_twin import finish_stream_twin
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select("doc_id", text.tokens(F.col("text")).alias("_t"))
+    nseg = F.expr(f"CAST((size(_t) + {_LINE_W - 1}) div {_LINE_W} AS INT)")
+    seg = staged.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda s: F.array_join(
+                    F.slice(F.col("_t"), s * _LINE_W + 1, _LINE_W), " "
+                ),
+            )
+        ).alias("line"),
+    ).where(F.length("line") > 0)
+    src = tempfile.mkdtemp(prefix="stream_line_src_")
+    seg.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, line string").parquet(src)
+    ledger = (
+        stream.select(
+            "doc_id",
+            text.md5_long(F.col("line")).alias("hx"),
+            F.length("line").alias("chars"),
+        )
+        .groupBy("hx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("doc_id").cast("long").alias("survivor"),
+            F.min("chars").cast("long").alias("chars"),
+        )
+    )
+    name = f"stream_line_dedup_twin_{next(_STREAM_LINE_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_line_ck_")
+    q = (
+        ledger.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    result = (
+        spark.table(name)
+        .groupBy(F.col("n_occ").alias("n_occurrences"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("survivor").cast("long").alias("survivor_doc_sum"),
+            F.sum("chars").cast("long").alias("line_chars_sum"),
+        )
+    )
+    return finish_stream_twin(spark, q, name, result, (src, ck))
+
+
+@register(
+    "docs_sanitize_pipeline",
+    oracle=f"""
+    WITH {_EXC_CTES}, seg2 AS (
+      SELECT doc_id, s,
+             array_to_string(
+               list_slice(t, s * {_LINE_W} + 1, s * {_LINE_W} + {_LINE_W}),
+               ' ') AS line
+      FROM toks,
+           unnest(range((len(t) + {_LINE_W - 1}) // {_LINE_W})) AS u(s)
+    ), ranked2 AS (
+      SELECT doc_id, length(line) AS chars,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT
+               ORDER BY doc_id ASC, s ASC) AS rn
+      FROM seg2 WHERE length(line) > 0
+    ), lin AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN rn > 1 THEN chars ELSE 0 END) AS BIGINT)
+               AS line_removed_chars
+      FROM ranked2 GROUP BY doc_id
+    ), feats2 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT % {_CLS_BUCKETS} AS f
+      FROM (
+        SELECT doc_id, unnest(t) AS term FROM toks
+        UNION ALL
+        SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS term
+        FROM toks, unnest(range(len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+      )
+    ), scored2 AS (
+      SELECT doc_id,
+             CAST(SUM({_CLS_W_DUCK.format(f="f")}) * 1000000 // COUNT(*)
+                  - {_CLS_BIAS_MICRO} AS BIGINT) AS score_micro
+      FROM feats2 GROUP BY doc_id
+    )
+    SELECT per.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.score_micro >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS cls_kept_docs,
+           CAST(SUM(per.removed_chars + per.kept_chars) AS BIGINT)
+             AS total_token_chars,
+           CAST(SUM(per.removed_chars) AS BIGINT) AS span_removed_chars,
+           CAST(SUM(l.line_removed_chars) AS BIGINT) AS line_removed_chars,
+           CAST(SUM(CASE WHEN s.score_micro >= 0 THEN per.kept_chars
+                    ELSE 0 END) AS BIGINT) AS surviving_chars
+    FROM per
+    JOIN lin l ON l.doc_id = per.doc_id
+    JOIN scored2 s ON s.doc_id = per.doc_id
+    GROUP BY per.source
+    """,
+)
+def docs_sanitize_pipeline(spark, sf_dir):
+    """Composed sanitize-pipeline report, per source: doc count,
+    classifier keeps, total token chars, chars the span exciser would
+    cut, chars the line dedup would cut, and the chars surviving the
+    classifier-gate-then-excise composition — the one-table summary a
+    curation run publishes before committing a corpus build.
+
+    Scale shape: three certified per-doc frames (two of them the
+    persisted excision/line substrates, built once per session) joined on
+    doc_id — co-partitioned single-key joins — then one partial-combined
+    per-source rollup."""
+    exc = _excision_per_doc(spark, sf_dir)
+    lin = _line_per_doc(spark, sf_dir).select(
+        "doc_id", F.col("removed_chars").alias("line_removed_chars")
+    )
+    cls = _cls_scored(spark, sf_dir).select("doc_id", "score_micro")
+    return (
+        exc.join(lin, "doc_id")
+        .join(cls, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score_micro") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cls_kept_docs"),
+            F.sum(F.col("removed_chars") + F.col("kept_chars"))
+            .cast("long")
+            .alias("total_token_chars"),
+            F.sum("removed_chars").cast("long").alias("span_removed_chars"),
+            F.sum("line_removed_chars")
+            .cast("long")
+            .alias("line_removed_chars"),
+            F.sum(
+                F.when(F.col("score_micro") >= 0, F.col("kept_chars"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("surviving_chars"),
+        )
     )

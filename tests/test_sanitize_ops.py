@@ -154,3 +154,45 @@ def test_keep_rate_consistent_with_per_doc(spark, tmp_path):
             srow["mean_score_micro"]
             == shifted // len(scores) - _CLS_BIAS_MICRO
         )
+
+
+def test_sanitize_pipeline_consistent_with_stages(spark, tmp_path):
+    ws = " ".join(f"w{i}" for i in range(10))
+    texts = [
+        "a b c d e f g h x y z",
+        "p q a b c d e f g h",
+        ws,
+        f"{ws} extra tokens here",
+    ]
+    sf = _docs_fixture(spark, tmp_path, texts)
+    pipe = QUERIES["docs_sanitize_pipeline"](spark, sf).collect()
+    exc = QUERIES["docs_span_excision"](spark, sf).collect()
+    lin = QUERIES["docs_line_dedup"](spark, sf).collect()
+    cls = QUERIES["docs_quality_classifier"](spark, sf).collect()
+    assert sum(r["n_docs"] for r in pipe) == len(texts)
+    assert sum(r["span_removed_chars"] for r in pipe) == sum(
+        r["removed_chars"] for r in exc
+    )
+    assert sum(r["line_removed_chars"] for r in pipe) == sum(
+        r["removed_chars"] for r in lin
+    )
+    assert sum(r["cls_kept_docs"] for r in pipe) == sum(r["keep"] for r in cls)
+    kept = {r["doc_id"]: r["keep"] for r in cls}
+    assert sum(r["surviving_chars"] for r in pipe) == sum(
+        r["kept_chars"] for r in exc if kept[r["doc_id"]]
+    )
+
+
+def test_stream_line_dedup_twin_matches_batch_ledger(spark, tmp_path):
+    ws = " ".join(f"w{i}" for i in range(10))
+    us = " ".join(f"u{i}" for i in range(10))
+    sf = _docs_fixture(spark, tmp_path, [ws, f"{ws} {us}", f"{ws} {ws}"])
+    hist = {
+        r["n_occurrences"]: r
+        for r in QUERIES["stream_line_dedup_twin"](spark, sf).collect()
+    }
+    # ws occurs 4x (docs 0,1,2,2), us once
+    assert hist[4]["n_lines"] == 1
+    assert hist[4]["survivor_doc_sum"] == 0  # first occurrence is doc 0
+    assert hist[1]["n_lines"] == 1
+    assert hist[1]["survivor_doc_sum"] == 1  # us first appears in doc 1
