@@ -754,3 +754,133 @@ def docs_sanitize_pipeline(spark, sf_dir):
             .alias("surviving_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-12c: quality-signal agreement (classifier × LM perplexity × dup)
+# --------------------------------------------------------------------------
+
+# Classifier-score bucket width in micro units (0.05 mean-weight units);
+# scores live in [-1e9, 1e9], so buckets span 0..40 after the bias shift —
+# a bounded grid, never data-dependent.
+_AGREE_BUCKET = 50_000_000
+
+
+def _agreement_oracle() -> str:
+    from kafka_sink_spark.plans.analytics_quality import _SPAN_N
+    from kafka_sink_spark.plans.analytics_weblm import (
+        _KN_CTES,
+        _P_PT_DUCK,
+    )
+    from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2
+
+    kn = _KN_CTES.format(
+        p_pt=_P_PT_DUCK, lg=_DUCK_LOG2.format(x="p_pt")
+    )
+    return f"""
+    WITH {kn}, stoks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), ssp AS (
+      SELECT doc_id, CASE WHEN len(t) >= {_SPAN_N}
+        THEN list_transform(range(len(t) - {_SPAN_N - 1}),
+                            i -> array_to_string(list_slice(t, i + 1, i + {_SPAN_N}), ' '))
+        ELSE [array_to_string(t, ' ')] END AS spans
+      FROM stoks
+    ), sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hx
+      FROM ssp, unnest(spans) AS u(s)
+    ), sdup AS (
+      SELECT hx FROM sh GROUP BY hx HAVING COUNT(*) >= 2
+    ), sper AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id
+    ), sdd AS (
+      SELECT sh.doc_id, COUNT(*) AS n_dup
+      FROM sh JOIN sdup USING (hx) GROUP BY sh.doc_id
+    ), feats2 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT % {_CLS_BUCKETS} AS f
+      FROM (
+        SELECT doc_id, unnest(t) AS term FROM stoks
+        UNION ALL
+        SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS term
+        FROM stoks, unnest(range(len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+      )
+    ), scored2 AS (
+      SELECT doc_id,
+             CAST(SUM({_CLS_W_DUCK.format(f="f")}) * 1000000 // COUNT(*)
+                  - {_CLS_BIAS_MICRO} AS BIGINT) AS score_micro
+      FROM feats2 GROUP BY doc_id
+    )
+    SELECT CAST((s.score_micro + {_CLS_BIAS_MICRO}) // {_AGREE_BUCKET}
+                AS BIGINT) AS score_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.nll_sum) // SUM(p.n_bg) AS BIGINT) AS kn_nll_ppm_bits,
+           CAST(SUM(COALESCE(dd.n_dup, 0)) * 1000000 // SUM(sp.n_spans)
+                AS BIGINT) AS dup_span_ppm
+    FROM scored2 s
+    JOIN perdoc p ON p.doc_id = s.doc_id
+    JOIN sper sp ON sp.doc_id = s.doc_id
+    LEFT JOIN sdd dd ON dd.doc_id = s.doc_id
+    GROUP BY score_bucket
+    """
+
+
+@register("docs_quality_signal_agreement", oracle=_agreement_oracle())
+def docs_quality_signal_agreement(spark, sf_dir):
+    """Do the three quality screens agree?  Per classifier-score bucket
+    (0.05 mean-weight units, bounded 41-cell grid), the mean Kneser-Ney
+    bigram NLL and the mean duplicated-span fraction of the held-out
+    docs in that bucket — the standard cross-signal diagnostic a curation
+    run publishes before composing its filters (a classifier band whose
+    perplexity does NOT rise as its score falls is mis-calibrated).
+
+    Joins three CERTIFIED per-doc frames: the classifier pass
+    (docs_quality_classifier), the held-out KN scoring pass
+    (docs_kn_bigram_nll's perdoc chain, shared substrate), and the
+    repeated-spans frontier (docs_repeated_spans' persisted
+    ``_span_doc_hashes``).  Scale shape: three doc-keyed joins of
+    per-doc aggregates + one partial-combined rollup onto the bounded
+    bucket grid; the held-out inner join bounds the scored set to the
+    10% split."""
+    from kafka_sink_spark.plans.analytics_quality import (
+        _SPAN_N,
+        _span_doc_hashes,
+    )
+    from kafka_sink_spark.plans.analytics_weblm import _kn_scored
+
+    cls = _cls_scored(spark, sf_dir).select("doc_id", "score_micro")
+    kn = _kn_scored(spark, sf_dir)
+    h = _span_doc_hashes(spark, sf_dir, _SPAN_N)
+    sdup = (
+        h.groupBy("hx")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("hx")
+    )
+    sper = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    sdd = h.join(sdup, "hx").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    joined = (
+        cls.join(kn, "doc_id")
+        .join(sper, "doc_id")
+        .join(sdd, "doc_id", "left")
+    )
+    return joined.groupBy(
+        F.expr(
+            f"CAST((score_micro + {_CLS_BIAS_MICRO}) div {_AGREE_BUCKET}"
+            " AS BIGINT)"
+        ).alias("score_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(nll_sum) div SUM(n_bg) AS BIGINT)").alias(
+            "kn_nll_ppm_bits"
+        ),
+        F.expr(
+            "CAST(SUM(COALESCE(n_dup, 0L)) * 1000000 div SUM(n_spans)"
+            " AS BIGINT)"
+        ).alias("dup_span_ppm"),
+    )

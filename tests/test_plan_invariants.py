@@ -825,3 +825,14 @@ def test_classifier_single_pass_partial_combine(spark):
         assert "Window" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "Join" not in plan, name
+
+
+def test_signal_agreement_bounded_grid_no_cartesian(spark):
+    """Quality-signal agreement (12c): three doc-keyed joins of per-doc
+    aggregates onto a bounded 41-cell score grid — no cartesian.  The one
+    sanctioned BroadcastNestedLoopJoin is the KN chain's 1-row totals
+    broadcast (the same node the certified docs_kn_bigram_nll plans)."""
+    plan = _plan(spark, "docs_quality_signal_agreement")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in plan and "partial_sum" in plan

@@ -196,3 +196,20 @@ def test_stream_line_dedup_twin_matches_batch_ledger(spark, tmp_path):
     assert hist[4]["survivor_doc_sum"] == 0  # first occurrence is doc 0
     assert hist[1]["n_lines"] == 1
     assert hist[1]["survivor_doc_sum"] == 1  # us first appears in doc 1
+
+
+def test_quality_signal_agreement_consistency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_sink_spark.plans.analytics_weblm import _kn_scored
+
+    rows = QUERIES["docs_quality_signal_agreement"](spark, sf_dir).collect()
+    # bounded bucket grid: scores live in [-1e9, 1e9] -> buckets 0..40
+    assert all(0 <= r["score_bucket"] <= 40 for r in rows)
+    # every held-out KN-scored doc lands in exactly one bucket (the
+    # classifier and span frames cover all docs with >= 1 token)
+    n_heldout = _kn_scored(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_heldout
+    # ppm fractions are fractions
+    assert all(0 <= r["dup_span_ppm"] <= 1_000_000 for r in rows)
+    assert all(r["kn_nll_ppm_bits"] > 0 for r in rows)
