@@ -189,6 +189,12 @@ HEADLINERS = [
     "docs_url_canonical_dedup",  # one codegen canonicalize projection + host-keyed rollup
     "docs_kn_bigram_nll",  # vocab-bounded count joins over persisted bigrams
     "docs_hybrid_rrf_indexed",  # IVF-PQ cells + posting-list BM25, RRF fusion
+    # round-12 waves
+    "docs_span_excision",  # 60-bit span-hash joins, position coverage, per-doc rollup
+    "docs_line_dedup",  # hash-partitioned occurrence-rank window, per-doc rollup
+    "docs_quality_classifier",  # one explode + per-doc rollup; weights = bucket-id arithmetic
+    "docs_sanitize_pipeline",  # three persisted per-doc frames, doc-keyed joins
+    "docs_quality_signal_agreement",  # three certified frames onto a 41-cell grid
 ]
 
 
