@@ -30,6 +30,14 @@ removal side of the pipeline:
   keep-rate at the fixed cut — the readout every public pipeline
   publishes for its classifier stage.
 
+Round-12b/12c additions (same module, registered below):
+``stream_line_dedup_twin`` (the line ledger as a REAL availableNow
+streaming query), ``docs_sanitize_pipeline`` (the composed per-source
+report over the three per-doc frames), and
+``docs_quality_signal_agreement`` (classifier score × KN perplexity ×
+dup fraction on a bounded score grid — the cross-signal calibration
+table).
+
 Scale shapes are all linear in Σ tokens: explode → 60-bit-hash shuffles →
 hash-keyed joins back; nothing all-pairs, nothing collected.  The per-doc
 excision frame is persisted once per (session, sf_dir) and shared by its
