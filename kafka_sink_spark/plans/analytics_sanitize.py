@@ -892,3 +892,140 @@ def docs_quality_signal_agreement(spark, sf_dir):
             " AS BIGINT)"
         ).alias("dup_span_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-12d: span-length sweep (the k-threshold selection curve)
+# --------------------------------------------------------------------------
+
+# The k values a pipeline sweeps to place its excision threshold (Lee et
+# al. 2022 report the removed-mass-vs-k curve before fixing k): a bounded
+# 3-point grid, never data-dependent.
+_SWEEP_KS = (8, 12, 16)
+
+
+def _k_sweep_oracle() -> str:
+    ks = ", ".join(str(k) for k in _SWEEP_KS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, source, k, i,
+             ('0x' || substr(md5(
+                array_to_string(list_slice(t, i + 1, i + k), ' ')
+             ), 1, 15))::BIGINT AS hx
+      FROM toks, unnest([{ks}]) AS kk(k),
+           unnest(range(len(t) - k + 1)) AS u(i)
+      WHERE len(t) >= k
+    ), dup AS (
+      SELECT k, hx FROM (SELECT DISTINCT doc_id, k, hx FROM sp)
+      GROUP BY k, hx HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT sp.doc_id, sp.source, sp.k, sp.i + j AS pos
+      FROM sp JOIN dup USING (k, hx), unnest(range(k)) AS v(j)
+    ), tot AS (
+      SELECT source, CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ), rm AS (
+      SELECT source, k,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+             CAST(COUNT(*) AS BIGINT) AS removed_tokens
+      FROM cov GROUP BY source, k
+    )
+    SELECT rm.source, CAST(rm.k AS BIGINT) AS span_k,
+           rm.n_docs_affected, rm.removed_tokens, tot.total_tokens,
+           CAST(rm.removed_tokens * 1000000 // tot.total_tokens AS BIGINT)
+             AS removed_ppm
+    FROM rm JOIN tot ON tot.source = rm.source
+    """
+
+
+@register("docs_excision_k_sweep", oracle=_k_sweep_oracle())
+def docs_excision_k_sweep(spark, sf_dir):
+    """Span-length selection sweep: for each candidate span length k on a
+    bounded 3-point grid {ks}, the per-source excisable token mass under
+    the cross-document duplicate rule — the removed-mass-vs-k curve a
+    pipeline publishes before fixing its excision threshold (longer spans
+    excise less, with higher precision; Lee et al. 2022 §4 report exactly
+    this trade).
+
+    Scale shape: one tokenize pass per k (3 positional-span explodes —
+    linear in Σ tokens × |grid|, rows carry 60-bit hashes) → per-k dup
+    set → per-k coverage → per-(source,k) partial-combined rollup with a
+    |sources|-row totals join.  No all-pairs stage at any k; the grid is
+    a constant, so the plan size is bounded."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    staged = docs.select(
+        "doc_id", "source", text.tokens(F.col("text")).alias("_t")
+    )
+    tot = staged.groupBy("source").agg(
+        F.sum(F.size("_t")).cast("long").alias("total_tokens")
+    )
+    branches = []
+    for k in _SWEEP_KS:
+        spans = (
+            staged.where(F.size("_t") >= k)
+            .select(
+                "doc_id",
+                "source",
+                F.posexplode(
+                    text.shingles_from_tokens(F.col("_t"), k)
+                ).alias("i", "_sp"),
+            )
+            .select(
+                "doc_id", "source", "i",
+                text.md5_long(F.col("_sp")).alias("hx"),
+            )
+        )
+        dup = (
+            spans.select("doc_id", "hx")
+            .distinct()
+            .groupBy("hx")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .where(F.col("nd") >= 2)
+            .select("hx")
+        )
+        cov = (
+            spans.join(dup, "hx")
+            .select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        branches.append(
+            cov.groupBy("source").agg(
+                F.countDistinct("doc_id").cast("long").alias(
+                    "n_docs_affected"
+                ),
+                F.count(F.lit(1)).cast("long").alias("removed_tokens"),
+            ).select(
+                "source",
+                F.lit(k).cast("long").alias("span_k"),
+                "n_docs_affected",
+                "removed_tokens",
+            )
+        )
+    import functools
+
+    swept = functools.reduce(lambda a, b: a.unionByName(b), branches)
+    return swept.join(tot, "source").select(
+        "source",
+        "span_k",
+        "n_docs_affected",
+        "removed_tokens",
+        "total_tokens",
+        F.expr(
+            "CAST(removed_tokens * 1000000 div total_tokens AS BIGINT)"
+        ).alias("removed_ppm"),
+    )
+
+
+docs_excision_k_sweep.__doc__ = docs_excision_k_sweep.__doc__.format(
+    ks=_SWEEP_KS
+)

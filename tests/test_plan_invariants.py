@@ -836,3 +836,12 @@ def test_signal_agreement_bounded_grid_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_k_sweep_bounded_union_no_cartesian(spark):
+    """k-sweep (12d): a 3-branch union over a constant grid — bounded plan,
+    hash-keyed joins only, partial combines on every rollup."""
+    plan = _plan(spark, "docs_excision_k_sweep")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan

@@ -213,3 +213,20 @@ def test_quality_signal_agreement_consistency(spark, sf_dir):
     # ppm fractions are fractions
     assert all(0 <= r["dup_span_ppm"] <= 1_000_000 for r in rows)
     assert all(r["kn_nll_ppm_bits"] > 0 for r in rows)
+
+
+def test_k_sweep_monotone_and_consistent_with_excision(spark, sf_dir):
+    rows = QUERIES["docs_excision_k_sweep"](spark, sf_dir).collect()
+    per_k = {}
+    for r in rows:
+        per_k.setdefault(r["span_k"], [0, 0])
+        per_k[r["span_k"]][0] += r["removed_tokens"]
+        per_k[r["span_k"]][1] += r["n_docs_affected"]
+    ks = sorted(per_k)
+    assert ks == [8, 12, 16]
+    # longer spans can only excise less (every k+d-span is inside k-spans)
+    assert per_k[8][0] >= per_k[12][0] >= per_k[16][0]
+    assert per_k[8][1] >= per_k[12][1] >= per_k[16][1]
+    # the k=8 point of the sweep IS the certified excision transform
+    exc = QUERIES["docs_span_excision"](spark, sf_dir).collect()
+    assert per_k[8][0] == sum(r["n_removed_tokens"] for r in exc)
