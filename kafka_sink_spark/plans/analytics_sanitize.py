@@ -121,9 +121,14 @@ def _excision_per_doc(spark, sf_dir: str) -> DataFrame:
         .where(F.col("nd") >= _EXC_DUP_DOCS)
         .select("hx")
     )
-    # covered token positions: every position inside a duplicated span
+    # covered token positions: every position inside a duplicated span.
+    # The duplicate set SCALES WITH THE CORPUS (it is the boilerplate
+    # census itself), so the join must shuffle on the 60-bit hash — AQE
+    # would happily broadcast it at small SF and then OOM the driver at
+    # 100x (the sf10 ladder caught exactly that on the 3-branch k-sweep,
+    # where three dup-set broadcasts build concurrently).
     cov = (
-        spans.join(dup, "hx")
+        spans.join(dup.hint("shuffle_hash"), "hx")
         .select(
             "doc_id",
             F.explode(
@@ -869,7 +874,9 @@ def docs_quality_signal_agreement(spark, sf_dir):
         .select("hx")
     )
     sper = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    sdd = h.join(sdup, "hx").groupBy("doc_id").agg(
+    # shuffle on hx — the dup set scales with the corpus (see
+    # _excision_per_doc)
+    sdd = h.join(sdup.hint("shuffle_hash"), "hx").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup")
     )
     joined = (
@@ -988,7 +995,7 @@ def docs_excision_k_sweep(spark, sf_dir):
             .select("hx")
         )
         cov = (
-            spans.join(dup, "hx")
+            spans.join(dup.hint("shuffle_hash"), "hx")
             .select(
                 "doc_id",
                 "source",

@@ -845,3 +845,17 @@ def test_k_sweep_bounded_union_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_dup_set_joins_never_broadcast(spark):
+    """The excision-family duplicate sets scale with the corpus (they ARE
+    the boilerplate census), so their coverage joins must shuffle on the
+    hash — a broadcast there OOMs the driver at 100x (caught live by the
+    sf10 ladder on the 3-branch k-sweep)."""
+    for name in (
+        "docs_span_excision",
+        "docs_excision_k_sweep",
+        "docs_quality_signal_agreement",
+    ):
+        plan = _plan(spark, name)
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name
