@@ -518,6 +518,22 @@ def contamination_overlap(spark, sf_dir):
     join keyed on the shingle, then one aggregation per (train, bench) pair.
     At 100 TB the train shingle explosion never shuffles — only the matched
     pairs do."""
+    hits, bn = _contam_hits(spark, sf_dir)
+    ratio = F.col("n_shared").cast("double") / F.col("n_bench")
+    return (
+        hits.join(F.broadcast(bn), "bench_id")
+        .filter(ratio >= _CONTAM_MIN_OVERLAP)
+        .select(
+            "train_id", "bench_id", "n_shared", "n_bench",
+            F.round(ratio, 6).alias("overlap"),
+        )
+    )
+
+
+def _contam_hits(spark, sf_dir):
+    """((train_id, bench_id, n_shared), (bench_id, n_bench)) — the shared
+    contamination chain of contamination_overlap, reused by the
+    decontamination transform (12f)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     sh = (
@@ -543,15 +559,7 @@ def contamination_overlap(spark, sf_dir):
         .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    ratio = F.col("n_shared").cast("double") / F.col("n_bench")
-    return (
-        hits.join(F.broadcast(bn), "bench_id")
-        .filter(ratio >= _CONTAM_MIN_OVERLAP)
-        .select(
-            "train_id", "bench_id", "n_shared", "n_bench",
-            F.round(ratio, 6).alias("overlap"),
-        )
-    )
+    return hits, bn
 
 
 # --------------------------------------------------------------------------
@@ -1022,4 +1030,101 @@ def dedup_containment(spark, sf_dir):
             F.round(ca, 6).alias("cont_a_in_b"),
             F.round(cb, 6).alias("cont_b_in_a"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-12f: decontamination as a TRANSFORM (the drop-list readout)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_decontaminate_report",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(GREATEST(length(nm) - 7, 1)),
+                                   i -> substr(nm, i + 1, 8))) AS shingle
+      FROM n
+    ), bench AS (
+      SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0
+    ), bn AS (
+      SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY bench_id
+    ), hits AS (
+      SELECT s.doc_id AS train_id, b.bench_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id <> b.bench_id
+      GROUP BY s.doc_id, b.bench_id
+    ), flagged AS (
+      SELECT DISTINCT h.train_id
+      FROM hits h JOIN bn ON bn.bench_id = h.bench_id
+      WHERE CAST(h.n_shared AS DOUBLE) / bn.n_bench >= {_CONTAM_MIN_OVERLAP}
+    ), train AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CASE WHEN f.train_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM documents d LEFT JOIN flagged f ON f.train_id = d.doc_id
+      WHERE d.doc_id % 97 <> 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(SUM(dropped) * 1000000 // COUNT(*) AS BIGINT) AS dropped_ppm,
+           CAST(SUM(CASE WHEN dropped = 0 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS surviving_tokens
+    FROM train GROUP BY source
+    """,
+)
+def docs_decontaminate_report(spark, sf_dir):
+    """Decontamination as a TRANSFORM: the certified contamination rule
+    (>= 5% of a benchmark doc's distinct 8-char shingles shared,
+    benchmark = the doc_id %% 97 == 0 held-out proxy) becomes a drop
+    list, and the readout is what a pipeline publishes when it commits
+    the cut — per source: training docs, docs dropped, drop rate in ppm,
+    and the surviving token mass.  Completes the measure→transform pair
+    for the contamination firewall the same way docs_span_excision
+    completed docs_repeated_spans.
+
+    Scale shape: reuses contamination_overlap's shared chain
+    (`_contam_hits` — benchmark shingles broadcast, train side never
+    shuffles raw shingles), then one anti-join-shaped LEFT join of the
+    drop list against the train spine and a per-source partial-combined
+    rollup."""
+    from kafka_sink_spark.extensions import text
+
+    hits, bn = _contam_hits(spark, sf_dir)
+    ratio = F.col("n_shared").cast("double") / F.col("n_bench")
+    flagged = (
+        hits.join(F.broadcast(bn), "bench_id")
+        .filter(ratio >= _CONTAM_MIN_OVERLAP)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    train = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            "source",
+            text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .join(flagged, "doc_id", "left")
+    )
+    return train.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(F.coalesce(F.col("_drop"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.expr(
+            "CAST(SUM(COALESCE(_drop, 0)) * 1000000 div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("dropped_ppm"),
+        F.sum(F.when(F.col("_drop").isNull(), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("surviving_tokens"),
     )

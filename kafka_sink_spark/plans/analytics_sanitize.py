@@ -1036,3 +1036,76 @@ def docs_excision_k_sweep(spark, sf_dir):
 docs_excision_k_sweep.__doc__ = docs_excision_k_sweep.__doc__.format(
     ks=_SWEEP_KS
 )
+
+
+# --------------------------------------------------------------------------
+# Round-12e: streaming classifier keep-rate twin
+# --------------------------------------------------------------------------
+
+_STREAM_CLS_RUNS = iter(range(1_000_000))
+
+
+@register(
+    "stream_classifier_keep_twin",
+    oracle=f"""
+    WITH {_CLS_CTES}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM scored GROUP BY source
+    """,
+)
+def stream_classifier_keep_twin(spark, sf_dir):
+    """The classifier keep-rate ledger run as a REAL Structured Streaming
+    query — the shape a continuous quality monitor actually runs (scored
+    documents arrive; the per-source keep counters are streaming state):
+    per-doc classifier decisions are staged into a file source and a
+    streaming groupBy(source) maintains (n_docs, kept_docs).
+    trigger(availableNow=True) + complete-mode memory sink; the final
+    counters must hash-equal the batch keep-rate oracle — a lost update
+    or a scorer divergence between the batch and streaming paths breaks
+    the comparison.
+
+    Scale shape: state is |sources| rows of two counters — the minimum
+    any keep-rate monitor carries; both are partial-combinable, so
+    micro-batches combine map-side before touching state."""
+    import tempfile
+
+    from kafka_sink_spark.plans.stream_twin import finish_stream_twin
+
+    scored = _cls_scored(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.when(F.col("score_micro") >= 0, 1).otherwise(0).alias("keep"),
+    )
+    src = tempfile.mkdtemp(prefix="stream_cls_src_")
+    scored.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, source string, keep int"
+    ).parquet(src)
+    ledger = stream.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("kept_docs"),
+    )
+    name = f"stream_classifier_keep_twin_{next(_STREAM_CLS_RUNS)}"
+    ck = tempfile.mkdtemp(prefix="stream_cls_ck_")
+    q = (
+        ledger.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    result = spark.table(name).select(
+        "source",
+        "n_docs",
+        "kept_docs",
+        F.expr("CAST(kept_docs * 1000000 div n_docs AS BIGINT)").alias(
+            "keep_ppm"
+        ),
+    )
+    return finish_stream_twin(spark, q, name, result, (src, ck))

@@ -859,3 +859,13 @@ def test_dup_set_joins_never_broadcast(spark):
     ):
         plan = _plan(spark, name)
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+def test_decontaminate_broadcasts_bench_not_train(spark):
+    """Decontaminate (12f): the benchmark shingle set broadcasts (small by
+    construction — the held-out proxy), the train side never shuffles raw
+    shingles, and the drop-list join back to the spine is hash-keyed."""
+    plan = _plan(spark, "docs_decontaminate_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan

@@ -230,3 +230,33 @@ def test_k_sweep_monotone_and_consistent_with_excision(spark, sf_dir):
     # the k=8 point of the sweep IS the certified excision transform
     exc = QUERIES["docs_span_excision"](spark, sf_dir).collect()
     assert per_k[8][0] == sum(r["n_removed_tokens"] for r in exc)
+
+
+def test_stream_classifier_keep_twin_matches_batch(spark, sf_dir):
+    twin = {
+        r["source"]: r
+        for r in QUERIES["stream_classifier_keep_twin"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["source"]: r
+        for r in QUERIES["docs_classifier_keep_rate"](spark, sf_dir).collect()
+    }
+    assert set(twin) == set(batch)
+    for src, b in batch.items():
+        assert twin[src]["n_docs"] == b["n_docs"], src
+        assert twin[src]["kept_docs"] == b["kept_docs"], src
+        assert twin[src]["keep_ppm"] == b["keep_ppm"], src
+
+
+def test_decontaminate_report_consistent_with_overlap(spark, sf_dir):
+    rep = QUERIES["docs_decontaminate_report"](spark, sf_dir).collect()
+    pairs = QUERIES["contamination_overlap"](spark, sf_dir).collect()
+    flagged_train = {
+        r["train_id"] for r in pairs if r["train_id"] % 97 != 0
+    }
+    assert sum(r["n_dropped"] for r in rep) == len(flagged_train)
+    # benchmark docs are excluded from the training spine
+    from kafka_sink_spark.session import load_tables
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_train = docs.where("doc_id % 97 <> 0").count()
+    assert sum(r["n_train_docs"] for r in rep) == n_train
