@@ -531,9 +531,11 @@ def contamination_overlap(spark, sf_dir):
 
 
 def _contam_hits(spark, sf_dir):
-    """((train_id, bench_id, n_shared), (bench_id, n_bench)) — the shared
-    contamination chain of contamination_overlap, reused by the
-    decontamination transform (12f)."""
+    """((train_id, bench_id, n_shared), (bench_id, n_bench)) — the
+    contamination chain of contamination_overlap.  (The decontamination
+    transform below deliberately does NOT reuse it: its chain DF-prunes
+    the benchmark shingles before the join, which is what bounds the
+    fan-out at scale — see _DECON_MAX_DF.)"""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     sh = (
@@ -1038,6 +1040,19 @@ def dedup_containment(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+# Benchmark-shingle document-frequency cap: shingles present in MORE than
+# this many benchmark docs are corpus boilerplate, not contamination
+# signal, and are dropped BEFORE the join (the same DF-pruning discipline
+# as docs_mirror_detection's >10-host fingerprint drop).  This is also
+# what bounds the join fan-out structurally: each surviving shingle can
+# match at most this many benchmark docs, so the hits table is
+# <= DF_CAP x train shingles at ANY corpus size.  (The unpruned rule —
+# contamination_overlap's — fans out by the shingle's full benchmark DF;
+# on this synthetic corpus the saturated 8-char shingle space made that
+# ~9 BILLION rows at sf10, caught live by the sf10 ladder.)
+_DECON_MAX_DF = 10
+
+
 @register(
     "docs_decontaminate_report",
     oracle=f"""
@@ -1051,11 +1066,17 @@ def dedup_containment(spark, sf_dir):
       FROM n
     ), bench AS (
       SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0
+    ), rare AS (
+      SELECT bench_id, shingle FROM (
+        SELECT bench_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM bench)
+      WHERE df <= {_DECON_MAX_DF}
     ), bn AS (
-      SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY bench_id
+      SELECT bench_id, COUNT(*) AS n_bench FROM rare GROUP BY bench_id
     ), hits AS (
       SELECT s.doc_id AS train_id, b.bench_id, COUNT(*) AS n_shared
-      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      FROM sh s JOIN rare b ON s.shingle = b.shingle
       WHERE s.doc_id <> b.bench_id
       GROUP BY s.doc_id, b.bench_id
     ), flagged AS (
@@ -1080,23 +1101,52 @@ def dedup_containment(spark, sf_dir):
     """,
 )
 def docs_decontaminate_report(spark, sf_dir):
-    """Decontamination as a TRANSFORM: the certified contamination rule
-    (>= 5% of a benchmark doc's distinct 8-char shingles shared,
-    benchmark = the doc_id %% 97 == 0 held-out proxy) becomes a drop
-    list, and the readout is what a pipeline publishes when it commits
-    the cut — per source: training docs, docs dropped, drop rate in ppm,
-    and the surviving token mass.  Completes the measure→transform pair
-    for the contamination firewall the same way docs_span_excision
-    completed docs_repeated_spans.
+    """Decontamination as a TRANSFORM: a training doc is dropped when it
+    shares >= 5% of a benchmark doc's RARE distinct 8-char shingles
+    (benchmark = the doc_id %% 97 == 0 held-out proxy; rare = present in
+    <= {df} benchmark docs — ubiquitous shingles are boilerplate, not
+    contamination signal, and pruning them is what BOUNDS the join
+    fan-out at any corpus size).  The readout is what a pipeline
+    publishes when it commits the cut — per source: training docs, docs
+    dropped, drop rate in ppm, and the surviving token mass.  Completes
+    the measure→transform pair for the contamination firewall the same
+    way docs_span_excision completed docs_repeated_spans.
 
-    Scale shape: reuses contamination_overlap's shared chain
-    (`_contam_hits` — benchmark shingles broadcast, train side never
-    shuffles raw shingles), then one anti-join-shaped LEFT join of the
-    drop list against the train spine and a per-source partial-combined
-    rollup."""
-    from kafka_sink_spark.extensions import text
+    Scale shape: benchmark shingles are DF-pruned with one window over
+    the (small, broadcastable) benchmark side, then broadcast; the train
+    side never shuffles raw shingles; the hits table is <= {df} rows per
+    train shingle BY CONSTRUCTION; the drop list LEFT-joins the train
+    spine and one partial-combined per-source rollup finishes."""
+    from pyspark.sql import Window as W
 
-    hits, bn = _contam_hits(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sh = (
+        docs.select(F.col("doc_id"), nm.alias("_nm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
+                    lambda i: F.col("_nm").substr(i, F.lit(8)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    rare = bench.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).where(F.col("_df") <= _DECON_MAX_DF).drop("_df")
+    bn = rare.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    hits = (
+        sh.join(F.broadcast(rare), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
     ratio = F.col("n_shared").cast("double") / F.col("n_bench")
     flagged = (
         hits.join(F.broadcast(bn), "bench_id")
@@ -1105,7 +1155,6 @@ def docs_decontaminate_report(spark, sf_dir):
         .distinct()
         .withColumn("_drop", F.lit(1))
     )
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     train = (
         docs.where(F.col("doc_id") % 97 != 0)
         .select(
@@ -1128,3 +1177,8 @@ def docs_decontaminate_report(spark, sf_dir):
         .cast("long")
         .alias("surviving_tokens"),
     )
+
+
+docs_decontaminate_report.__doc__ = docs_decontaminate_report.__doc__.format(
+    df=_DECON_MAX_DF
+)

@@ -248,15 +248,30 @@ def test_stream_classifier_keep_twin_matches_batch(spark, sf_dir):
         assert twin[src]["keep_ppm"] == b["keep_ppm"], src
 
 
-def test_decontaminate_report_consistent_with_overlap(spark, sf_dir):
+def test_decontaminate_drops_copy_keeps_disjoint(spark, tmp_path):
+    # doc 0 is the benchmark proxy (doc_id % 97 == 0); doc 1 copies it
+    # verbatim (every rare shingle shared -> dropped), doc 2 is disjoint
+    # (kept).  All shingles here are rare (DF-cap inactive), so the rule
+    # reduces to the plain 5% overlap on this fixture.
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    sf = _docs_fixture(
+        spark, tmp_path,
+        [bench_text, bench_text, "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6"],
+    )
+    rep = {r["source"]: r
+           for r in QUERIES["docs_decontaminate_report"](spark, sf).collect()}
+    # docs 1 (src1) and 2 (src0) are the training spine
+    assert sum(r["n_train_docs"] for r in rep.values()) == 2
+    assert rep["src1"]["n_dropped"] == 1      # the verbatim copy
+    assert rep["src0"]["n_dropped"] == 0      # the disjoint doc survives
+    assert rep["src0"]["surviving_tokens"] == 6
+    assert rep["src1"]["surviving_tokens"] == 0
+
+
+def test_decontaminate_spine_excludes_benchmark(spark, sf_dir):
     rep = QUERIES["docs_decontaminate_report"](spark, sf_dir).collect()
-    pairs = QUERIES["contamination_overlap"](spark, sf_dir).collect()
-    flagged_train = {
-        r["train_id"] for r in pairs if r["train_id"] % 97 != 0
-    }
-    assert sum(r["n_dropped"] for r in rep) == len(flagged_train)
-    # benchmark docs are excluded from the training spine
     from kafka_sink_spark.session import load_tables
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_train = docs.where("doc_id % 97 <> 0").count()
     assert sum(r["n_train_docs"] for r in rep) == n_train
+    assert all(r["n_dropped"] <= r["n_train_docs"] for r in rep)
