@@ -70,76 +70,74 @@ import kafka_sink_spark.plans.analytics_sanitize  # noqa: F401,E402  (registers 
 # tools/driver_check.py sweep (REPLICA_r*.md) plus the judge's own replica
 # run.
 #
-# Round-12 rotation: per the r11 verdict's #1 ask — burn the recert age
-# tail oldest-first.  74 catalog queries were last officially certified in
-# r5/r6 (aggregated over CORRECTNESS_r01-r11); the window carries the FULL
-# 24-query r5 cohort followed by the 26 alphabetically-first r6-cohort
-# queries (includes every query the verdict named: dedup_semantic,
-# corpus_heavy_hitters, embedding_power_iteration, customer_fuzzy_pairs,
-# docs_winnowing).  The remaining 24 r6 queries (events_top_paths ...
-# stream_sliding_rollup_twin, plus the new 12a/12b wave queries, which per
-# the verdict's #4/#6 asks are r13 window debt: dual-SF replica green this
-# round, certified officially next round) lead the r13 recert queue.
-# After this window lands, no query's last official certification is older
-# than r7.  The list is kept at EXACTLY 50 entries (window size; enforced
-# by tests/test_catalog_contract.py); everything else follows in original
+# Round-13 rotation: per the r12 verdict's #2 ask — the 11 round-12 queries
+# (waves 12a-12f) with ZERO official rows lead the window, followed by the
+# 24-query r6-cohort tail (events_top_paths ... stream_sliding_rollup_twin,
+# the oldest remaining official rows), then the 15 alphabetically-first
+# r7-cohort queries.  After this window lands, every r12 query is
+# officially certified and no query's last official certification is older
+# than r8.  New r13 queries are r14 window debt (dual-SF replica green this
+# round, certified officially next round — the established discipline).
+# The list is kept at EXACTLY 50 entries (window size; enforced by
+# tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
 # tests/test_entry_oracle.py over all oracle-paired queries at sf0.01.
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- full r5 cohort (oldest official rows in the catalog) --
-    "corpus_bigram_lift",
-    "corpus_bpe_pair_counts",
-    "corpus_source_report",
-    "docs_repeated_spans",
-    "events_asof_attribution",
-    "events_cube_rollup",
-    "events_dau_wau",
-    "events_engagement_matrix",
-    "events_funnel_conversion",
-    "events_hourly_rollup",
-    "events_markov_transitions",
-    "events_pivot_daily",
-    "events_range_window",
-    "events_retention_cohorts",
-    "events_rolling_window",
-    "events_salted_rollup",
-    "events_sessionize",
-    "events_set_ops",
-    "events_topk_per_user",
-    "events_user_rfm",
-    "events_value_band_join",
-    "events_value_ntile",
-    "orders_market_basket",
-    "pipeline_training_data",
-    # -- 26 alphabetically-first r6-cohort queries --
-    "corpus_bpe_merge_apply",
-    "corpus_heavy_hitters",
-    "corpus_vocab_growth",
-    "customer_fuzzy_pairs",
-    "dedup_minhash_accuracy",
-    "dedup_ppjoin_pairs",
-    "dedup_semantic",
-    "docs_chunk_overlap",
-    "docs_dsir_weights",
-    "docs_gopher_repetition",
-    "docs_keyword_topk",
-    "docs_language_id",
-    "docs_lm_predictability",
-    "docs_maximal_spans",
-    "docs_train_split_report",
-    "docs_winnowing",
-    "embedding_power_iteration",
-    "embedding_quantize_int8",
-    "events_ab_test",
-    "events_anomaly_seasonal",
-    "events_countmin_accuracy",
-    "events_ewma",
-    "events_ewma_anomaly",
-    "events_gap_median",
-    "events_mad_outliers",
-    "events_scd2_state",
+    # -- 11 round-12 queries, zero official rows (first-row priority) --
+    "docs_span_excision",
+    "docs_excision_length_dist",
+    "docs_excision_k_sweep",
+    "docs_line_dedup",
+    "docs_quality_classifier",
+    "docs_classifier_keep_rate",
+    "docs_sanitize_pipeline",
+    "docs_quality_signal_agreement",
+    "docs_decontaminate_report",
+    "stream_line_dedup_twin",
+    "stream_classifier_keep_twin",
+    # -- the 24-query r6-cohort tail (oldest official rows left) --
+    "events_top_paths",
+    "events_trend_slope",
+    "events_user_skew_topk",
+    "events_value_outliers",
+    "knn_ivf_pq",
+    "knn_ivf_pq_recall",
+    "knn_ivf_trained",
+    "knn_label_vote",
+    "knn_pq_trained",
+    "knn_rank_fusion",
+    "lineitem_zorder_layout",
+    "orders_itemset_triples",
+    "orders_open_backlog",
+    "parts_copurchase_pagerank",
+    "parts_copurchase_triangles",
+    "parts_label_propagation",
+    "pipeline_curation_v2",
+    "stream_dedup_twin",
+    "stream_enrich_twin",
+    "stream_ewma_twin",
+    "stream_interval_join_twin",
+    "stream_profile_twin",
+    "stream_sessionize_twin",
+    "stream_sliding_rollup_twin",
+    # -- 15 alphabetically-first r7-cohort queries --
+    "corpus_good_turing",
+    "corpus_rank_biased_overlap",
+    "corpus_skipgram_cooccurrence",
+    "corpus_vocab_coverage",
+    "dedup_containment",
+    "docs_burrows_delta",
+    "docs_keyphrase_rake",
+    "docs_mattr",
+    "docs_ngram_novelty",
+    "docs_simpson_diversity",
+    "docs_spearman_rho",
+    "docs_term_dispersion",
+    "embedding_centroid_silhouette",
+    "embedding_jl_distortion",
+    "events_autocorrelation",
 ]
 
 def _reorder_catalog() -> None:

@@ -270,7 +270,10 @@ def orders_itemset_triples(spark, sf_dir):
             "ok",
         )
         .where(F.col("item_c") > F.col("item_b"))
-        .join(F.broadcast(cand), ["item_a", "item_b", "item_c"], "left_semi")
+        # Apriori candidates under an ABSOLUTE minsup grow with SF (more
+        # pairs clear the bar on more data), so no broadcast hint — AQE
+        # decides by measured size (r13 audit; r6 constant-size rule).
+        .join(cand, ["item_a", "item_b", "item_c"], "left_semi")
     )
     return (
         triple_occ.groupBy("item_a", "item_b", "item_c")
@@ -511,9 +514,10 @@ def lineitem_bloom_fpr(spark, sf_dir):
         )
         .groupBy("pk")
         .agg((F.count("set_bit") == _BF_K).alias("positive"))
-        .join(
-            F.broadcast(members.withColumn("member", F.lit(True))), "pk", "left"
-        )
+        # members = distinct matching partkeys — grows with SF, so the
+        # truth-label join is unhinted (r13 audit); the BITS broadcast
+        # above stays: it is capped at K x M cells by construction.
+        .join(members.withColumn("member", F.lit(True)), "pk", "left")
         .select("pk", "positive", F.coalesce("member", F.lit(False)).alias("member"))
     )
     n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))

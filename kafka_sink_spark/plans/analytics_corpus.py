@@ -495,9 +495,11 @@ def docs_lm_predictability(spark, sf_dir):
     Scale shape: the (w1,w2) count table is vocabulary²-bounded, its w1
     marginal vocabulary-bounded — both partial-combined aggregations; the
     per-doc scoring joins the doc's bigram instances against the count
-    table on the (w1,w2) key (broadcastable for real vocabularies) and
-    reduces per doc. One tokenize pass, persisted across the count and
-    score consumers."""
+    table on the (w1,w2) key and reduces per doc.  The bigram-TYPE table
+    grows unboundedly with the corpus (Heaps' law squared), so the join
+    carries NO broadcast hint (r13 audit; r6 constant-size rule) — AQE
+    broadcasts it while it fits, shuffles at 100 TB vocabularies.  One
+    tokenize pass, persisted across the count and score consumers."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     bg = _doc_bigrams(docs)  # persisted + memoized inside
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
@@ -506,7 +508,7 @@ def docs_lm_predictability(spark, sf_dir):
         "w1", "w2", F.expr("(c_ab * 1000000) div c_a").alias("p_fixed")
     )
     return (
-        bg.join(F.broadcast(pf), ["w1", "w2"])
+        bg.join(pf, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

@@ -320,7 +320,10 @@ def corpus_top_terms(spark, sf_dir):
     """Per-language top terms by tf/df (term frequency over document
     frequency — ranks identically to tf·idf for fixed corpus size, without
     log(): libm transcendentals are not bit-identical across engines, IEEE
-    division is). df side is a small aggregate → broadcast join."""
+    division is). df side is one row per distinct term — vocabulary grows
+    sublinearly (Heaps' law) but UNBOUNDEDLY with the corpus, so the join
+    carries no broadcast hint (r12 verdict audit; r6 constant-size rule):
+    AQE broadcasts it while small, shuffles at 100 TB vocabulary sizes."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = docs.select(
         "doc_id",
@@ -331,7 +334,7 @@ def corpus_top_terms(spark, sf_dir):
     )
     tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term")
+    scored = tf.join(df, "term")
     ratio = F.col("tf").cast("double") / F.col("df")
     w = Window.partitionBy("lang").orderBy(ratio.desc(), F.col("term").asc())
     return (
@@ -513,15 +516,18 @@ def contamination_overlap(spark, sf_dir):
     the benchmark; every training doc sharing >= 5% of a benchmark doc's
     distinct 8-char shingles is flagged with its overlap fraction.
 
-    Scale path: the benchmark side is small by construction -> its distinct
-    shingle set broadcasts; the train side streams through a map-side hash
-    join keyed on the shingle, then one aggregation per (train, bench) pair.
-    At 100 TB the train shingle explosion never shuffles — only the matched
-    pairs do."""
+    Scale path: the benchmark side is ~1/97 of the corpus's distinct
+    shingles under the held-out proxy — SMALLER than the train side but
+    still corpus-scaling, so (r12 verdict, r6 rule) neither join carries a
+    broadcast HINT: AQE broadcasts the bench side while it fits and
+    degrades to a shuffle join at scale instead of OOMing the driver
+    (the dup-set broadcast fix of commit d1e1d64 additionally measured the
+    shuffle plan 2x faster at sf10).  Only the matched (train, bench)
+    pairs ever aggregate."""
     hits, bn = _contam_hits(spark, sf_dir)
     ratio = F.col("n_shared").cast("double") / F.col("n_bench")
     return (
-        hits.join(F.broadcast(bn), "bench_id")
+        hits.join(bn, "bench_id")
         .filter(ratio >= _CONTAM_MIN_OVERLAP)
         .select(
             "train_id", "bench_id", "n_shared", "n_bench",
@@ -535,7 +541,10 @@ def _contam_hits(spark, sf_dir):
     contamination chain of contamination_overlap.  (The decontamination
     transform below deliberately does NOT reuse it: its chain DF-prunes
     the benchmark shingles before the join, which is what bounds the
-    fan-out at scale — see _DECON_MAX_DF.)"""
+    fan-out at scale — see _DECON_MAX_DF.)  No broadcast hints anywhere
+    in the chain: bench shingles and the per-bench-doc counts both grow
+    linearly with the corpus (~1/97 of it), so the join strategy is left
+    to AQE per the r6 constant-size-hint rule."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     sh = (
@@ -556,7 +565,7 @@ def _contam_hits(spark, sf_dir):
     )
     bn = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     hits = (
-        sh.join(F.broadcast(bench), "shingle")
+        sh.join(bench, "shingle")
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -1113,10 +1122,15 @@ def docs_decontaminate_report(spark, sf_dir):
     way docs_span_excision completed docs_repeated_spans.
 
     Scale shape: benchmark shingles are DF-pruned with one window over
-    the (small, broadcastable) benchmark side, then broadcast; the train
-    side never shuffles raw shingles; the hits table is <= {df} rows per
-    train shingle BY CONSTRUCTION; the drop list LEFT-joins the train
-    spine and one partial-combined per-source rollup finishes."""
+    the benchmark side; the DF cap bounds each train shingle's join
+    fan-out to <= {df} rows BY CONSTRUCTION, but the pruned set itself
+    still grows linearly with the corpus (~1/97 of distinct shingles
+    under the proxy), so NO join in the chain carries a broadcast hint
+    (r12 verdict; r6 constant-size rule) — AQE broadcasts while small
+    and degrades to shuffle at scale, the same discipline (and the
+    faster-at-sf10 plan) the excision dup-set fix proved.  The drop
+    list LEFT-joins the train spine and one partial-combined per-source
+    rollup finishes."""
     from pyspark.sql import Window as W
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -1142,14 +1156,14 @@ def docs_decontaminate_report(spark, sf_dir):
     ).where(F.col("_df") <= _DECON_MAX_DF).drop("_df")
     bn = rare.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     hits = (
-        sh.join(F.broadcast(rare), "shingle")
+        sh.join(rare, "shingle")
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     ratio = F.col("n_shared").cast("double") / F.col("n_bench")
     flagged = (
-        hits.join(F.broadcast(bn), "bench_id")
+        hits.join(bn, "bench_id")
         .filter(ratio >= _CONTAM_MIN_OVERLAP)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()

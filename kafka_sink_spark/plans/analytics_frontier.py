@@ -164,8 +164,10 @@ def supplier_revenue_hhi(spark, sf_dir):
             .alias("rev_c")
         )
     )
+    # supplier grows with SF — no broadcast hint (r13 audit; r6 rule);
+    # nation (25 rows) below keeps its hint.
     s = rev.join(
-        F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+        t["supplier"].select("s_suppkey", "s_nationkey"),
         rev.l_suppkey == F.col("s_suppkey"),
     ).select(F.col("s_nationkey").alias("nationkey"), "rev_c")
     tot = s.groupBy("nationkey").agg(F.sum("rev_c").alias("nation_rev"))

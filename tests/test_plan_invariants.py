@@ -242,20 +242,30 @@ def test_repetition_stats_partial_aggs(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_top_terms_broadcasts_df_side(spark):
-    """tf/df ranking joins the small document-frequency aggregate via
-    broadcast — no shuffle of the tf side for the join."""
+def test_top_terms_df_join_unhinted(spark):
+    """tf/df ranking: the document-frequency side is one row per distinct
+    term — vocabulary grows unboundedly with the corpus, so the join must
+    carry NO broadcast hint (r12 verdict audit; r6 constant-size rule).
+    AQE may still choose a broadcast at this SF; what is pinned is that
+    nothing FORCES one at 100 TB."""
+    analyzed = _analyzed(spark, "corpus_top_terms")
+    assert "ResolvedHint" not in analyzed
     plan = _plan(spark, "corpus_top_terms")
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
-def test_contamination_broadcasts_bench_side(spark):
-    """Decontamination joins the (small) benchmark shingle set via broadcast
-    — the train-side shingle explosion must not shuffle for the join."""
+def test_contamination_joins_unhinted(spark):
+    """Decontamination (r12 verdict #1): the benchmark shingle set and the
+    per-bench-doc counts both grow linearly with the corpus (~1/97 of it
+    under the held-out proxy), so NO join in the chain may carry a
+    broadcast hint — AQE broadcasts while small and degrades to shuffle
+    at scale instead of OOMing the driver (the exact failure class the
+    r12 sf10 ladder caught twice on the excision dup sets)."""
+    analyzed = _analyzed(spark, "contamination_overlap")
+    assert "ResolvedHint" not in analyzed
     plan = _plan(spark, "contamination_overlap")
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_funnel_staged_aggs_no_window(spark):
@@ -623,6 +633,37 @@ def test_no_forced_broadcast_of_sf_scaling_tables(spark):
         )
 
 
+def test_r13_audited_broadcast_hint_counts(spark):
+    """r13 full audit of the catalog's F.broadcast sites against the r6
+    constant-size rule (r12 verdict ask #1).  Five corpus-/SF-scaling
+    hints were removed: the bigram-type probability table
+    (docs_lm_predictability), Apriori candidates under absolute minsup
+    (orders_itemset_triples), the bloom-membership truth labels
+    (lineitem_bloom_fpr — the fixed KxM BITS broadcast stays), the
+    customer dimension (stream_enrich_twin), and the supplier side
+    (supplier_revenue_hhi — nation + 25-row per-nation totals stay).
+    The counts below are exactly the surviving constant-/cluster-bounded
+    hints; adding a hint to a scaling input raises a count and fails."""
+    expected = {
+        "docs_lm_predictability": 0,
+        "orders_itemset_triples": 0,
+        "lineitem_bloom_fpr": 2,       # KxM bits + 1-row bits_set scalar
+        "supplier_revenue_hhi": 2,     # 25-row nation totals + nation
+        "corpus_top_terms": 0,
+        "contamination_overlap": 0,
+        "docs_decontaminate_report": 0,
+        "stream_enrich_twin": 0,
+        # Misra-Gries candidates are <= K x partitions (cluster-bounded,
+        # not corpus-bounded) + the 1-row total scalar — both sanctioned.
+        "corpus_heavy_hitters": 2,
+    }
+    for name, n_hints in expected.items():
+        analyzed = _analyzed(spark, name)
+        assert analyzed.count("ResolvedHint") == n_hints, (
+            name, analyzed.count("ResolvedHint"), n_hints
+        )
+
+
 def test_exact_dedup_semi_join_unhinted(spark):
     """exact_dedup's keep-set scales with the corpus: the semi join must
     carry no broadcast hint (VERDICT r6 flagged the forced corpus-sized
@@ -849,23 +890,35 @@ def test_k_sweep_bounded_union_no_cartesian(spark):
 
 def test_dup_set_joins_never_broadcast(spark):
     """The excision-family duplicate sets scale with the corpus (they ARE
-    the boilerplate census), so their coverage joins must shuffle on the
-    hash — a broadcast there OOMs the driver at 100x (caught live by the
-    sf10 ladder on the 3-branch k-sweep)."""
-    for name in (
-        "docs_span_excision",
-        "docs_excision_k_sweep",
-        "docs_quality_signal_agreement",
-    ):
+    the boilerplate census), so the hx-keyed coverage joins must shuffle
+    on the hash — a broadcast there OOMs the driver at 100x (caught live
+    by the sf10 ladder on the 3-branch k-sweep).  Key-specific per the
+    r12 ADVICE: asserting 'some shuffle join exists' would stay green if
+    the hx join itself regressed to a broadcast while another join in the
+    plan shuffled, so every hx-keyed join is checked by its key."""
+    import re
+
+    min_hx_joins = {
+        "docs_span_excision": 1,
+        "docs_excision_k_sweep": 3,  # one per k branch in the union
+        "docs_quality_signal_agreement": 1,
+    }
+    for name, n_min in min_hx_joins.items():
         plan = _plan(spark, name)
-        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, name
+        assert not re.search(r"BroadcastHashJoin \[hx#", plan), name
+        shuffled = re.findall(r"(?:ShuffledHashJoin|SortMergeJoin) \[hx#", plan)
+        assert len(shuffled) >= n_min, (name, len(shuffled), n_min)
 
 
-def test_decontaminate_broadcasts_bench_not_train(spark):
-    """Decontaminate (12f): the benchmark shingle set broadcasts (small by
-    construction — the held-out proxy), the train side never shuffles raw
-    shingles, and the drop-list join back to the spine is hash-keyed."""
+def test_decontaminate_joins_unhinted(spark):
+    """Decontaminate (12f, flipped per the r12 verdict #1): the DF-pruned
+    benchmark shingle set still grows linearly with the corpus (~1/97 of
+    distinct shingles under the proxy), so no join in the chain may carry
+    a broadcast hint — the DF cap bounds per-shingle fan-out, AQE picks
+    the join strategy by measured size."""
+    analyzed = _analyzed(spark, "docs_decontaminate_report")
+    assert "ResolvedHint" not in analyzed
     plan = _plan(spark, "docs_decontaminate_report")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
