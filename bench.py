@@ -63,6 +63,9 @@ SUBSEC_CUT = 1.0        # cohort membership: baseline below this, seconds
 COHORT_FLAG = 1.2       # cohort summed normalized ratio
 MEMBER_FLAG = 1.75      # single sub-second member normalized ratio
 MEMBER_ABS = 0.05       # single sub-second member absolute delta, seconds
+CANARY_WARN = 1.5       # raw canary ratio above this is surfaced loudly
+COHORT_RETRY_MIN = 1.1  # cohort members above this normalized ratio retry
+COHORT_RETRY_CAP = 12   # at most this many cohort members re-measured
 
 
 def bench_queries() -> list[str]:
@@ -130,6 +133,44 @@ def compare_to_baseline(
         "cohort_ratio": round(cohort_ratio, 3),
         "cohort_flagged": cohort_ratio > COHORT_FLAG,
         "member_flagged": member_flagged,
+    }
+
+
+def cohort_retry_candidates(cmp: dict) -> list[str]:
+    """When the cohort-sum gate trips, the worst-drifting members get an
+    end-of-suite re-measure BEFORE the final verdict (r12 ADVICE: one
+    transient contention burst spread across many small queries otherwise
+    produces an unretried phantom cohort regression — exactly the artifact
+    class the per-query retry loop exists to suppress)."""
+    if not cmp["cohort_flagged"]:
+        return []
+    drifting = [n for n in cmp["cohort"] if cmp["normalized"][n] > COHORT_RETRY_MIN]
+    drifting.sort(key=lambda n: cmp["normalized"][n], reverse=True)
+    return drifting[:COHORT_RETRY_CAP]
+
+
+def cohort_vs_anchor(
+    times: dict[str, float],
+    anchorq: dict[str, float],
+    canary_ratio_anchor: float = 1.0,
+) -> dict:
+    """Sub-second cohort sum vs a FIXED early-round anchor (r12 verdict ask
+    #5): the rolling wholesale re-pin launders ~5%/round compounding drift
+    into each new baseline — two consecutive +10% re-pins each read ~1.1x
+    against their own fresh pin, while this anchor reads the true 1.21x.
+    Membership comes from the ANCHOR's pins (baseline < 1 s) so the basket
+    is stable across rounds; the ratio is normalized by the canary measured
+    against the ANCHOR's canary pin."""
+    cr = canary_ratio_anchor if canary_ratio_anchor > 0 else 1.0
+    cohort = [n for n, t in anchorq.items() if t < SUBSEC_CUT and n in times]
+    c_sum = sum(times[n] for n in cohort)
+    c_base = sum(anchorq[n] for n in cohort)
+    ratio = (c_sum / c_base) / cr if c_base else 1.0
+    return {
+        "n": len(cohort),
+        "sum": round(c_sum, 3),
+        "anchor_sum": round(c_base, 3),
+        "ratio_normalized": round(ratio, 3),
     }
 
 
@@ -205,11 +246,16 @@ def main() -> None:
             # End-of-suite re-measure: a query can cross the flag line from
             # transient box contention alone (r8-r10 each saw exactly one
             # such excursion; the plan was unchanged).  Any candidate —
-            # per-query flagged OR a flagged sub-second member — gets a
-            # second min-of-reps NOW and keeps its overall minimum, with
-            # BOTH the original and retried times published so the
-            # excursion magnitude stays auditable (r11 ADVICE).
-            retry = sorted(set(cmp0["flagged"]) | set(cmp0["member_flagged"]))
+            # per-query flagged, a flagged sub-second member, OR (r12
+            # ADVICE) the worst-drifting cohort members when the cohort-sum
+            # gate trips — gets a second min-of-reps NOW and keeps its
+            # overall minimum, with BOTH the original and retried times
+            # published so the excursion magnitude stays auditable.
+            retry = sorted(
+                set(cmp0["flagged"])
+                | set(cmp0["member_flagged"])
+                | set(cohort_retry_candidates(cmp0))
+            )
             remeasured: dict[str, list[float]] = {}
             for name in retry:
                 orig = times[name]
@@ -242,7 +288,40 @@ def main() -> None:
                 regressions[n] = cmp1["normalized"][n]
             if cmp1["cohort_flagged"]:
                 regressions["__subsecond_cohort__"] = cmp1["cohort_ratio"]
+            # Canary-normalization backstop (r12 ADVICE, medium): the
+            # canary shares the session with the catalog, so a repo-caused
+            # GLOBAL slowdown (get_spark config change, dependency bump)
+            # slows it identically and is fully cancelled — the normalized
+            # gate alone would be blind to it.  A raw canary ratio past
+            # CANARY_WARN is therefore surfaced IN the regressions dict:
+            # either the host mode really is that bad (auditable) or a
+            # masked suite-wide regression just became loud.
+            if canary_ratio > CANARY_WARN:
+                regressions["__canary__"] = round(canary_ratio, 3)
+                out["canary_warning"] = (
+                    f"raw canary ratio {canary_ratio:.3f} exceeds "
+                    f"{CANARY_WARN} — if session/config code changed this "
+                    "round, suspect a masked global regression, not host "
+                    "mode"
+                )
             out["regressions"] = regressions
+
+    # Fixed-anchor cohort readout (r12 verdict ask #5): BENCH_ANCHOR.json is
+    # pinned ONCE (r12 canary-pinned baseline) and never re-pinned, so
+    # compounding drift that wholesale re-pins launder away stays visible.
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json"
+    )
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if anchor.get("sf") == sf:
+            a_canary = anchor.get("canary", 0.0)
+            a_ratio = canary_now / a_canary if a_canary else 1.0
+            out["cohort_vs_anchor"] = cohort_vs_anchor(
+                times, anchor.get("queries", {}), a_ratio
+            )
+            out["cohort_vs_anchor"]["anchor"] = anchor.get("source", "?")
 
     print(json.dumps(out))
     spark.stop()

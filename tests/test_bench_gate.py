@@ -15,8 +15,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (
+    CANARY_WARN,
     COHORT_FLAG,
+    COHORT_RETRY_CAP,
     MEMBER_FLAG,
+    cohort_retry_candidates,
+    cohort_vs_anchor,
     compare_to_baseline,
 )
 
@@ -81,3 +85,62 @@ def test_cohort_gate_ignores_queries_at_or_above_one_second():
     cmp = compare_to_baseline(times, base)
     assert cmp["cohort"] == ["small0"]
     assert not cmp["cohort_flagged"]
+
+
+def test_tripped_cohort_gate_yields_retry_candidates():
+    """r12 ADVICE: a transient contention burst spread across many small
+    queries must get a re-measure before the cohort flag is final — the
+    worst-drifting members are returned, capped, worst-first."""
+    base = _flat_baseline()
+    times = {n: (t * 1.3 if t < 1.0 else t) for n, t in base.items()}
+    times["small3"] = base["small3"] * 1.6  # the worst drifter leads
+    cmp = compare_to_baseline(times, base)
+    assert cmp["cohort_flagged"]
+    cands = cohort_retry_candidates(cmp)
+    assert cands[0] == "small3"
+    assert 0 < len(cands) <= COHORT_RETRY_CAP
+    assert all(cmp["normalized"][n] > 1.1 for n in cands)
+    # an untripped gate retries nothing
+    calm = compare_to_baseline(dict(base), base)
+    assert cohort_retry_candidates(calm) == []
+
+
+def test_two_consecutive_repins_still_show_drift_vs_anchor():
+    """r12 verdict ask #5: the rolling wholesale re-pin launders ~10%/round
+    compounding drift into each fresh baseline; the FIXED anchor does not.
+    Simulate two rounds of +10% drift with a re-pin between them: each
+    round reads ~1.1x against its own rolling pin, but the anchor readout
+    shows the compounded 1.21x."""
+    anchor = _flat_baseline()
+    round1 = {n: t * 1.1 for n, t in anchor.items()}
+    # rolling gate, round 1: vs the anchor-era pin -> 1.1x
+    cmp1 = compare_to_baseline(round1, anchor)
+    assert abs(cmp1["cohort_ratio"] - 1.1) < 0.01
+    # wholesale re-pin: round1 becomes the new rolling baseline
+    repinned = dict(round1)
+    round2 = {n: t * 1.1 for n, t in round1.items()}
+    cmp2 = compare_to_baseline(round2, repinned)
+    assert abs(cmp2["cohort_ratio"] - 1.1) < 0.01  # drift laundered
+    assert not cmp2["cohort_flagged"]              # rolling gate is blind
+    vs_anchor = cohort_vs_anchor(round2, anchor)
+    assert abs(vs_anchor["ratio_normalized"] - 1.21) < 0.01  # anchor is not
+    # and a genuine host mode measured against the ANCHOR's canary pin is
+    # still divided out rather than read as drift
+    hosty = {n: t * 1.5 for n, t in anchor.items()}
+    vs = cohort_vs_anchor(hosty, anchor, canary_ratio_anchor=1.5)
+    assert abs(vs["ratio_normalized"] - 1.0) < 0.01
+
+
+def test_anchor_membership_comes_from_anchor_pins():
+    anchor = {"small0": 0.5, "big0": 4.0, "retired": 0.3}
+    times = {"small0": 0.6, "big0": 9.0}  # 'retired' left the catalog
+    vs = cohort_vs_anchor(times, anchor)
+    assert vs["n"] == 1                    # big0 >= 1 s, retired absent
+    assert abs(vs["ratio_normalized"] - 1.2) < 0.01
+
+
+def test_canary_warn_threshold_is_between_modes():
+    """The backstop (r12 ADVICE, medium) must fire on the observed ~1.9-2.6x
+    host modes AND on a masked suite-wide regression of the same size, but
+    not on the ~1.05-1.2x session jitter every round shows."""
+    assert 1.2 < CANARY_WARN < 1.9

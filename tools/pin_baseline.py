@@ -51,12 +51,13 @@ def main() -> None:
     }
     # Host-mode canary pin (r11 verdict ask #2): the run's min-of-reps
     # canary time becomes the denominator for the next round's
-    # canary-normalized ratios.
+    # canary-normalized ratios.  Guarded (r12 ADVICE): a run file whose
+    # canary dict lacks start/end (hand-edited, older bench) skips the
+    # canary pin instead of aborting the whole re-pin on a ValueError.
     canary = run.get("canary") or {}
-    if canary:
-        out["canary"] = min(
-            v for k, v in canary.items() if k in ("start", "end")
-        )
+    canary_vals = [v for k, v in canary.items() if k in ("start", "end")]
+    if canary_vals:
+        out["canary"] = min(canary_vals)
     with open(base_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
