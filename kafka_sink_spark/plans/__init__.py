@@ -58,6 +58,7 @@ import kafka_sink_spark.plans.analytics_guardrails  # noqa: F401,E402  (register
 import kafka_sink_spark.plans.analytics_refinement  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_weblm  # noqa: F401,E402  (registers into the catalog)
 import kafka_sink_spark.plans.analytics_sanitize  # noqa: F401,E402  (registers into the catalog)
+import kafka_sink_spark.plans.analytics_webpipe  # noqa: F401,E402  (registers into the catalog)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

@@ -1061,11 +1061,11 @@ def dedup_containment(spark, sf_dir):
 # ~9 BILLION rows at sf10, caught live by the sf10 ladder.)
 _DECON_MAX_DF = 10
 
-
-@register(
-    "docs_decontaminate_report",
-    oracle=f"""
-    WITH n AS (
+# Shared oracle fragment: the DF-pruned decontamination chain down to the
+# ``flagged`` drop list.  Consumed by the docs_decontaminate_report oracle
+# below AND the composed web-pipeline funnel (plans/analytics_webpipe.py) —
+# single-sourced per the r11 log2-template lesson.
+_DECON_CTES = f"""n AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
       FROM documents
     ), sh AS (
@@ -1092,7 +1092,59 @@ _DECON_MAX_DF = 10
       SELECT DISTINCT h.train_id
       FROM hits h JOIN bn ON bn.bench_id = h.bench_id
       WHERE CAST(h.n_shared AS DOUBLE) / bn.n_bench >= {_CONTAM_MIN_OVERLAP}
-    ), train AS (
+    )"""
+
+
+def _decon_flagged(spark, sf_dir):
+    """DISTINCT doc_ids sharing >= {_CONTAM_MIN_OVERLAP:.0%} of any
+    benchmark doc's DF-pruned rare shingles — the Spark twin of the
+    ``flagged`` CTE in _DECON_CTES, shared by docs_decontaminate_report
+    and the composed web-pipeline funnel (analytics_webpipe).  No
+    broadcast hints anywhere (r6 constant-size rule): every side grows
+    with the corpus, AQE picks the strategies."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sh = (
+        docs.select(F.col("doc_id"), nm.alias("_nm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
+                    lambda i: F.col("_nm").substr(i, F.lit(8)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    rare = bench.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).where(F.col("_df") <= _DECON_MAX_DF).drop("_df")
+    bn = rare.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    hits = (
+        sh.join(rare, "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("n_bench")
+    return (
+        hits.join(bn, "bench_id")
+        .filter(ratio >= _CONTAM_MIN_OVERLAP)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+
+
+@register(
+    "docs_decontaminate_report",
+    oracle=f"""
+    WITH {_DECON_CTES}, train AS (
       SELECT d.doc_id, d.source,
              CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
                                   x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -1131,44 +1183,8 @@ def docs_decontaminate_report(spark, sf_dir):
     faster-at-sf10 plan) the excision dup-set fix proved.  The drop
     list LEFT-joins the train spine and one partial-combined per-source
     rollup finishes."""
-    from pyspark.sql import Window as W
-
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    sh = (
-        docs.select(F.col("doc_id"), nm.alias("_nm"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
-                    lambda i: F.col("_nm").substr(i, F.lit(8)),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
-    )
-    rare = bench.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    ).where(F.col("_df") <= _DECON_MAX_DF).drop("_df")
-    bn = rare.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
-    hits = (
-        sh.join(rare, "shingle")
-        .filter(F.col("doc_id") != F.col("bench_id"))
-        .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    ratio = F.col("n_shared").cast("double") / F.col("n_bench")
-    flagged = (
-        hits.join(bn, "bench_id")
-        .filter(ratio >= _CONTAM_MIN_OVERLAP)
-        .select(F.col("train_id").alias("doc_id"))
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
+    flagged = _decon_flagged(spark, sf_dir).withColumn("_drop", F.lit(1))
     train = (
         docs.where(F.col("doc_id") % 97 != 0)
         .select(

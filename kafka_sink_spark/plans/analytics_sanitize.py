@@ -674,10 +674,12 @@ def stream_line_dedup_twin(spark, sf_dir):
     return finish_stream_twin(spark, q, name, result, (src, ck))
 
 
-@register(
-    "docs_sanitize_pipeline",
-    oracle=f"""
-    WITH {_EXC_CTES}, seg2 AS (
+# Shared oracle fragments (single-sourced per the r11 log2-template
+# lesson): the per-doc line-dedup cut and the classifier score, written
+# against the ``toks`` CTE of _EXC_CTES.  Consumed by the
+# docs_sanitize_pipeline oracle below AND the composed web-pipeline
+# funnel (plans/analytics_webpipe.py).
+_LIN_CTES = f"""seg2 AS (
       SELECT doc_id, s,
              array_to_string(
                list_slice(t, s * {_LINE_W} + 1, s * {_LINE_W} + {_LINE_W}),
@@ -695,7 +697,9 @@ def stream_line_dedup_twin(spark, sf_dir):
              CAST(SUM(CASE WHEN rn > 1 THEN chars ELSE 0 END) AS BIGINT)
                AS line_removed_chars
       FROM ranked2 GROUP BY doc_id
-    ), feats2 AS (
+    )"""
+
+_CLS2_CTES = f"""feats2 AS (
       SELECT doc_id,
              ('0x' || substr(md5(term), 1, 15))::BIGINT % {_CLS_BUCKETS} AS f
       FROM (
@@ -710,7 +714,13 @@ def stream_line_dedup_twin(spark, sf_dir):
              CAST(SUM({_CLS_W_DUCK.format(f="f")}) * 1000000 // COUNT(*)
                   - {_CLS_BIAS_MICRO} AS BIGINT) AS score_micro
       FROM feats2 GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "docs_sanitize_pipeline",
+    oracle=f"""
+    WITH {_EXC_CTES}, {_LIN_CTES}, {_CLS2_CTES}
     SELECT per.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN s.score_micro >= 0 THEN 1 ELSE 0 END)

@@ -910,6 +910,36 @@ def test_dup_set_joins_never_broadcast(spark):
         assert len(shuffled) >= n_min, (name, len(shuffled), n_min)
 
 
+def test_web_funnel_composition_adds_no_hints(spark):
+    """The r13 composed web-pipeline funnel joins six certified per-doc
+    frames on doc_id: the composition itself must add NO hints — the only
+    two in the analyzed plan are the substrates' own sanctioned ones (the
+    excision dup-set shuffle_hash from the r12 sf10 OOM fix, and the KN
+    chain's 1-row total broadcast).  No cartesians, hx join still
+    shuffled, rollups partial-combined."""
+    import re
+
+    for name in ("pipeline_web_curation_report", "pipeline_web_stage_ladder"):
+        analyzed = _analyzed(spark, name)
+        assert analyzed.count("ResolvedHint") == 2, (
+            name, analyzed.count("ResolvedHint")
+        )
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert not re.search(r"BroadcastHashJoin \[hx#", plan), name
+        assert "partial_count" in plan, name
+
+
+def test_web_ladder_single_aggregate_constant_rows(spark):
+    """The stage ladder reduces the per-doc spine to ONE 1-row aggregate
+    then stacks a constant 6 rows — the generator (stack) must sit above
+    the final single-partition aggregate, never over a corpus-sized
+    input."""
+    plan = _plan(spark, "pipeline_web_stage_ladder")
+    assert "Generate stack" in plan or "stack(" in plan
+    assert "partial_sum" in plan
+
+
 def test_decontaminate_joins_unhinted(spark):
     """Decontaminate (12f, flipped per the r12 verdict #1): the DF-pruned
     benchmark shingle set still grows linearly with the corpus (~1/97 of
