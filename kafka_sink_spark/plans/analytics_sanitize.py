@@ -141,8 +141,17 @@ def _excision_per_doc(spark, sf_dir: str) -> DataFrame:
     tokpos = staged.select(
         "doc_id", "source", F.posexplode("_t").alias("pos", "w")
     )
+    # The covered-position set ALSO scales with the corpus (on a
+    # boilerplate-heavy corpus it approaches every token position), so
+    # the (doc_id, pos) join back to the token table must never build a
+    # broadcast either — the r13 sf30 ladder caught AQE OOMing the driver
+    # on exactly that (notEnoughMemoryToBuildAndBroadcastTableError),
+    # invisible at sf10.  Pinned sort-merge, not shuffle_hash: BOTH sides
+    # are corpus-sized here (unlike the hash-only dup set), and SMJ
+    # spills to disk instead of holding a per-task hash map of the
+    # coverage census.
     per = (
-        tokpos.join(cov, ["doc_id", "pos"], "left")
+        tokpos.join(cov.hint("merge"), ["doc_id", "pos"], "left")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -910,18 +910,36 @@ def test_dup_set_joins_never_broadcast(spark):
         assert len(shuffled) >= n_min, (name, len(shuffled), n_min)
 
 
+def test_excision_coverage_join_never_broadcast(spark):
+    """The covered-position set approaches EVERY token position on a
+    boilerplate-heavy corpus, so the (doc_id, pos) join back to the token
+    table must never build a broadcast — the r13 sf30 ladder caught AQE
+    OOMing the driver on exactly that (invisible at sf10).  Pinned
+    sort-merge (both sides corpus-sized; spills instead of holding the
+    coverage census in a hash map)."""
+    import re
+
+    for name in ("docs_span_excision", "docs_sanitize_pipeline"):
+        plan = _plan(spark, name)
+        assert not re.search(
+            r"BroadcastHashJoin \[doc_id#\d+L?, pos#", plan
+        ), name
+        assert re.search(r"SortMergeJoin \[doc_id#\d+L?, pos#", plan), name
+
+
 def test_web_funnel_composition_adds_no_hints(spark):
     """The r13 composed web-pipeline funnel joins six certified per-doc
     frames on doc_id: the composition itself must add NO hints — the only
     two in the analyzed plan are the substrates' own sanctioned ones (the
-    excision dup-set shuffle_hash from the r12 sf10 OOM fix, and the KN
-    chain's 1-row total broadcast).  No cartesians, hx join still
-    shuffled, rollups partial-combined."""
+    excision dup-set shuffle_hash from the r12 sf10 OOM fix, the excision
+    coverage-join merge pin from the r13 sf30 OOM fix, and the KN chain's
+    1-row total broadcast).  No cartesians, hx join still shuffled,
+    rollups partial-combined."""
     import re
 
     for name in ("pipeline_web_curation_report", "pipeline_web_stage_ladder"):
         analyzed = _analyzed(spark, name)
-        assert analyzed.count("ResolvedHint") == 2, (
+        assert analyzed.count("ResolvedHint") == 3, (
             name, analyzed.count("ResolvedHint")
         )
         plan = _plan(spark, name)

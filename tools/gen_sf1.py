@@ -12,6 +12,10 @@ dupes IS the realistic dedup-at-scale shape).
 
 Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/sf1)
 SPARK_GRAFT_GEN_REPLICAS overrides the 10x factor (e.g. 100 -> sf10).
+SPARK_GRAFT_GEN_TABLES (comma list) restricts generation to a table
+subset — the r13 sf30/sf100 excision/decontamination ladders only read
+``documents``, so replicating lineitem there would waste gigabytes and
+minutes for nothing.
 """
 
 from __future__ import annotations
@@ -76,7 +80,13 @@ def main() -> None:
         con.execute(f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
     )
 
+    only = os.environ.get("SPARK_GRAFT_GEN_TABLES")
+    tables = (
+        {t.strip() for t in only.split(",")} if only else set(PLAN)
+    )
     for table, plan in PLAN.items():
+        if table not in tables:
+            continue
         src = f"{SRC}/{table}.parquet"
         dst = f"{out}/{table}.parquet"
         if plan is None:
