@@ -518,16 +518,18 @@ def contamination_overlap(spark, sf_dir):
 
     Scale path: the benchmark side is ~1/97 of the corpus's distinct
     shingles under the held-out proxy — SMALLER than the train side but
-    still corpus-scaling, so (r12 verdict, r6 rule) neither join carries a
-    broadcast HINT: AQE broadcasts the bench side while it fits and
-    degrades to a shuffle join at scale instead of OOMing the driver
-    (the dup-set broadcast fix of commit d1e1d64 additionally measured the
-    shuffle plan 2x faster at sf10).  Only the matched (train, bench)
+    still corpus-scaling, so no broadcast is allowed in either direction:
+    not by HINT (r6 rule) and not by AQE either — the r13 sf30 ladder
+    caught AQE's compressed-size estimate putting the string-heavy
+    shingle side under the 64 MB threshold while the driver-side build
+    blew past maxResultSize.  Both joins are PINNED shuffle_hash (the
+    excision dup-set discipline of commit d1e1d64, whose shuffle plan was
+    additionally 2x faster at sf10).  Only the matched (train, bench)
     pairs ever aggregate."""
     hits, bn = _contam_hits(spark, sf_dir)
     ratio = F.col("n_shared").cast("double") / F.col("n_bench")
     return (
-        hits.join(bn, "bench_id")
+        hits.join(bn.hint("shuffle_hash"), "bench_id")
         .filter(ratio >= _CONTAM_MIN_OVERLAP)
         .select(
             "train_id", "bench_id", "n_shared", "n_bench",
@@ -541,10 +543,15 @@ def _contam_hits(spark, sf_dir):
     contamination chain of contamination_overlap.  (The decontamination
     transform below deliberately does NOT reuse it: its chain DF-prunes
     the benchmark shingles before the join, which is what bounds the
-    fan-out at scale — see _DECON_MAX_DF.)  No broadcast hints anywhere
-    in the chain: bench shingles and the per-bench-doc counts both grow
-    linearly with the corpus (~1/97 of it), so the join strategy is left
-    to AQE per the r6 constant-size-hint rule."""
+    fan-out at scale — see _DECON_MAX_DF.)  The bench-shingle and
+    per-bench-doc-count sides grow linearly with the corpus (~1/97 of
+    it), so they are PINNED to shuffle joins: the r13 sf30 ladder showed
+    that leaving them to AQE OOMs the driver — the compressed shuffle
+    size of the string-heavy shingle side slips under the 64 MB
+    broadcast threshold while the actual driver-side broadcast build
+    exceeds maxResultSize (the same corpus-scaling-side class as the
+    excision dup sets, same fix as commit d1e1d64; a broadcast HINT
+    would be worse still, r6 rule)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     sh = (
@@ -565,7 +572,7 @@ def _contam_hits(spark, sf_dir):
     )
     bn = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     hits = (
-        sh.join(bench, "shingle")
+        sh.join(bench.hint("shuffle_hash"), "shingle")
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -1127,14 +1134,14 @@ def _decon_flagged(spark, sf_dir):
     ).where(F.col("_df") <= _DECON_MAX_DF).drop("_df")
     bn = rare.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
     hits = (
-        sh.join(rare, "shingle")
+        sh.join(rare.hint("shuffle_hash"), "shingle")
         .filter(F.col("doc_id") != F.col("bench_id"))
         .groupBy(F.col("doc_id").alias("train_id"), F.col("bench_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     ratio = F.col("n_shared").cast("double") / F.col("n_bench")
     return (
-        hits.join(bn, "bench_id")
+        hits.join(bn.hint("shuffle_hash"), "bench_id")
         .filter(ratio >= _CONTAM_MIN_OVERLAP)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
@@ -1177,10 +1184,11 @@ def docs_decontaminate_report(spark, sf_dir):
     the benchmark side; the DF cap bounds each train shingle's join
     fan-out to <= {df} rows BY CONSTRUCTION, but the pruned set itself
     still grows linearly with the corpus (~1/97 of distinct shingles
-    under the proxy), so NO join in the chain carries a broadcast hint
-    (r12 verdict; r6 constant-size rule) — AQE broadcasts while small
-    and degrades to shuffle at scale, the same discipline (and the
-    faster-at-sf10 plan) the excision dup-set fix proved.  The drop
+    under the proxy), so its joins are PINNED shuffle_hash: no broadcast
+    hint (r6 rule), and no AQE broadcast either — the r13 sf30 ladder
+    caught AQE mis-sizing the string-heavy shingle side into a
+    driver-OOM broadcast build (maxResultSize), the same class the
+    excision dup-set fix closed one join upstream.  The drop
     list LEFT-joins the train spine and one partial-combined per-source
     rollup finishes."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]

@@ -36,10 +36,10 @@ excision/line substrates — joined on the single doc_id key
 (co-partitioned equi-joins), then ONE partial-combined rollup.  The
 composition itself adds NO hints (r6 constant-size rule; every funnel
 side scales with the corpus); the only hints in the analyzed plan are the
-substrates' own sanctioned three — the excision dup-set shuffle_hash (the
-r12 sf10 OOM fix), the excision coverage-join merge pin (the r13 sf30 OOM
-fix), and the KN chain's 1-row total broadcast — pinned by
-tests/test_plan_invariants.py.  Every published number is an exact
+substrates' own sanctioned five — the excision dup-set shuffle_hash (the
+r12 sf10 OOM fix), the excision coverage-join merge pin and the two decon
+shuffle pins (the r13 sf30 OOM fixes), and the KN chain's 1-row total
+broadcast — pinned by tests/test_plan_invariants.py.  Every published number is an exact
 integer, so the DuckDB twin hash-matches bit-for-bit.
 
 Reference anchor: datastax/kafka-sink has no analytics surface

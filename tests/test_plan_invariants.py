@@ -254,16 +254,19 @@ def test_top_terms_df_join_unhinted(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_contamination_joins_unhinted(spark):
-    """Decontamination (r12 verdict #1): the benchmark shingle set and the
-    per-bench-doc counts both grow linearly with the corpus (~1/97 of it
-    under the held-out proxy), so NO join in the chain may carry a
-    broadcast hint — AQE broadcasts while small and degrades to shuffle
-    at scale instead of OOMing the driver (the exact failure class the
-    r12 sf10 ladder caught twice on the excision dup sets)."""
+def test_contamination_joins_pinned_shuffle(spark):
+    """Decontamination (r12 verdict #1, then revised by the r13 sf30
+    ladder): the benchmark shingle set and the per-bench-doc counts grow
+    linearly with the corpus (~1/97 of it), so no BROADCAST hint is
+    allowed (r6 rule) — but leaving them fully unhinted is not safe
+    either: at sf30 AQE's compressed-size estimate put the string-heavy
+    shingle side under the 64 MB threshold while the driver-side
+    broadcast build blew past maxResultSize (1 GB).  Both joins are
+    therefore PINNED shuffle_hash, the excision dup-set discipline."""
     analyzed = _analyzed(spark, "contamination_overlap")
-    assert "ResolvedHint" not in analyzed
+    assert analyzed.count("ResolvedHint") == 2  # the two shuffle pins
     plan = _plan(spark, "contamination_overlap")
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -650,8 +653,12 @@ def test_r13_audited_broadcast_hint_counts(spark):
         "lineitem_bloom_fpr": 2,       # KxM bits + 1-row bits_set scalar
         "supplier_revenue_hhi": 2,     # 25-row nation totals + nation
         "corpus_top_terms": 0,
-        "contamination_overlap": 0,
-        "docs_decontaminate_report": 0,
+        # 2 = the shuffle_hash PINS on the corpus-scaling shingle joins
+        # (the r13 sf30 catch: AQE mis-sizes string-heavy sides into
+        # driver-OOM broadcasts) — shuffle pins are the opposite of the
+        # banned broadcast hints.
+        "contamination_overlap": 2,
+        "docs_decontaminate_report": 2,
         "stream_enrich_twin": 0,
         # Misra-Gries candidates are <= K x partitions (cluster-bounded,
         # not corpus-bounded) + the 1-row total scalar — both sanctioned.
@@ -932,14 +939,14 @@ def test_web_funnel_composition_adds_no_hints(spark):
     frames on doc_id: the composition itself must add NO hints — the only
     two in the analyzed plan are the substrates' own sanctioned ones (the
     excision dup-set shuffle_hash from the r12 sf10 OOM fix, the excision
-    coverage-join merge pin from the r13 sf30 OOM fix, and the KN chain's
-    1-row total broadcast).  No cartesians, hx join still shuffled,
-    rollups partial-combined."""
+    coverage-join merge pin and the two decon shuffle pins from the r13
+    sf30 OOM fixes, and the KN chain's 1-row total broadcast).  No
+    cartesians, hx join still shuffled, rollups partial-combined."""
     import re
 
     for name in ("pipeline_web_curation_report", "pipeline_web_stage_ladder"):
         analyzed = _analyzed(spark, name)
-        assert analyzed.count("ResolvedHint") == 3, (
+        assert analyzed.count("ResolvedHint") == 5, (
             name, analyzed.count("ResolvedHint")
         )
         plan = _plan(spark, name)
@@ -958,15 +965,16 @@ def test_web_ladder_single_aggregate_constant_rows(spark):
     assert "partial_sum" in plan
 
 
-def test_decontaminate_joins_unhinted(spark):
-    """Decontaminate (12f, flipped per the r12 verdict #1): the DF-pruned
-    benchmark shingle set still grows linearly with the corpus (~1/97 of
-    distinct shingles under the proxy), so no join in the chain may carry
-    a broadcast hint — the DF cap bounds per-shingle fan-out, AQE picks
-    the join strategy by measured size."""
+def test_decontaminate_joins_pinned_shuffle(spark):
+    """Decontaminate (12f): the DF cap bounds per-shingle fan-out but the
+    pruned bench side still grows linearly with the corpus, and the r13
+    sf30 ladder showed AQE mis-sizing the string-heavy shingle side into
+    a driver-OOM broadcast — so the rare-shingle and bn joins are PINNED
+    shuffle_hash (never a broadcast, hinted or AQE-chosen)."""
     analyzed = _analyzed(spark, "docs_decontaminate_report")
-    assert "ResolvedHint" not in analyzed
+    assert analyzed.count("ResolvedHint") == 2  # the two shuffle pins
     plan = _plan(spark, "docs_decontaminate_report")
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
