@@ -496,10 +496,12 @@ def docs_lm_predictability(spark, sf_dir):
     marginal vocabulary-bounded — both partial-combined aggregations; the
     per-doc scoring joins the doc's bigram instances against the count
     table on the (w1,w2) key and reduces per doc.  The bigram-TYPE table
-    grows unboundedly with the corpus (Heaps' law squared), so the join
-    carries NO broadcast hint (r13 audit; r6 constant-size rule) — AQE
-    broadcasts it while it fits, shuffles at 100 TB vocabularies.  One
-    tokenize pass, persisted across the count and score consumers."""
+    grows unboundedly with the corpus (Heaps' law squared) and is a
+    string-keyed side — the class the r13 sf30 ladder showed AQE
+    mis-sizing into driver-OOM broadcasts — so the join is pinned
+    shuffle_hash (r13 audit; r6 rule bans the broadcast hint, the sf30
+    evidence bans the unhinted AQE broadcast too).  One tokenize pass,
+    persisted across the count and score consumers."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     bg = _doc_bigrams(docs)  # persisted + memoized inside
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
@@ -508,7 +510,7 @@ def docs_lm_predictability(spark, sf_dir):
         "w1", "w2", F.expr("(c_ab * 1000000) div c_a").alias("p_fixed")
     )
     return (
-        bg.join(pf, ["w1", "w2"])
+        bg.join(pf.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

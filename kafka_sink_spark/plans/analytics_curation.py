@@ -321,9 +321,11 @@ def corpus_top_terms(spark, sf_dir):
     frequency — ranks identically to tf·idf for fixed corpus size, without
     log(): libm transcendentals are not bit-identical across engines, IEEE
     division is). df side is one row per distinct term — vocabulary grows
-    sublinearly (Heaps' law) but UNBOUNDEDLY with the corpus, so the join
-    carries no broadcast hint (r12 verdict audit; r6 constant-size rule):
-    AQE broadcasts it while small, shuffles at 100 TB vocabulary sizes."""
+    sublinearly (Heaps' law) but UNBOUNDEDLY with the corpus, and it is a
+    STRING-keyed side, the class the r13 sf30 ladder showed AQE mis-sizing
+    into driver-OOM broadcasts (compressed estimate under the 64 MB
+    threshold, deserialized build past maxResultSize) — so the join is
+    pinned shuffle_hash, never broadcast at any vocabulary size."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = docs.select(
         "doc_id",
@@ -334,7 +336,7 @@ def corpus_top_terms(spark, sf_dir):
     )
     tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term")
+    scored = tf.join(df.hint("shuffle_hash"), "term")
     ratio = F.col("tf").cast("double") / F.col("df")
     w = Window.partitionBy("lang").orderBy(ratio.desc(), F.col("term").asc())
     return (

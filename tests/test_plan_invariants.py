@@ -242,15 +242,16 @@ def test_repetition_stats_partial_aggs(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_top_terms_df_join_unhinted(spark):
+def test_top_terms_df_join_pinned_shuffle(spark):
     """tf/df ranking: the document-frequency side is one row per distinct
-    term — vocabulary grows unboundedly with the corpus, so the join must
-    carry NO broadcast hint (r12 verdict audit; r6 constant-size rule).
-    AQE may still choose a broadcast at this SF; what is pinned is that
-    nothing FORCES one at 100 TB."""
+    term — vocabulary grows unboundedly with the corpus AND the key is a
+    string, the class the r13 sf30 ladder showed AQE mis-sizing into
+    driver-OOM broadcasts.  Pinned shuffle_hash; never a broadcast, at
+    any vocabulary size."""
     analyzed = _analyzed(spark, "corpus_top_terms")
-    assert "ResolvedHint" not in analyzed
+    assert analyzed.count("ResolvedHint") == 1
     plan = _plan(spark, "corpus_top_terms")
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -648,11 +649,15 @@ def test_r13_audited_broadcast_hint_counts(spark):
     The counts below are exactly the surviving constant-/cluster-bounded
     hints; adding a hint to a scaling input raises a count and fails."""
     expected = {
-        "docs_lm_predictability": 0,
+        # 1 = the shuffle_hash pin on the string-keyed vocabulary-scaling
+        # side (sf30 lesson: AQE mis-sizes string-heavy sides into
+        # driver-OOM broadcasts; a shuffle pin is the opposite of the
+        # banned broadcast hint)
+        "docs_lm_predictability": 1,
         "orders_itemset_triples": 0,
         "lineitem_bloom_fpr": 2,       # KxM bits + 1-row bits_set scalar
         "supplier_revenue_hhi": 2,     # 25-row nation totals + nation
-        "corpus_top_terms": 0,
+        "corpus_top_terms": 1,  # shuffle pin on the string-keyed df side
         # 2 = the shuffle_hash PINS on the corpus-scaling shingle joins
         # (the r13 sf30 catch: AQE mis-sizes string-heavy sides into
         # driver-OOM broadcasts) — shuffle pins are the opposite of the

@@ -48,11 +48,15 @@ def main() -> None:
             "sec": round(best, 3),
             "plan": sig,
         }
-        res = QUERIES[name](spark, sf_dir)
-        n = res.count()
-        out["n_rows"] = n
-        if n <= 200:
-            out["rows"] = [r.asDict() for r in res.collect()]
+        # The row-count/collect pass RE-EXECUTES the query (noop writes
+        # leave nothing behind); at sf100 that doubles a 30-minute run,
+        # so it is skippable.
+        if not os.environ.get("SPARK_GRAFT_LADDER_NO_COUNT"):
+            res = QUERIES[name](spark, sf_dir)
+            n = res.count()
+            out["n_rows"] = n
+            if n <= 200:
+                out["rows"] = [r.asDict() for r in res.collect()]
         print(json.dumps(out, default=str), flush=True)
     spark.stop()
 
