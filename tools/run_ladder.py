@@ -29,7 +29,17 @@ def main() -> None:
     from kafka_sink_spark import get_spark
     from kafka_sink_spark.plans import QUERIES
 
-    spark = get_spark(app_name="r-ladder")
+    # SCALE.md shuffle-sizing discipline: at sf100 the default 32
+    # partitions put ~1/32 of a multi-billion-row explode in each task and
+    # GC-thrash the JVM; SPARK_GRAFT_LADDER_SHUFFLE sizes partitions to
+    # the target SF (what spark.sql.shuffle.partitions does on a real
+    # cluster).  Results are partitioning-invariant (the exact-integer
+    # convention), so certifications hold.
+    shuffle = os.environ.get("SPARK_GRAFT_LADDER_SHUFFLE")
+    spark = get_spark(
+        app_name="r-ladder",
+        shuffle_partitions=int(shuffle) if shuffle else None,
+    )
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
