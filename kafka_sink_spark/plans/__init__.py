@@ -71,14 +71,17 @@ import kafka_sink_spark.plans.analytics_webpipe  # noqa: F401,E402  (registers i
 # tools/driver_check.py sweep (REPLICA_r*.md) plus the judge's own replica
 # run.
 #
-# Round-13 rotation: per the r12 verdict's #2 ask — the 11 round-12 queries
-# (waves 12a-12f) with ZERO official rows lead the window, followed by the
-# 24-query r6-cohort tail (events_top_paths ... stream_sliding_rollup_twin,
-# the oldest remaining official rows), then the 15 alphabetically-first
-# r7-cohort queries.  After this window lands, every r12 query is
-# officially certified and no query's last official certification is older
-# than r8.  New r13 queries are r14 window debt (dual-SF replica green this
-# round, certified officially next round — the established discipline).
+# Round-14 rotation: per the r13 verdict's #3 ask — the 2 round-13 webpipe
+# queries with ZERO official rows lead the window (first-row priority;
+# dual-SF replica green in r13 + the judge's own sf0.01/sf0.001 runs),
+# followed by the full 35-query r7-cohort remainder (the oldest official
+# rows left in the catalog, untouched since CORRECTNESS_r7), then the 13
+# registration-order-first r8-cohort queries.  After this window lands,
+# every catalog query has an official row and no query's last official
+# certification is older than r8 (37 r8-stale queries remain for r15).
+# Cohort membership is computed from the CORRECTNESS_r01..r13 history:
+# latest-official-round per query, oldest first, catalog order within a
+# cohort.
 # The list is kept at EXACTLY 50 entries (window size; enforced by
 # tests/test_catalog_contract.py); everything else follows in original
 # registration order and stays locally gated by tools/driver_check.py +
@@ -86,59 +89,59 @@ import kafka_sink_spark.plans.analytics_webpipe  # noqa: F401,E402  (registers i
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- 11 round-12 queries, zero official rows (first-row priority) --
-    "docs_span_excision",
-    "docs_excision_length_dist",
-    "docs_excision_k_sweep",
-    "docs_line_dedup",
-    "docs_quality_classifier",
-    "docs_classifier_keep_rate",
-    "docs_sanitize_pipeline",
-    "docs_quality_signal_agreement",
-    "docs_decontaminate_report",
-    "stream_line_dedup_twin",
-    "stream_classifier_keep_twin",
-    # -- the 24-query r6-cohort tail (oldest official rows left) --
-    "events_top_paths",
-    "events_trend_slope",
-    "events_user_skew_topk",
-    "events_value_outliers",
-    "knn_ivf_pq",
-    "knn_ivf_pq_recall",
-    "knn_ivf_trained",
-    "knn_label_vote",
-    "knn_pq_trained",
-    "knn_rank_fusion",
-    "lineitem_zorder_layout",
-    "orders_itemset_triples",
-    "orders_open_backlog",
-    "parts_copurchase_pagerank",
-    "parts_copurchase_triangles",
-    "parts_label_propagation",
-    "pipeline_curation_v2",
-    "stream_dedup_twin",
-    "stream_enrich_twin",
-    "stream_ewma_twin",
-    "stream_interval_join_twin",
-    "stream_profile_twin",
-    "stream_sessionize_twin",
-    "stream_sliding_rollup_twin",
-    # -- 15 alphabetically-first r7-cohort queries --
-    "corpus_good_turing",
-    "corpus_rank_biased_overlap",
-    "corpus_skipgram_cooccurrence",
-    "corpus_vocab_coverage",
-    "dedup_containment",
-    "docs_burrows_delta",
-    "docs_keyphrase_rake",
-    "docs_mattr",
-    "docs_ngram_novelty",
-    "docs_simpson_diversity",
-    "docs_spearman_rho",
-    "docs_term_dispersion",
-    "embedding_centroid_silhouette",
-    "embedding_jl_distortion",
-    "events_autocorrelation",
+    # -- 2 round-13 webpipe queries, zero official rows (first-row priority) --
+    "pipeline_web_curation_report",
+    "pipeline_web_stage_ladder",
+    # -- the 35-query r7-cohort remainder (oldest official rows left) --
+    "stream_hourly_rollup_twin",
+    "parts_price_size_skyline",
+    "supplier_revenue_hhi",
+    "events_chisq_contingency",
+    "orders_shipping_sla",
+    "lineitem_bloom_fpr",
+    "stream_countmin_twin",
+    "lineitem_histogram_quantiles",
+    "orders_priority_sample",
+    "lineitem_price_gini",
+    "events_cusum_changepoint",
+    "orders_benford_digits",
+    "events_runs_test",
+    "events_hll_estimate",
+    "lineitem_ks_test",
+    "orders_mann_whitney",
+    "knn_mips",
+    "stream_hll_twin",
+    "events_k_anonymity",
+    "orders_cohort_revenue_retention",
+    "parts_assortativity",
+    "lineitem_cramers_v",
+    "orders_interarrival_cv",
+    "pipeline_release_audit",
+    "orders_abc_classification",
+    "parts_kcore",
+    "events_pettitt_changepoint",
+    "lineitem_welch_ttest",
+    "orders_anova_f",
+    "events_theil_sen_trend",
+    "events_bowley_skewness",
+    "parts_graph_cohesion",
+    "parts_link_prediction",
+    "orders_weekday_profile",
+    "events_value_drift_tvd",
+    # -- 13 registration-order-first r8-cohort queries --
+    "docs_source_entropy",
+    "docs_flesch_readability",
+    "lineitem_abc_xyz",
+    "parts_rich_club",
+    "events_bootstrap_ci",
+    "docs_cohens_kappa",
+    "lineitem_gini_split",
+    "parts_bfs_depths",
+    "embedding_knn_reciprocity",
+    "corpus_zipf_alpha",
+    "knn_label_ndcg",
+    "docs_kmv_jaccard",
+    "stream_drift_twin",
 ]
 
 def _reorder_catalog() -> None:
