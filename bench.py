@@ -322,6 +322,10 @@ def main() -> None:
                 times, anchor.get("queries", {}), a_ratio
             )
             out["cohort_vs_anchor"]["anchor"] = anchor.get("source", "?")
+            # An anchor without a canary pin means a_ratio silently fell
+            # back to 1.0 — the published ratio is then raw host-mode
+            # drift, not canary-normalized.  Flag it so readers know.
+            out["cohort_vs_anchor"]["canary_normalized"] = bool(a_canary)
 
     print(json.dumps(out))
     spark.stop()

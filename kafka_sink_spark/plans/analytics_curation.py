@@ -1222,3 +1222,6 @@ def docs_decontaminate_report(spark, sf_dir):
 docs_decontaminate_report.__doc__ = docs_decontaminate_report.__doc__.format(
     df=_DECON_MAX_DF
 )
+_decon_flagged.__doc__ = _decon_flagged.__doc__.format(
+    _CONTAM_MIN_OVERLAP=_CONTAM_MIN_OVERLAP
+)

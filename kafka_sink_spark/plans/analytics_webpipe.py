@@ -131,7 +131,17 @@ def _web_spine(spark, sf_dir):
     a_ppl, a_dec, sv) — token chars, span-removed/kept chars, line-removed
     chars, the four first-fail drop attributions, and the survive flag.
     The Spark twin of the ``att`` CTE above, built from the six certified
-    stage frames joined on doc_id."""
+    stage frames joined on doc_id.
+
+    Intentional population choice: the funnel keeps the doc_id % 97 == 0
+    benchmark-proxy docs IN the corpus as droppable members (dec_drop can
+    fire on a bench doc), whereas the certified docs_decontaminate_report
+    excludes them from its train spine.  A production curation run treats
+    every corpus doc — including any that happen to mirror a benchmark —
+    as a removal candidate; the per-stage certified query answers the
+    narrower "how much of the *train-only* split is contaminated"
+    question.  Spark and the DuckDB oracle agree under either reading;
+    the oracle's ``spine`` CTE above encodes the same choice."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     exc = _excision_per_doc(spark, sf_dir).select(
         "doc_id", "removed_chars", "kept_chars"

@@ -942,7 +942,7 @@ def test_excision_coverage_join_never_broadcast(spark):
 def test_web_funnel_composition_adds_no_hints(spark):
     """The r13 composed web-pipeline funnel joins six certified per-doc
     frames on doc_id: the composition itself must add NO hints — the only
-    two in the analyzed plan are the substrates' own sanctioned ones (the
+    five in the analyzed plan are the substrates' own sanctioned ones (the
     excision dup-set shuffle_hash from the r12 sf10 OOM fix, the excision
     coverage-join merge pin and the two decon shuffle pins from the r13
     sf30 OOM fixes, and the KN chain's 1-row total broadcast).  No
