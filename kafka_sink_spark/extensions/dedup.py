@@ -143,7 +143,7 @@ def lsh_candidate_pairs(
     b = banded.alias("b")
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -506,7 +506,7 @@ def docs_lm_predictability(spark, sf_dir):
     bg = _doc_bigrams(docs)  # persisted + memoized inside
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     mc = pc.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
-    pf = pc.join(mc, "w1").select(
+    pf = pc.join(mc.hint("shuffle_hash"), "w1").select(
         "w1", "w2", F.expr("(c_ab * 1000000) div c_a").alias("p_fixed")
     )
     return (

@@ -164,7 +164,7 @@ def docs_oov_rate(spark, sf_dir):
         .groupBy("source", "term")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    j = ev.join(vocab, "term", "left").select(
+    j = ev.join(vocab.hint("shuffle_hash"), "term", "left").select(
         "source",
         "c",
         F.when(F.col("_in_vocab").isNull(), 1).otherwise(0).alias("oov"),

@@ -270,8 +270,16 @@ def corpus_skipgram_cooccurrence(spark, sf_dir):
     np_ = c.agg(F.sum("cnt").alias("np"))
     return (
         c.where(F.col("cnt") >= _SKIP_MIN_CNT)
-        .join(u.select(F.col("term").alias("term_a"), F.col("c").alias("ca")), "term_a")
-        .join(u.select(F.col("term").alias("term_b"), F.col("c").alias("cb")), "term_b")
+        .join(
+            u.select(F.col("term").alias("term_a"), F.col("c").alias("ca"))
+            .hint("shuffle_hash"),
+            "term_a",
+        )
+        .join(
+            u.select(F.col("term").alias("term_b"), F.col("c").alias("cb"))
+            .hint("shuffle_hash"),
+            "term_b",
+        )
         .crossJoin(F.broadcast(nu))
         .crossJoin(F.broadcast(np_))
         .select(

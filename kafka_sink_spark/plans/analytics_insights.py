@@ -176,7 +176,7 @@ def docs_keyphrase_rake(spark, sf_dir):
     # recurring in a doc must not sum its occurrences
     scored = (
         members.join(phrases, ["doc_id", "g"])
-        .join(word_stats, "term")
+        .join(word_stats.hint("shuffle_hash"), "term")
         .groupBy("doc_id", "g", "phrase", "plen")
         .agg(F.sum(F.expr("degree * 1000000 div freq")).alias("score_ppm"))
     )

@@ -96,7 +96,7 @@ def docs_keyword_topk(spark, sf_dir):
         F.expr("tf * n * 1000000 div df").desc(), F.col("term")
     )
     return (
-        tf.join(df, "term")
+        tf.join(df.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(nn))
         .withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= _KW_TOPK)

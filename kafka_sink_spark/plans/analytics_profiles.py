@@ -484,7 +484,7 @@ def docs_burrows_delta(spark, sf_dir):
     )
     grid = (
         tot.crossJoin(F.broadcast(top))
-        .join(tc, ["source", "term"], "left")
+        .join(tc.hint("shuffle_hash"), ["source", "term"], "left")
         .select(
             "source",
             "term",

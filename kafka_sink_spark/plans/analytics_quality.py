@@ -173,8 +173,16 @@ def corpus_bigram_lift(spark, sf_dir):
         .filter(F.col("c_ab") >= _MIN_BIGRAM_COUNT)
     )
     scored = (
-        bcnt.join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
-        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        bcnt.join(
+            ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+            .hint("shuffle_hash"),
+            "w1",
+        )
+        .join(
+            ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+            .hint("shuffle_hash"),
+            "w2",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "w1",

@@ -254,7 +254,7 @@ def corpus_keyness_g2(spark, sf_dir):
     )
     j = (
         tf.join(F.broadcast(rt), "source")
-        .join(gt, "term")
+        .join(gt.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(nt))
         .select(
             "source", "term", "a", "r", "lgq",

@@ -440,9 +440,9 @@ def _kn_scored(spark, sf_dir):
     tot = tr.agg(F.count("*").cast("long").alias("B"))
     te = (
         bg.where(F.col("doc_id") % 10 >= 8)
-        .join(tr, ["w1", "w2"], "left")
-        .join(mc, ["w1"], "left")
-        .join(cw, ["w2"], "left")
+        .join(tr.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(mc.hint("shuffle_hash"), ["w1"], "left")
+        .join(cw.hint("shuffle_hash"), ["w2"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -656,11 +656,11 @@ def docs_mirror_detection(spark, sf_dir):
         .where(F.col("_df") <= _MIRROR_MAX_HOSTS)
         .select("fingerprint")
     )
-    hfr = hf.join(rare, "fingerprint")
+    hfr = hf.join(rare.hint("shuffle_hash"), "fingerprint")
     pairs = (
         hfr.alias("a")
         .join(
-            hfr.alias("b"),
+            hfr.alias("b").hint("shuffle_hash"),
             (F.col("a.fingerprint") == F.col("b.fingerprint"))
             & (F.col("a.host") < F.col("b.host")),
         )
@@ -867,14 +867,21 @@ def docs_kn_trigram_nll(spark, sf_dir):
                 F.col("w1").alias("w2"),
                 F.col("w2").alias("w3"),
                 "c12",
-            ),
+            ).hint("shuffle_hash"),
             ["w2", "w3"],
             "left",
         )
         .join(
-            mc.select(F.col("w1").alias("w2"), "c1", "n1"), ["w2"], "left"
+            mc.select(F.col("w1").alias("w2"), "c1", "n1")
+            .hint("shuffle_hash"),
+            ["w2"],
+            "left",
         )
-        .join(cw.select(F.col("w2").alias("w3"), "nc"), ["w3"], "left")
+        .join(
+            cw.select(F.col("w2").alias("w3"), "nc").hint("shuffle_hash"),
+            ["w3"],
+            "left",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -885,8 +892,8 @@ def docs_kn_trigram_nll(spark, sf_dir):
         )
     )
     te3 = (
-        g.join(tr3, ["w1", "w2", "w3"], "left")
-        .join(mc3, ["w1", "w2"], "left")
+        g.join(tr3.hint("shuffle_hash"), ["w1", "w2", "w3"], "left")
+        .join(mc3.hint("shuffle_hash"), ["w1", "w2"], "left")
         .select(
             "doc_id",
             F.expr(
@@ -1074,12 +1081,22 @@ def docs_kn_order_gain(spark, sf_dir):
     g = (
         tgr.where(F.col("doc_id") % 10 >= 8)
         .join(
-            tr.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), "c12"),
+            tr.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), "c12")
+            .hint("shuffle_hash"),
             ["w2", "w3"],
             "left",
         )
-        .join(mc.select(F.col("w1").alias("w2"), "c1", "n1"), ["w2"], "left")
-        .join(cw.select(F.col("w2").alias("w3"), "nc"), ["w3"], "left")
+        .join(
+            mc.select(F.col("w1").alias("w2"), "c1", "n1")
+            .hint("shuffle_hash"),
+            ["w2"],
+            "left",
+        )
+        .join(
+            cw.select(F.col("w2").alias("w3"), "nc").hint("shuffle_hash"),
+            ["w3"],
+            "left",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -1090,8 +1107,8 @@ def docs_kn_order_gain(spark, sf_dir):
         )
     )
     te3 = (
-        g.join(tr3, ["w1", "w2", "w3"], "left")
-        .join(mc3, ["w1", "w2"], "left")
+        g.join(tr3.hint("shuffle_hash"), ["w1", "w2", "w3"], "left")
+        .join(mc3.hint("shuffle_hash"), ["w1", "w2"], "left")
         .select(
             "doc_id",
             F.expr(
@@ -1207,7 +1224,11 @@ def docs_kn_unigram_nll(spark, sf_dir):
         .select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
     )
     te = (
-        tk.join(cw.select(F.col("w2").alias("tok"), "nc"), ["tok"], "left")
+        tk.join(
+            cw.select(F.col("w2").alias("tok"), "nc").hint("shuffle_hash"),
+            ["tok"],
+            "left",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",

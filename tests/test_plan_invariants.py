@@ -649,11 +649,12 @@ def test_r13_audited_broadcast_hint_counts(spark):
     The counts below are exactly the surviving constant-/cluster-bounded
     hints; adding a hint to a scaling input raises a count and fails."""
     expected = {
-        # 1 = the shuffle_hash pin on the string-keyed vocabulary-scaling
-        # side (sf30 lesson: AQE mis-sizes string-heavy sides into
+        # 2 = the shuffle_hash pins on the string-keyed vocabulary-scaling
+        # sides (sf30 lesson: AQE mis-sizes string-heavy sides into
         # driver-OOM broadcasts; a shuffle pin is the opposite of the
-        # banned broadcast hint)
-        "docs_lm_predictability": 1,
+        # banned broadcast hint) — the scoring join (r13) plus the
+        # marginal join pc x mc (r14 sweep)
+        "docs_lm_predictability": 2,
         "orders_itemset_triples": 0,
         "lineitem_bloom_fpr": 2,       # KxM bits + 1-row bits_set scalar
         "supplier_revenue_hhi": 2,     # 25-row nation totals + nation
@@ -942,16 +943,18 @@ def test_excision_coverage_join_never_broadcast(spark):
 def test_web_funnel_composition_adds_no_hints(spark):
     """The r13 composed web-pipeline funnel joins six certified per-doc
     frames on doc_id: the composition itself must add NO hints — the only
-    five in the analyzed plan are the substrates' own sanctioned ones (the
+    eight in the analyzed plan are the substrates' own sanctioned ones (the
     excision dup-set shuffle_hash from the r12 sf10 OOM fix, the excision
     coverage-join merge pin and the two decon shuffle pins from the r13
-    sf30 OOM fixes, and the KN chain's 1-row total broadcast).  No
-    cartesians, hx join still shuffled, rollups partial-combined."""
+    sf30 OOM fixes, the KN chain's 1-row total broadcast, and — r14 audit —
+    the three shuffle pins on the KN chain's vocabulary-scaling count
+    tables tr/mc/cw).  No cartesians, hx join still shuffled, rollups
+    partial-combined."""
     import re
 
     for name in ("pipeline_web_curation_report", "pipeline_web_stage_ladder"):
         analyzed = _analyzed(spark, name)
-        assert analyzed.count("ResolvedHint") == 5, (
+        assert analyzed.count("ResolvedHint") == 8, (
             name, analyzed.count("ResolvedHint")
         )
         plan = _plan(spark, name)
@@ -983,3 +986,77 @@ def test_decontaminate_joins_pinned_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_r14_audited_shuffle_pins(spark):
+    """r14 catalog-wide sweep for the r13 trap class (AQE mis-sizing
+    string-heavy corpus-/vocabulary-scaling shuffle sides into driver-OOM
+    broadcasts: compressed stats under-measure replicated text ~20x).
+    Every UNPINNED join whose build side is string-keyed AND grows with
+    the corpus got a shuffle_hash pin this round:
+
+    - the KN LM count tables tr/mc/cw (+tr3/mc3) joined against held-out
+      token/bigram/trigram streams (analytics_weblm: bigram, 2x trigram,
+      unigram sites) — raw word keys, the most compressible class;
+    - the mirror-detection fingerprint joins (hf x rare and the bounded
+      self-join) — md5-hex keys, ~2-3x compressible + UTF8String overhead;
+    - the minhash-LSH band self-join (extensions/dedup.lsh_candidate_pairs)
+      — md5-hex band_hash, both sides corpus-scaling;
+    - the tf-idf / keyness / lift / skipgram / RAKE / Burrows-delta /
+      OOV vocabulary joins (paths, tails, quality, frontier, insights,
+      profiles, dispersion) and the lm_predictability marginal join
+      (corpus:509) — raw word keys.
+
+    Audited and left UNPINNED as bounded-by-construction (documented in
+    SCALE.md r14): corpus_rank_biased_overlap's full-outer join of two
+    top-D lists; corpus_heavy_hitters' Misra-Gries candidate broadcast
+    (<= K x partitions, cluster-bounded); the hybrid-RRF fusion join of
+    two <= topK lists on a long key; docs_burrows_delta's top-terms
+    panel broadcast (fixed panel size).
+
+    The counts are exact: adding or dropping a hint anywhere in these
+    lineages fails the test and forces re-adjudication."""
+    import re
+
+    expected = {
+        "docs_kn_bigram_nll": 4,         # 3 pins + 1-row tot broadcast
+        "docs_kn_perplexity_filter": 4,  # 3 pins + 1-row tot broadcast
+        "docs_kn_trigram_nll": 6,        # 5 pins + 1-row tot broadcast
+        "docs_kn_order_gain": 10,        # bigram 4 + trigram 6 lineages
+        "docs_kn_unigram_nll": 2,        # cw pin + 1-row tot broadcast
+        "docs_mirror_detection": 3,      # rare pin + self-join pin + pair
+        "dedup_minhash_pairs": 1,        # band self-join pin
+        "dedup_minhash_band_tuning": 3,  # one band pin per band config
+        "dedup_minhash_accuracy": 2,     # band pin + truth-side pin
+        "docs_oov_rate": 1,              # vocab membership pin
+        "docs_keyword_topk": 2,          # df pin + 1-row n broadcast
+        "corpus_keyness_g2": 4,          # gt pin + rt/nt 1-row broadcasts
+        "corpus_bigram_lift": 3,         # 2 ucnt pins + 1-row tot
+        "corpus_skipgram_cooccurrence": 4,  # 2 u pins + 2 1-row scalars
+        "docs_keyphrase_rake": 5,        # word_stats pin + stops + scalars
+        "docs_burrows_delta": 8,         # tc pin + top panel + scalars
+    }
+    for name, n_hints in expected.items():
+        analyzed = _analyzed(spark, name)
+        assert analyzed.count("ResolvedHint") == n_hints, (
+            name, analyzed.count("ResolvedHint"), n_hints
+        )
+    # Key-specific: no broadcast build on any scaling string key in the
+    # physical plans — the exact failure mode the sf30 ladder caught.
+    for name, keys in {
+        "docs_kn_bigram_nll": ("w1#", "w2#"),
+        "docs_kn_trigram_nll": ("w1#", "w2#", "w3#"),
+        "docs_kn_unigram_nll": ("tok#",),
+        "docs_mirror_detection": ("fingerprint#",),
+        "dedup_minhash_pairs": ("band_hash#",),
+        "docs_oov_rate": ("term#",),
+        "docs_keyword_topk": ("term#",),
+        "corpus_bigram_lift": ("w1#", "w2#"),
+        "corpus_skipgram_cooccurrence": ("term_a#", "term_b#"),
+        "docs_lm_predictability": ("w1#", "w2#"),
+    }.items():
+        plan = _plan(spark, name)
+        for key in keys:
+            assert not re.search(
+                r"BroadcastHashJoin \[" + re.escape(key), plan
+            ), (name, key)
