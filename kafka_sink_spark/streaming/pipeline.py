@@ -294,8 +294,15 @@ def process_micro_batch(
                     metrics.bump(key, routed.count())
             except Exception:
                 if config.ignore_errors in ("All", "Driver"):
-                    # divert: count as failed, keep the batch alive
-                    metrics.bump(key, routed.count(), failed=True)
+                    # Divert: count as failed, keep the batch alive.  The
+                    # reference's recordCounter increments at the MAPPING
+                    # stage, so driver-failed records appear in BOTH
+                    # counters (SimpleEndToEndSimulacronIT.java:555-564:
+                    # recordCounter=5 with 3 driver failures; :430-470:
+                    # recordCounter=4 excludes only the MAPPING failure).
+                    n_routed = routed.count()
+                    metrics.bump(key, n_routed)
+                    metrics.bump(key, n_routed, failed=True)
                 else:
                     raise  # None → batch fails → Spark retries (offset rewind)
         else:

@@ -112,8 +112,13 @@ def test_stream_error_policy_all_commits(spark, tmp_path):
     )
     q.awaitTermination(120)  # completes despite writer failures
     assert q.exception() is None
-    assert metrics.failed_record_count["events|ks.user_events"] > 0
-    assert not metrics.record_count  # nothing written
+    key = "events|ks.user_events"
+    assert metrics.failed_record_count[key] > 0
+    # The reference's recordCounter increments at the mapping stage, so
+    # driver-failed records appear in BOTH counters
+    # (SimpleEndToEndSimulacronIT.java:555-564: recordCounter=5 with 3
+    # driver failures).  Everything mapped; everything failed the write.
+    assert metrics.record_count[key] == metrics.failed_record_count[key]
 
 
 def test_mapping_errors_divert_to_dead_letter(spark, tmp_path):
@@ -510,3 +515,133 @@ def test_stream_crash_resume_from_checkpoint(spark, tmp_path):
     # resume replays ONLY the uncommitted batches: full set, no duplicates
     assert final.count() == n_total
     assert final.select("pk").distinct().count() == n_total
+
+
+def test_multibatch_crash_error_matrix(spark, tmp_path):
+    """r13 verdict ask #6 — the ignoreErrors/metrics parity under a REAL
+    multi-batch crash, batch-by-batch (not just final state).
+
+    Three micro-batches driven through the real checkpoint machinery, one
+    availableNow run per batch file so every inter-batch boundary is a
+    genuine checkpoint resume.  Batch 2 carries BOTH failure modes: one
+    mapping-error record (unparseable value) and one poison row that makes
+    the writer raise (the driver-error simulacron).
+
+    Pinned reference semantics (SimpleEndToEndSimulacronIT.java:475-564):
+
+    - ignoreErrors=Driver, mapping error (:430-470 asymmetry): the batch
+      FAILS and rewinds — no DLQ row, no counter movement, committed
+      offsets stay at batch 1;
+    - restart from the SAME checkpoint under ignoreErrors=All: batch 2
+      replays (at-least-once), batch 1 does NOT; the mapping error goes
+      to the DLQ with the raw payload and counts ONLY in
+      failedRecordCount (:495-507: recordCounter=2 of 3); the
+      driver-failed rows count in BOTH counters (:555-564:
+      recordCounter=5 with 3 driver failures) — at this engine's
+      batch-grain write unit the whole routed batch is the failed write;
+    - batch 3 then commits cleanly and only ITS offsets move: counters
+      advance by exactly the batch-3 rows, the DLQ stays at one row.
+    """
+    src = str(tmp_path / "records")
+    out_dir = str(tmp_path / "out")
+    dlq_dir = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    key = "events|ks.user_events"
+
+    events = load_tables(spark, SF_DIR, ("events",))["events"]
+    base = events.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+    ).limit(30).cache()
+    rows = base.collect()
+    b0, b1, b2 = rows[:10], rows[10:20], rows[20:30]
+    # batch 2: one unparseable value (mapping error) + one poison pk the
+    # writer refuses (driver error)
+    b1[3] = b1[3].asDict()
+    b1[3]["value"] = "corrupt " + (b1[3]["value"] or "")
+    poison_pk = int(b1[7]["key"])
+    mk = lambda rs: spark.createDataFrame(  # noqa: E731
+        [r.asDict() if hasattr(r, "asDict") else r for r in rs],
+        schema=RECORD_SCHEMA,
+    )
+    mk(b0).coalesce(1).write.parquet(f"{src}/b0")
+
+    cfg, schemas, _ = _config()
+    writer_calls = []
+
+    def writer(routed, table, schema):
+        batch = routed.select("pk", "kcol").collect()
+        writer_calls.append(len(batch))
+        if any(r["pk"] == poison_pk for r in batch):
+            raise RuntimeError("simulated driver-side failure on poison pk")
+        spark.createDataFrame(batch).write.mode("append").parquet(out_dir)
+
+    def dlq(bad, table):
+        bad.select("topic", "offset", "value").write.mode("append").parquet(dlq_dir)
+
+    def run(policy, metrics):
+        cfg.ignore_errors = policy
+        q = start_sink_stream(
+            spark,
+            spark.readStream.schema(RECORD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*"),
+            cfg, schemas, ckpt, writer,
+            value_schemas={"events": V_SCHEMA}, metrics=metrics,
+            trigger_once=True, error_sink=dlq,
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # a failed batch surfaces via q.exception()
+        return q
+
+    # ---- batch 1 under Driver: clean commit ----
+    m1 = SinkMetrics()
+    q1 = run("Driver", m1)
+    assert q1.exception() is None
+    assert m1.record_count[key] == 10 and key not in m1.failed_record_count
+    assert writer_calls == [10]
+
+    # ---- batch 2 under Driver: the mapping error rewinds the batch ----
+    mk(b1).coalesce(1).write.parquet(f"{src}/b1")
+    m2 = SinkMetrics()
+    q2 = run("Driver", m2)
+    assert q2.exception() is not None
+    assert "failed mapping" in str(q2.exception())
+    # rewind: no counters moved, no DLQ, the writer never ran for batch 2
+    assert key not in m2.record_count and key not in m2.failed_record_count
+    assert not os.path.exists(dlq_dir)
+    assert writer_calls == [10]
+    assert spark.read.parquet(out_dir).count() == 10  # batch 1 only
+
+    # ---- restart same checkpoint under All: batch 2 REPLAYS, batch 1
+    # does not; DLQ + both-counter driver accounting ----
+    m3 = SinkMetrics()
+    q3 = run("All", m3)
+    assert q3.exception() is None
+    # at-least-once: exactly one more writer call, the 9 mapped rows
+    assert writer_calls == [10, 9]
+    dead = spark.read.parquet(dlq_dir)
+    assert dead.count() == 1
+    assert dead.filter(F.col("value").startswith("corrupt ")).count() == 1
+    # mapping failure: failed only.  driver failure: BOTH counters.
+    assert m3.record_count[key] == 9
+    assert m3.failed_record_count[key] == 9 + 1
+    assert spark.read.parquet(out_dir).count() == 10  # poison batch not written
+
+    # ---- batch 3 under All: clean commit, counters advance by 10 only ----
+    mk(b2).coalesce(1).write.parquet(f"{src}/b2")
+    q4 = run("All", m3)
+    assert q4.exception() is None
+    assert writer_calls == [10, 9, 10]
+    assert m3.record_count[key] == 9 + 10
+    assert m3.failed_record_count[key] == 10  # unchanged by batch 3
+    assert spark.read.parquet(dlq_dir).count() == 1  # unchanged
+    assert spark.read.parquet(out_dir).count() == 20  # batches 1 + 3
+    base.unpersist()
