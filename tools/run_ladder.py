@@ -40,6 +40,18 @@ def main() -> None:
         app_name="r-ladder",
         shuffle_partitions=int(shuffle) if shuffle else None,
     )
+    # Scan-split sizing (r14): the replicated ladder corpora compress
+    # absurdly (sf30 documents = 3.1 MB on disk for 1.5M rows), so the
+    # default 128 MB maxPartitionBytes reads the WHOLE table as ONE input
+    # split and the entire pre-shuffle stage (tokenize/explode/partial
+    # agg) runs single-task — a local-harness artifact, not a plan
+    # property.  A real 100 TB corpus scans as thousands of splits.
+    # SPARK_GRAFT_LADDER_SPLIT_BYTES restores realistic scan parallelism
+    # (e.g. 65536 → ~50 splits at sf30).  Results are split-invariant.
+    split = os.environ.get("SPARK_GRAFT_LADDER_SPLIT_BYTES")
+    if split:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        spark.conf.set("spark.sql.files.openCostInBytes", split)
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
