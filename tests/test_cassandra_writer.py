@@ -563,14 +563,18 @@ def test_simulacron_fail_batch_marks_all_member_offsets(spark, tmp_path):
 
     vs = {"mytopic": StructType([StructField("b", StringType())])}
 
-    # ignoreErrors=All: batch failure -> BOTH records counted failed
+    # ignoreErrors=All: batch failure -> BOTH records counted failed.  The
+    # reference's recordCounter increments at the MAPPING stage, so
+    # driver-failed records appear in BOTH counters
+    # (SimpleEndToEndSimulacronIT.java:562-563: recordCounter=5 with 3
+    # driver failures).
     cfg.ignore_errors = "All"
     metrics = SinkMetrics()
     process_micro_batch(
         records, cfg, schemas, value_schemas=vs, writer=writer, metrics=metrics
     )
     assert metrics.failed_record_count["mytopic|ks1.table1"] == 2
-    assert not metrics.record_count
+    assert metrics.record_count["mytopic|ks1.table1"] == 2
     # wire: exactly one BATCH frame was attempted, zero EXECUTEs
     lines = _read_log(log_dir)
     batches = [json.loads(l.split("\t", 1)[1]) for l in lines
