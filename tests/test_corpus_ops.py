@@ -183,10 +183,14 @@ def test_dsir_single_explode_broadcast_ratios(spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
-def test_lm_predictability_broadcast_lm_no_window(spark):
+def test_lm_predictability_pinned_shuffle_no_window(spark):
+    """The bigram-marginal join is PINNED shuffle_hash since the r14 sweep
+    (string-keyed, corpus-scaling build side — the AQE compressed-size
+    trap class); the plan must carry no broadcast join at all."""
     plan = _plan(spark, "docs_lm_predictability")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
     assert "Window" not in plan
     assert "InMemoryTableScan" in plan  # shared bigram substrate
 
