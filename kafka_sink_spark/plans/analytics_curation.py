@@ -22,7 +22,7 @@ from kafka_sink_spark.extensions import curation, sketch, text
 from kafka_sink_spark.operators.ranges import range_join_bucketed
 from kafka_sink_spark.operators.temporal import asof_join
 from kafka_sink_spark.plans.queries import register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 
 # --------------------------------------------------------------------------
@@ -192,6 +192,9 @@ def shingle_kmv_estimate(spark, sf_dir):
     distinct is faster (the per-doc array_sort overhead only pays for itself
     once windows/doc ≫ k)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # ~500 md5-hashed windows per doc fan out of the scan: spread the
+    # single-row-group input so the shingling isn't single-core (guide §2.2).
+    docs = spread_small_scan(docs, spark)
     nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     shingles = docs.select(F.col("lang"), nm.alias("_nm")).select(
         "lang",

@@ -23,7 +23,7 @@ from kafka_sink_spark.plans.analytics import (
     _one_minus,
 )
 from kafka_sink_spark.plans.queries import register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 # --------------------------------------------------------------------------
 # n-gram Jaccard dedup (exact set similarity, oracle-verified)
@@ -211,7 +211,9 @@ def text_rolling_fingerprint(spark, sf_dir):
     robust to small edits. Pure projection; the window transform stays inside
     codegen (no explode, no shuffle)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    staged = docs.select(
+    # ~500 md5s per doc inside one projection: spread the single-row-group
+    # scan so the hash loop parallelizes (guide §2.2); no-op at scale.
+    staged = spread_small_scan(docs, spark).select(
         F.col("doc_id"), text.normalize_text(F.col("text")).alias("_norm")
     )
     wins = F.expr(

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from kafka_sink_spark.extensions import dedup, similarity, text
 from kafka_sink_spark.plans.analytics import _minhash_pairs_oracle
 from kafka_sink_spark.plans.queries import register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 # --------------------------------------------------------------------------
 # Gopher quality rules
@@ -614,7 +614,11 @@ def docs_gopher_repetition(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     ns = sorted(set(_REP_TOP) | set(_REP_DUP))
     n_max = max(ns)
-    staged = docs.select(F.col("doc_id"), text.tokens(F.col("text")).alias("_t"))
+    # Tokenize + posexplode run before the first exchange: spread the
+    # single-row-group scan so that narrow stage parallelizes (guide §2.2).
+    staged = spread_small_scan(docs, spark).select(
+        F.col("doc_id"), text.tokens(F.col("text")).alias("_t")
+    )
     t = F.col("_t")
     pos = staged.select(
         "doc_id",

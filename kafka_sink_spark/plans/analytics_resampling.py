@@ -44,7 +44,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_sink_spark.plans.queries import register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 # --------------------------------------------------------------------------
 # Deterministic Poisson bootstrap CI for the mean event value
@@ -118,7 +118,10 @@ def events_bootstrap_ci(spark, sf_dir):
     hidden.
     """
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    v = ev.select(
+    # The 40x replicate expansion computes one md5 per (row, replicate); a
+    # single-row-group input would serialize all of it on one core (guide
+    # §2.2/§6): spread the scan before the fan-out.
+    v = spread_small_scan(ev, spark).select(
         "event_id", F.expr("CAST(FLOOR(value * 1000000) AS BIGINT)").alias("c")
     )
     rep = v.select(

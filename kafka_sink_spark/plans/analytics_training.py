@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from kafka_sink_spark.extensions import similarity
 from kafka_sink_spark.plans.queries import register
 from kafka_sink_spark.plans.stream_twin import finish_stream_twin
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 from kafka_sink_spark.streaming.analytics import (
     interval_join_stream,
     sessionize_stream,
@@ -739,7 +739,10 @@ def docs_language_id(spark, sf_dir):
     from pyspark.sql import Window
 
     p = _LID_P
-    g = docs.filter(F.length("text") >= 2).select(
+    # The bigram explode (~500 grams/doc) and its map-side partial counts
+    # run before any exchange: spread the single-row-group scan so that
+    # narrow stage parallelizes (guide §2.2).
+    g = spread_small_scan(docs, spark).filter(F.length("text") >= 2).select(
         "doc_id",
         "lang",
         F.explode(

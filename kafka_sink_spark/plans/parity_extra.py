@@ -24,7 +24,7 @@ from kafka_sink_spark.operators.writes import (
     run_sink_pipeline,
 )
 from kafka_sink_spark.plans.queries import V_SCHEMA_K, _k, _records, register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 # --------------------------------------------------------------------------
 # W5 — provided-query mode
@@ -174,16 +174,27 @@ def sink_collection_codecs(spark, sf_dir):
     Collections are rendered canonically (sorted / JSON) so the value-hash is
     representation-stable across engines."""
     events = load_tables(spark, sf_dir, ("events",))["events"]
-    kv = _k().cast("long")
+    # from_json is CodegenFallback, so this projection runs interpreted with
+    # NO subexpression elimination: evaluate the JSON extraction and the C8
+    # decode ONCE each via stacked projections (CollapseProject keeps
+    # non-cheap exprs referenced more than once in their own Project), and
+    # spread the single-row-group scan so the per-row decode parallelizes.
+    base = spread_small_scan(events, spark).select(
+        "event_id", _k().cast("long").alias("kv")
+    )
+    kv = F.col("kv")
     # C8: the raw record value IS a JSON array string.
     raw = F.concat(
         F.lit("["), kv.cast("string"), F.lit(", "), (kv % 5).cast("string"),
         F.lit(", "), kv.cast("string"), F.lit(", "), ((kv * 2) % 7).cast("string"),
         F.lit("]"),
     )
-    arr = codecs.json_array_to_list(raw, "int")
     nested = F.array(F.array(kv.cast("int"), kv.cast("int")), F.array((kv + 1).cast("int")))
-    return events.select(
+    mid = base.select(
+        "event_id", "kv", codecs.json_array_to_list(raw, "int").alias("arr")
+    )
+    arr = F.col("arr")
+    return mid.select(
         F.col("event_id").cast("bigint").alias("pk"),
         F.size(arr).alias("list_len"),
         F.element_at(arr, 1).alias("list_first"),

@@ -68,6 +68,16 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# Lazy-relation cache: (applicationId, sf_dir, table) -> DataFrame.  The
+# cached object is an UNMATERIALIZED plan — every execution still scans the
+# parquet input — but building it costs a spark.read.parquet JVM roundtrip
+# with footer/schema inference (~55 ms/table measured at sf0.1), which the
+# catalog pays 300+ times per sweep without this.  Reading a table once per
+# session and reusing the DataFrame is the normal Spark application shape;
+# keying on applicationId drops entries from dead sessions.
+_RELATION_CACHE: dict[tuple[str, str, str], "object"] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the driver parquet tables and register them as temp views.
 
@@ -92,15 +102,77 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    app_id = spark.sparkContext.applicationId
+    if any(k[0] != app_id for k in _RELATION_CACHE):
+        # New session: plans cached from a stopped SparkContext are unusable.
+        stale = [k for k in _RELATION_CACHE if k[0] != app_id]
+        for k in stale:
+            del _RELATION_CACHE[k]
+
     out = {}
     for name in names or all_names:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        df = spark.read.parquet(path)
-        df = _convert_nanos_timestamps(df, path)
-        df = _coerce_ntz_timestamps(df)
+        key = (app_id, sf_dir, name)
+        df = _RELATION_CACHE.get(key)
+        if df is None:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            df = spark.read.parquet(path)
+            df = _convert_nanos_timestamps(df, path)
+            df = _coerce_ntz_timestamps(df)
+            df._graft_scan_units = _scan_units(path)
+            _RELATION_CACHE[key] = df
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def _scan_units(path: str) -> int:
+    """Upper bound on the scan parallelism a parquet input can deliver.
+
+    Split planning can cut a file into many byte ranges, but rows only come
+    from row groups, so min(row groups, splits) bounds how many tasks do real
+    work.  Row-group count is the binding term for the small single-row-group
+    driver files; at production scale (row groups >> cores) the number is
+    large and ``spread_small_scan`` below becomes a no-op.
+    """
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(path):
+        parts = glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    else:
+        parts = [path]
+    units = 0
+    for p in parts:
+        try:
+            units += pq.ParquetFile(p).metadata.num_row_groups
+        except Exception:
+            units += 1
+    return max(units, 1)
+
+
+def spread_small_scan(df, spark: SparkSession):
+    """Round-robin repartition a low-parallelism scan up to session parallelism.
+
+    The driver testdata is single-row-group parquet: the scan is ONE task and
+    every narrow operator until the first exchange runs on one core, which
+    serializes CPU-heavy row work (md5 fan-out, JSON decode, shingling,
+    per-token processing).  This helper inserts a round-robin exchange ONLY
+    when the input cannot feed at least the session's default parallelism
+    (scan units < cores).  At 100 TB a table scan carries orders of magnitude
+    more row groups than the cluster has cores, so the condition is false and
+    no exchange is added — the helper is scale-adaptive by construction, not
+    a local[32] tuning constant.
+    """
+    n = spark.sparkContext.defaultParallelism
+    units = getattr(df, "_graft_scan_units", None)
+    if units is None:
+        try:
+            units = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - defensive
+            return df
+    return df.repartition(n) if units < n else df
 
 
 def _convert_nanos_timestamps(df, path: str):
