@@ -392,6 +392,13 @@ def component_rows(
             .cast("bigint")
             .alias("x"),
         )
+        # Persist HASH-PARTITIONED BY vid: every consumer groups or joins on
+        # a key set containing vid — (vid,m,j) distance sums, (vid,m)
+        # argmins, the (vid,m) assignment join of each Lloyd round — and
+        # hash(vid) satisfies all of those clusterings, so the exchanges
+        # those operators would otherwise insert per training round
+        # disappear (guide §2.4: co-partition once, reuse across passes).
+        .repartition("vid")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _COMPONENT_CACHE[key] = out

