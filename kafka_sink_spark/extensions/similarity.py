@@ -22,6 +22,8 @@ import struct as _struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_sink_spark.session import spread_small_scan
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -62,7 +64,9 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = embeddings.select(
+    # The |queries| x |corpus| cosine product runs in the scan's own stage:
+    # spread a low-parallelism corpus scan first (guide §2.2; no-op at scale).
+    c = spread_small_scan(embeddings, embeddings.sparkSession).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     scored = (
@@ -123,7 +127,7 @@ def embedding_buckets(
     """vec_id → LSH bucket. One projection; the bucket column is then the
     shuffle/join key for ANN and near-dup workloads."""
     planes = hyperplanes(dim, n_planes, seed)
-    return embeddings.select(
+    return spread_small_scan(embeddings, embeddings.sparkSession).select(
         F.col(id_col),
         lsh_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
     )
@@ -147,7 +151,7 @@ def knn_lsh(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    c = embeddings.select(
+    c = spread_small_scan(embeddings, embeddings.sparkSession).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
@@ -187,7 +191,7 @@ def ivf_scored(
     cent = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("ce")
     )
-    scored = embeddings.select(
+    scored = spread_small_scan(embeddings, embeddings.sparkSession).select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("ve")
     ).join(F.broadcast(cent)).select(
         "vid", "cid", F.round(cosine(F.col("ve"), F.col("ce")), 6).alias("cs")
@@ -268,7 +272,7 @@ def cosine_near_dup_pairs(
     same-bucket pairs are compared — the all-pairs O(n²) never materializes.
     Output: id_a < id_b, cos_sim ≥ threshold."""
     planes = hyperplanes(dim, n_planes, seed)
-    b = embeddings.select(
+    b = spread_small_scan(embeddings, embeddings.sparkSession).select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
