@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_sink_spark.extensions.text import md5_long, shingles, tokens
+from kafka_sink_spark.session import spread_small_scan
 
 # Deterministic affine-permutation constants for minhash: h_i(x) = (a_i*x + b_i) mod p.
 # p = 2^31 - 1 keeps a*(h mod p) + b < 2^62 — no int64 overflow in Spark OR in
@@ -77,7 +78,11 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     builds shingles with O(1) element_at reads (see shingles_from_tokens)."""
     from kafka_sink_spark.extensions.text import shingles_from_tokens
 
-    toks = docs.select(F.col("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+    # Tokenize + shingle-explode + md5 run in the scan's narrow stage:
+    # spread a low-parallelism scan first (guide §2.2; no-op at scale).
+    toks = spread_small_scan(docs, docs.sparkSession).select(
+        F.col("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
     return toks.select(
         F.col("doc_id"),
         F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
@@ -213,6 +218,9 @@ def minhash_dedup_pairs(
     return sim.filter(F.col("jaccard") >= threshold)
 
 
+_CC_CACHE: dict[tuple, DataFrame] = {}
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Cluster near-dup pairs into groups: iterative min-label propagation
     (the HashMin connected-components algorithm).
@@ -224,15 +232,37 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     the plan doubles every iteration). Output: doc_id, cluster_id (= the
     minimum doc_id in the component).
     """
+    # The label table is the dedup family's shared substrate (survivors,
+    # cluster sizes/histogram, survivor quality, the composed curation
+    # pipelines all consume it): memoize the CHECKPOINTED result per
+    # (session, pairs plan) the way component_rows/_EDGE_CACHE do, so one
+    # session's consumers don't each re-run the iterative loop.
+    spark = pairs.sparkSession
+    cc_key = (
+        spark.sparkContext.applicationId,
+        pairs._jdf.queryExecution().analyzed().semanticHash(),
+        max_iter,
+    )
+    cached = _CC_CACHE.get(cc_key)
+    if cached is not None:
+        return cached
+
+    # Checkpoint both frames CO-PARTITIONED on their per-round join keys
+    # (edges by dst, labels by doc_id): the label-lookup join and the
+    # write-back join then run exchange-free every round — hash(dst) meets
+    # hash(doc_id) and hash(src) meets hash(doc_id) at equal partition
+    # counts — leaving the groupBy(src) rollup as the round's only shuffle
+    # (guide §2.4: establish the partitioning once, reuse across passes).
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()  # materialize once — iterating must not re-run the
-    # (potentially expensive) upstream pair-generation pipeline per round
+    ).repartition("dst").localCheckpoint()  # materialize once — iterating
+    # must not re-run the (potentially expensive) pair generation per round
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
+        .repartition("doc_id")
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -241,6 +271,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lbl").alias("nmin"))
         )
+        # The changed flag rides the same pass (least(lbl, nmin) < lbl ⇔
+        # this round lowered the label), so convergence needs no second
+        # join of new labels against old.
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -248,16 +281,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
                 F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
                     "lbl"
                 ),
+                (F.coalesce(F.col("nmin"), F.col("lbl")) < F.col("lbl"))
+                .cast("int")
+                .alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:
@@ -265,7 +296,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             f"connected_components did not converge in {max_iter} iterations "
             f"(component diameter exceeds max_iter) — raise max_iter"
         )
-    return labels.select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
+    out = labels.select(F.col("doc_id"), F.col("lbl").alias("cluster_id"))
+    _CC_CACHE[cc_key] = out
+    return out
 
 
 # --- simhash ---------------------------------------------------------------
@@ -299,7 +332,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 16) 
     (the projection-form ``simhash()`` column re-hashes per bit — 16× the
     work); the per-bit votes are trivial int sums with map-side partial
     aggregation, so the shuffle carries `bits` ints per doc."""
-    tok_hashes = docs.select(
+    tok_hashes = spread_small_scan(docs, docs.sparkSession).select(
         F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
     ).select(F.col("doc_id"), md5_long(F.col("t")).alias("h"))
     votes = tok_hashes.groupBy("doc_id").agg(
