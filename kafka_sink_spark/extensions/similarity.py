@@ -107,10 +107,23 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """H-bit sign-random-projection bucket id (bigint)."""
+    """H-bit sign-random-projection bucket id (bigint).
+
+    Each plane's constant vector is built as ONE ``F.expr("array(...)")``
+    rather than dim separate ``F.lit`` calls: the resulting literal array is
+    the same Catalyst node (CreateArray of double literals, identical float
+    values — the plane constants are 9-dp decimals that parse exactly), but
+    the driver-side construction drops from ~dim py4j roundtrips per plane
+    to one.  With 8 planes x 64 dims per call site and several call sites
+    per query, this is the difference between ~0.5 s and ~10 ms of
+    DataFrame-build time per ANN query (guide §1.2: per-task work includes
+    the driver's plan construction when the harness times it).
+    """
     acc = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
+        lit_plane = F.expr(
+            "array(" + ", ".join(f"{v!r}D" for v in plane) + ")"
+        )
         d = dot(vec, lit_plane)
         acc = acc + F.when(d > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
     return acc

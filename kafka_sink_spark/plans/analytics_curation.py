@@ -543,6 +543,55 @@ def contamination_overlap(spark, sf_dir):
     )
 
 
+# Shared shingle substrate: (doc_id, shingle) DISTINCT 8-char shingles of
+# the normalized corpus — the common root of the contamination chain
+# (contamination_overlap), the decontamination chain
+# (docs_decontaminate_report) and, through _decon_flagged, both composed
+# web-pipeline funnel queries.  Before this cache each consumer re-ran the
+# explode+distinct from the raw scan (and each query's plan contained it
+# twice: once for the train/probe side, once for the bench side).  House
+# substrate discipline (cf. _EXCISION_CACHE, corpus._BIGRAM_CACHE): built
+# once per (session, sf_dir), persisted MEMORY_AND_DISK.
+#
+# Partitioning is deliberate (guide §2.4 — two operations keyed the same
+# way share one exchange): the explode output is hash-repartitioned by
+# ``shingle`` BEFORE the distinct.  HashPartitioning(shingle) satisfies the
+# distinct's ClusteredDistribution(doc_id, shingle) (subset rule), the
+# bench-side DF window (PARTITION BY shingle) and both chains' probe-side
+# join requirement on ``shingle`` — so the big corpus side crosses the wire
+# exactly once at substrate build and never again.
+_SHINGLE_CACHE: dict = {}
+
+
+def _doc_shingles(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sh = (
+        spread_small_scan(docs, spark)
+        .select(F.col("doc_id"), nm.alias("_nm"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
+                    lambda i: F.col("_nm").substr(i, F.lit(8)),
+                )
+            ).alias("shingle"),
+        )
+        .repartition("shingle")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _SHINGLE_CACHE[key] = sh
+    return sh
+
+
 def _contam_hits(spark, sf_dir):
     """((train_id, bench_id, n_shared), (bench_id, n_bench)) — the
     contamination chain of contamination_overlap.  (The decontamination
@@ -557,21 +606,7 @@ def _contam_hits(spark, sf_dir):
     exceeds maxResultSize (the same corpus-scaling-side class as the
     excision dup sets, same fix as commit d1e1d64; a broadcast HINT
     would be worse still, r6 rule)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    sh = (
-        docs.select(F.col("doc_id"), nm.alias("_nm"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
-                    lambda i: F.col("_nm").substr(i, F.lit(8)),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _doc_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
@@ -1116,21 +1151,7 @@ def _decon_flagged(spark, sf_dir):
     with the corpus, AQE picks the strategies."""
     from pyspark.sql import Window as W
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    nm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    sh = (
-        docs.select(F.col("doc_id"), nm.alias("_nm"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("_nm") - 7, F.lit(1))),
-                    lambda i: F.col("_nm").substr(i, F.lit(8)),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _doc_shingles(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
