@@ -218,13 +218,31 @@ def events_trend_slope(spark, sf_dir):
 
 _LP_ITERS = 3
 
+# The 3-round LP label table is the community family's shared substrate
+# (parts_label_propagation's readout AND parts_modularity's three scoring
+# consumers): memoize the CHECKPOINTED result per (session, edge plan) the
+# way connected_components/_EDGE_CACHE do, so one session's consumers
+# don't each re-run the iterative loop (guide §1.2: remove repeated
+# passes before tuning inside one).
+_LP_CACHE: dict[tuple, object] = {}
+
 
 def _lp_labels(e):
     """3-round deterministic synchronous label propagation over the
     directed-symmetric edge table ``e(src, dst)``: every node starts
     labeled with itself; each round adopts the most frequent neighbor
     label with min-label tie-break.  Shared by the community readout
-    and the modularity scorer."""
+    and the modularity scorer; checkpointed + memoized per (session,
+    edge plan) — see _LP_CACHE."""
+    spark = e.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        e._jdf.queryExecution().analyzed().semanticHash(),
+        _LP_ITERS,
+    )
+    cached = _LP_CACHE.get(key)
+    if cached is not None:
+        return cached
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -253,6 +271,10 @@ def _lp_labels(e):
             )
             .select("node", (-F.col("m.neg")).alias("lbl"))
         )
+    # O(nodes) rows: cut the 3-round lineage once so every consumer reads
+    # the materialized label table instead of re-running the loop.
+    labels = labels.localCheckpoint(eager=True)
+    _LP_CACHE[key] = labels
     return labels
 
 
@@ -382,9 +404,10 @@ def parts_modularity(spark, sf_dir):
     state O(nodes) — the PageRank discipline applied to community QA.
     """
     e = _copurchase_edges(spark, sf_dir)
-    # three consumers (degree rollup + both edge-endpoint joins):
-    # checkpoint the O(nodes) label table so the LP loop runs once
-    labels = _lp_labels(e).localCheckpoint(eager=True)
+    # three consumers (degree rollup + both edge-endpoint joins) read the
+    # checkpointed shared label substrate (_LP_CACHE) — the loop runs once
+    # per session, not once per consumer
+    labels = _lp_labels(e)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -429,6 +452,12 @@ def parts_modularity(spark, sf_dir):
             ).alias("q_contrib_ppm"),
         )
     )
+    # |communities| rows feed both union branches (per-community + Q):
+    # persist so the two-sided label join over the edges executes once,
+    # not once per branch (guide §7.2: duplicated subtrees)
+    from pyspark import StorageLevel
+
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     total = rows.agg(
         F.lit(-1).cast("long").alias("community"),
         F.sum("n_parts").cast("long").alias("n_parts"),

@@ -123,37 +123,62 @@ def stream_late_data_twin(spark, sf_dir):
     b = base.crossJoin(F.broadcast(d0)).withColumn(
         "didx", F.datediff(F.col("ts").cast("date"), F.col("d0"))
     )
-    ontime = b.filter(F.col("didx") < _ONTIME_DAYS)
-    mid = b.filter(
-        (F.col("didx") >= _ONTIME_DAYS) & (F.col("didx") < _MID_DAYS)
+    # The three batch frames (on-time / mid / tail+re-keyed late dups)
+    # are staged by ONE partitioned write instead of three write jobs
+    # that would each re-scan events (guide §1.2: fewer passes).  Rows
+    # with didx < _LATE_DAYS appear TWICE — on time in batch 1 and
+    # re-keyed (+1e9) in batch 3 — via an exploded per-row batch list;
+    # every other row carries exactly its pipeline-order batch tag.
+    dup_pair = F.array(
+        F.struct(F.lit(1).alias("bt"), F.col("event_id").alias("eid")),
+        F.struct(
+            F.lit(3).alias("bt"),
+            (F.col("event_id") + F.lit(1_000_000_000)).alias("eid"),
+        ),
     )
-    late_dups = b.filter(F.col("didx") < _LATE_DAYS).withColumn(
-        "event_id", F.col("event_id") + F.lit(1_000_000_000)
+    single = F.array(
+        F.struct(
+            F.when(F.col("didx") < _ONTIME_DAYS, F.lit(1))
+            .when(F.col("didx") < _MID_DAYS, F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("bt"),
+            F.col("event_id").alias("eid"),
+        )
     )
-    tail = b.filter(F.col("didx") >= _MID_DAYS)
-    cols = ("event_id", "ts", "event_type", "v_us")
+    tagged = b.select(
+        "ts",
+        "event_type",
+        "v_us",
+        F.explode(
+            F.when(F.col("didx") < _LATE_DAYS, dup_pair).otherwise(single)
+        ).alias("be"),
+    ).select(
+        F.col("be.eid").alias("event_id"),
+        "ts",
+        "event_type",
+        "v_us",
+        F.col("be.bt").alias("bt"),
+    )
     src = tempfile.mkdtemp(prefix="stream_late_src_")
-    ontime.select(*cols).coalesce(1).write.mode("overwrite").parquet(src)
-    # batches 2 and 3 get strictly increasing mtimes so FileStreamSource
-    # orders the three micro-batches deterministically
-    batches = (
-        ("b2", mid.select(*cols)),
-        ("b3", tail.select(*cols).unionByName(late_dups.select(*cols))),
+    stage = tempfile.mkdtemp(prefix="stream_late_stage_")
+    tagged.coalesce(1).write.mode("overwrite").partitionBy("bt").parquet(
+        stage
     )
-    tmp_dirs = []
-    for i, (tag, df) in enumerate(batches, start=1):
-        tmp = tempfile.mkdtemp(prefix=f"stream_late_{tag}_")
-        tmp_dirs.append(tmp)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        stamp = _time.time() + 10 * i
+    # strictly increasing mtimes so FileStreamSource orders the three
+    # micro-batches deterministically
+    now = _time.time()
+    tmp_dirs = [stage]
+    for i in (1, 2, 3):
+        stamp = now + 10 * (i - 1)
+        bdir = os.path.join(stage, f"bt={i}")
         moved = 0
-        for f in sorted(os.listdir(tmp)):
+        for f in sorted(os.listdir(bdir)):
             if f.endswith(".parquet"):
-                dst = os.path.join(src, f"{tag}-{f}")
-                os.replace(os.path.join(tmp, f), dst)
+                dst = os.path.join(src, f"b{i}-{f}")
+                os.replace(os.path.join(bdir, f), dst)
                 os.utime(dst, (stamp, stamp))
                 moved += 1
-        assert moved == 1, f"batch {tag} must be a single file"
+        assert moved == 1, f"batch b{i} must be a single file"
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, event_type string, v_us long"
     ).option("maxFilesPerTrigger", 1).parquet(src)

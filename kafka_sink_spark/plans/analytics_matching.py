@@ -77,6 +77,51 @@ def _oriented_edges(spark, sf_dir: str):
     return o
 
 
+# Per-node triangle counts are the triangle family's shared substrate:
+# parts_copurchase_triangles (the per-part readout) and
+# parts_graph_cohesion (the transitivity/avg-lcc rollup) both enumerate
+# the SAME wedge join + closure semi-join + 3-way explode.  Memoize the
+# persisted (part_key, tri) table per (session, sf_dir) — node-bounded
+# rows, same discipline as _ORIENT_CACHE — so the O(m^1.5) wedge pass
+# runs once per session instead of once per consumer (guide §1.2).
+_TRIANGLE_CACHE: dict = {}
+
+
+def _node_triangles(spark, sf_dir: str):
+    """(part_key, tri): exact per-node triangle incidence counts via the
+    degree-ordered orientation (each triangle counted from its lowest
+    (degree, id) vertex, exploded to all three corners)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRIANGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    o = _oriented_edges(spark, sf_dir)
+    w = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    t = w.join(
+        o.select(F.col("a").alias("ca"), F.col("b").alias("cc")),
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")),
+        "left_semi",
+    )
+    pt = (
+        t.select(F.explode(F.array("a", "b", "c")).alias("part_key"))
+        .groupBy("part_key")
+        .agg(F.count("*").cast("long").alias("tri"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _TRIANGLE_CACHE[key] = pt
+    return pt
+
+
 _TRIANGLE_ORACLE = """
     WITH li AS (
       SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -136,21 +181,8 @@ def parts_copurchase_triangles(spark, sf_dir):
     """
     e = _copurchase_edges(spark, sf_dir)
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    o = _oriented_edges(spark, sf_dir)
-    w = (
-        o.alias("x")
-        .join(o.alias("y"), F.col("x.b") == F.col("y.a"))
-        .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c"))
-    )
-    t = w.join(
-        o.select(F.col("a").alias("ca"), F.col("b").alias("cc")),
-        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")),
-        "left_semi",
-    )
-    pt = (
-        t.select(F.explode(F.array("a", "b", "c")).alias("part_key"))
-        .groupBy("part_key")
-        .agg(F.count("*").cast("long").alias("triangles"))
+    pt = _node_triangles(spark, sf_dir).withColumnRenamed(
+        "tri", "triangles"
     )
     return pt.join(deg, pt.part_key == deg.node).select(
         "part_key",

@@ -106,12 +106,17 @@ def multimodal_payload_entropy(spark, sf_dir):
     nt = c.agg(F.sum("c").alias("nn"))
     lg_n = _SPARK_LOG2.format(x="nn")
     lg_c = _SPARK_LOG2.format(x="c")
+    # ≤256 byte-histogram terms feed both union branches (per-byte rows +
+    # the pooled entropy row): persist so the payload byte-explode pass
+    # executes once, not once per branch (guide §7.2)
+    from pyspark import StorageLevel
+
     terms = c.crossJoin(F.broadcast(nt)).select(
         "byte",
         "c",
         "nn",
         F.expr(f"(c * ({lg_n} - {lg_c})) div nn").alias("h_ppm_bits"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rows = terms.select(
         F.col("byte").cast("long").alias("byte"),
         F.col("c").alias("cnt"),

@@ -115,39 +115,22 @@ def parts_graph_cohesion(spark, sf_dir):
     exact ppm — per-node truncation, then a truncated mean over the
     degree≥2 nodes.
 
-    Scale shape: reuses the PERSISTED degree-ordered oriented edge
-    substrate (shared with parts_copurchase_triangles in-session), so
-    the wedge budget is the classical O(m^1.5) orientation bound — far
-    below Σd² on skewed graphs; wedge counts need only the degree
-    aggregate; node counts ride a triangle-sized explode.  Nodes are
-    catalog-bounded, so the whole pass is bounded by the catalog, not
-    the fact table.
+    Scale shape: reuses the PERSISTED per-node triangle substrate
+    (_node_triangles, shared with parts_copurchase_triangles
+    in-session), whose wedge budget is the classical O(m^1.5)
+    orientation bound — far below Σd² on skewed graphs; wedge counts
+    need only the degree aggregate; node counts ride a triangle-sized
+    explode.  Nodes are catalog-bounded, so the whole pass is bounded
+    by the catalog, not the fact table.
     """
-    from kafka_sink_spark.plans.analytics_matching import _oriented_edges
+    from kafka_sink_spark.plans.analytics_matching import _node_triangles
     from kafka_sink_spark.plans.analytics_mining import _copurchase_edges
 
     e = _copurchase_edges(spark, sf_dir)
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    o = _oriented_edges(spark, sf_dir)
-    w = (
-        o.alias("x")
-        .join(o.alias("y"), F.col("x.b") == F.col("y.a"))
-        .select(
-            F.col("x.a").alias("a"),
-            F.col("x.b").alias("b"),
-            F.col("y.b").alias("c"),
-        )
-    )
-    t = w.join(
-        o.select(F.col("a").alias("ca"), F.col("b").alias("cc")),
-        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cc")),
-        "left_semi",
-    )
-    pt = (
-        t.select(F.explode(F.array("a", "b", "c")).alias("part_key"))
-        .groupBy("part_key")
-        .agg(F.count("*").alias("tri"))
-    )
+    # shared persisted per-node triangle substrate (_TRIANGLE_CACHE):
+    # the wedge+closure enumeration runs once per session, not per query
+    pt = _node_triangles(spark, sf_dir)
     node_lcc = deg.join(
         pt.withColumnRenamed("part_key", "node"), "node", "left"
     ).select(

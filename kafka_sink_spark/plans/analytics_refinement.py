@@ -252,6 +252,11 @@ def embedding_residual_vq(spark, sf_dir):
                 " AS BIGINT)"
             ).alias("d2_over_d1_ppm"),
         )
+        # K₁-cell rows feed BOTH union branches (per-cell + pooled −1):
+        # persist so the two-stage scoring pipeline executes once, not
+        # once per branch (guide §7.2: duplicated subtrees; no exchange
+        # reuse fires across the union's independently-compiled branches)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = rows.agg(
         F.lit(-1).cast("long").alias("cell"),
@@ -408,6 +413,11 @@ def knn_map(spark, sf_dir):
             f" ELSE ap_num div LEAST({_MAP_K}, n_relevant) END AS BIGINT)"
         ).alias("ap_ppm"),
     )
+    # per-query AP rows feed both union branches (rows + pooled MAP):
+    # persist so the retrieval pipeline executes once (guide §7.2)
+    from pyspark import StorageLevel
+
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     total = rows.agg(
         F.lit(-1).cast("long").alias("query_id"),
         F.lit(-1).cast("long").alias("label"),

@@ -109,25 +109,32 @@ def stream_upsert_twin(spark, sf_dir):
         )
         .alias("value"),
     )
-    # three offset-range batches with strictly increasing mtimes
+    # three offset-range batches with strictly increasing mtimes, staged
+    # by ONE partitioned write (a per-batch write loop would re-scan the
+    # events projection three times — guide §1.2: fewer passes; the
+    # batch-range semantics are unchanged: floor((offset-lo)/span) capped
+    # at 2 reproduces [lo+i·span, lo+(i+1)·span) with batch 2 open-ended)
     src = tempfile.mkdtemp(prefix="stream_upsert_src_")
     bounds = records.agg(
         F.min("offset").alias("lo"), F.max("offset").alias("hi")
     ).collect()[0]
     span = max(1, (bounds["hi"] - bounds["lo"] + 1) // 3)
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_stage_")
+    records.withColumn(
+        "b",
+        F.least(
+            F.lit(2),
+            F.expr(f"(offset - {bounds['lo']}) div {span}").cast("int"),
+        ),
+    ).coalesce(1).write.mode("overwrite").partitionBy("b").parquet(tmp)
+    now = _time.time()
     for i in range(3):
-        lo = bounds["lo"] + i * span
-        hi = bounds["hi"] + 1 if i == 2 else lo + span
-        part = records.filter(
-            (F.col("offset") >= lo) & (F.col("offset") < hi)
-        )
-        tmp = tempfile.mkdtemp(prefix=f"stream_upsert_b{i}_")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        stamp = _time.time() + 10 * i
-        for f in sorted(os.listdir(tmp)):
+        stamp = now + 10 * i
+        bdir = os.path.join(tmp, f"b={i}")
+        for f in sorted(os.listdir(bdir)):
             if f.endswith(".parquet"):
                 dst = os.path.join(src, f"b{i}-{f}")
-                os.replace(os.path.join(tmp, f), dst)
+                os.replace(os.path.join(bdir, f), dst)
                 os.utime(dst, (stamp, stamp))
 
     schema = TableSchema(
@@ -189,6 +196,7 @@ def stream_upsert_twin(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

@@ -395,10 +395,11 @@ def lineitem_kfold_cv(spark, sf_dir):
     audits coverage of ONE split, CV audits the predictor's error
     stability across all {k}.
 
-    Scale shape: one partial-combined aggregate onto the bounded
-    (quantity × fold) grid; the leave-fold-out fit and the readout are
-    grid-sized; the error pass re-joins rows to the broadcast grid —
-    one corpus-sized shuffle total (the groupBy), one broadcast join.
+    Scale shape: ONE partial-combined three-moment aggregate onto the
+    bounded (quantity × fold) grid — count, Σy and Σy² per cell make the
+    test SSE the exact cell identity Σy² − 2·ŷ·Σy + n·ŷ², so no second
+    corpus pass re-joins rows to the fit; the leave-fold-out fit and the
+    readout are grid-sized.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     rows = li.select(
@@ -415,28 +416,44 @@ def lineitem_kfold_cv(spark, sf_dir):
             % _CV_K
         ).alias("fold"),
     )
+    # The (grp, fold) cells carry the THREE moments (count, Σy, Σy²), so
+    # the per-fold SSE is the exact cell-level identity
+    # Σ(y − ŷ)² = Σy² − 2·ŷ·Σy + n·ŷ² (ŷ constant per cell, all integer
+    # DECIMAL arithmetic) — one corpus aggregation total, no second scan
+    # re-joining rows to the fit (guide §2.3: aggregate before you
+    # shuffle; the old probe join re-read + re-hashed lineitem).
     gf = rows.groupBy("grp", "fold").agg(
         F.count("*").cast("long").alias("nf"),
         F.sum("y").cast("long").alias("sf"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("qf"),
     )
     g = gf.groupBy("grp").agg(
         F.sum("nf").cast("long").alias("n"),
         F.sum("sf").cast("long").alias("s"),
     )
-    fit = gf.join(g, "grp").select(
-        "grp",
+    cells = gf.join(g, "grp").select(
         "fold",
+        "nf",
+        "sf",
+        "qf",
         F.expr("CAST((s - sf) div (n - nf) AS BIGINT)").alias("yhat"),
     )
+    # grid-sized rows feed both union branches (per-fold + pooled '*'):
+    # persist so the corpus aggregation executes once (guide §7.2)
+    from pyspark import StorageLevel
+
     err = (
-        rows.join(F.broadcast(fit), ["grp", "fold"])
-        .groupBy("fold")
+        cells.groupBy("fold")
         .agg(
-            F.count("*").cast("long").alias("n_test"),
+            F.sum("nf").cast("long").alias("n_test"),
             F.sum(
-                F.expr(f"{_DEC.format('(y - yhat)')} * (y - yhat)")
+                F.expr(
+                    "qf - 2 * CAST(yhat AS DECIMAL(38,0)) * sf"
+                    " + CAST(nf AS DECIMAL(38,0)) * yhat * yhat"
+                )
             ).alias("sse"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per = err.select(
         F.col("fold").cast("string").alias("fold"),

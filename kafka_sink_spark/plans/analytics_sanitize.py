@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from kafka_sink_spark.extensions import text
 from kafka_sink_spark.plans.queries import register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 # --------------------------------------------------------------------------
 # Exact substring dedup as a transform (Lee et al. 2022 span excision)
@@ -466,10 +466,25 @@ _CLS_CTES = f"""
     )"""
 
 
+# The classifier frame is consumed by five certified queries plus both
+# composed web-funnel queries — memoize the persisted per-doc scores per
+# (session, sf_dir) so the hashed-feature explode+rollup runs once per
+# session, not once per consumer (house substrate discipline, cf.
+# _EXCISION_CACHE/_LINE_CACHE above).
+_CLS_SCORED_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
 def _cls_scored(spark, sf_dir) -> DataFrame:
-    """(doc_id, source, n_feats, score_micro) — the classifier pass."""
+    """(doc_id, source, n_feats, score_micro) — the classifier pass.
+    Persisted + memoized per (session, sf_dir) — see _CLS_SCORED_CACHE."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLS_SCORED_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    staged = docs.select(
+    staged = spread_small_scan(docs, spark).select(
         "doc_id", "source", text.tokens(F.col("text")).alias("_t")
     ).where(F.size("_t") >= 1)
     feats = staged.select(
@@ -489,13 +504,19 @@ def _cls_scored(spark, sf_dir) -> DataFrame:
         "source",
         (text.md5_long(F.col("term")) % _CLS_BUCKETS).alias("f"),
     )
-    return feats.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_feats"),
-        F.expr(
-            f"CAST(SUM({_CLS_W_SPARK.format(f='f')}) * 1000000"
-            f" div COUNT(*) - {_CLS_BIAS_MICRO} AS BIGINT)"
-        ).alias("score_micro"),
+    scored = (
+        feats.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.expr(
+                f"CAST(SUM({_CLS_W_SPARK.format(f='f')}) * 1000000"
+                f" div COUNT(*) - {_CLS_BIAS_MICRO} AS BIGINT)"
+            ).alias("score_micro"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _CLS_SCORED_CACHE[key] = scored
+    return scored
 
 
 @register(

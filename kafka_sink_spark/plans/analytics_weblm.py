@@ -421,10 +421,25 @@ def _kn_nll_oracle() -> str:
     """
 
 
+# Five consumers (the per-source NLL report, the perplexity filter, the
+# order-gain comparison, the per-doc screen and both composed web-funnel
+# queries) each re-ran the KN train/score chain: memoize the persisted
+# per-doc scores per (session, sf_dir) — house substrate discipline, cf.
+# _DOC_TRIGRAM_CACHE below and corpus._BIGRAM_CACHE.
+_KN_SCORED_CACHE: dict = {}
+
+
 def _kn_scored(spark, sf_dir):
     """(doc_id, n_bg, nll_sum) over held-out docs — the Spark twin of the
     ``perdoc`` oracle CTE, shared by the per-source NLL report and the
-    per-doc perplexity filter."""
+    per-doc perplexity filter.  Persisted + memoized per (session,
+    sf_dir) — see _KN_SCORED_CACHE."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KN_SCORED_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     bg = _doc_bigrams(docs)
     tr = (
@@ -450,10 +465,18 @@ def _kn_scored(spark, sf_dir):
         )
     )
     lg = _SPARK_LOG2.format(x="p_pt")
-    return te.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_bg"),
-        F.expr(f"CAST(SUM({_LG1E12} - {lg}) AS BIGINT)").alias("nll_sum"),
+    scored = (
+        te.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bg"),
+            F.expr(f"CAST(SUM({_LG1E12} - {lg}) AS BIGINT)").alias(
+                "nll_sum"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _KN_SCORED_CACHE[key] = scored
+    return scored
 
 
 @register("docs_kn_bigram_nll", oracle=_kn_nll_oracle())
