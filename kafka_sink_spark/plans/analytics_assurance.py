@@ -326,6 +326,13 @@ def lineitem_conformal_interval(spark, sf_dir):
             % 4
         ).alias("sp"),
     )
+    # the split projection (one md5 per row) feeds FOUR consumers — the
+    # group fit, the global fallback, the calibration ladder and the test
+    # scoring: persist so lineitem is scanned and hashed once, not four
+    # times (guide §5: reuse + recompute-cost justify the cache)
+    from pyspark import StorageLevel
+
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     train = rows.filter(F.col("sp") <= 1)
     # per-group mean on the bounded quantity grid + the global fallback
     fit = train.groupBy("grp").agg(

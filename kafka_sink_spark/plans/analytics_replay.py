@@ -285,6 +285,12 @@ def lineitem_sampled_quantile_error(spark, sf_dir):
             " ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
+    # the hashed projection feeds THREE consumers (total count, bottom-k
+    # sample, exact ladder): persist so lineitem is scanned and md5-hashed
+    # once, not three times (guide §5)
+    from pyspark import StorageLevel
+
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
     n = v.agg(F.count("*").cast("long").alias("n"))
     samp = v.orderBy("h", "c").limit(_SQ_K)
     from pyspark.sql import Window

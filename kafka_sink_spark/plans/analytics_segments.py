@@ -275,13 +275,18 @@ def customer_rfm_segments(spark, sf_dir):
     from kafka_sink_spark.plans.prefix import with_exclusive_prefix
 
     od = load_tables(spark, sf_dir, ("orders",))["orders"]
+    # the per-customer rollup feeds ref + dims and, through dims, three
+    # ladder passes and the three-window rank chain: persist so the
+    # orders scan + rollup runs once, not once per consumer (guide §5)
+    from pyspark import StorageLevel
+
     cust = od.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
         F.count("*").cast("long").alias("freq"),
         F.sum(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")).alias(
             "spend"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ref = cust.agg(
         F.max("last_d").alias("ref_d"), F.count("*").cast("long").alias("n")
     )
@@ -298,8 +303,11 @@ def customer_rfm_segments(spark, sf_dir):
     def rank_by(df, col, *, descending, bucket_size, out):
         """Exact global row_number over (col asc/desc, ck) via the
         two-phase prefix: strictly-preceding count off the value grid +
-        an in-value partitioned window."""
-        lad = df.groupBy(col).agg(F.count("*").alias("t"))
+        an in-value partitioned window.  The ladder counts come from
+        ``dims`` (same rows as ``df`` — the chained rank windows only add
+        columns), so a later rank's ladder does not re-execute the
+        earlier ranks' window passes."""
+        lad = dims.groupBy(col).agg(F.count("*").alias("t"))
         pre = with_exclusive_prefix(
             lad, col, {"prior": "t"}, bucket_size=bucket_size,
             descending=descending,

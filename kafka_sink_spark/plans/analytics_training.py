@@ -827,7 +827,17 @@ def stream_dedup_twin(spark, sf_dir):
     sel = events.select("event_id", "ts", "user_id", "event_type", "value")
     src = tempfile.mkdtemp(prefix="stream_dedup_src_")
     sel.write.mode("overwrite").parquet(src)
-    sel.write.mode("append").parquet(src)
+    # the replay's second copy is BY CONSTRUCTION byte-identical rows —
+    # duplicate the staged files at the filesystem level instead of
+    # re-running the events scan + write a second time (guide §1.2)
+    import os as _os
+    import shutil as _shutil
+
+    for f in sorted(_os.listdir(src)):
+        if f.endswith(".parquet"):
+            _shutil.copy(
+                _os.path.join(src, f), _os.path.join(src, f"dup-{f}")
+            )
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string, value double"
     ).parquet(src)
