@@ -126,18 +126,28 @@ def pipeline_release_audit(spark, sf_dir):
     Scale shape: the quality gate is the zero-shuffle staged projection of
     docs_gopher_filter; dedup is one shuffle on the content hash + an
     unhinted semi join on doc_id (broadcast while small, shuffle at
-    100 TB); MATTR is one (doc, term)-keyed lag window over survivors
+    100 TB); MATTR is one doc-keyed exchange carrying both the length
+    window and the (doc, term) lag window (subset rule) over survivors
     only; the final rollup partial-combines on the tiny language key.
     Stage boundaries are the only shuffles — the same one-shuffle-per-gate
-    budget as pipeline_training_data.
+    budget as pipeline_training_data — and the quality-gate frame is
+    persisted once for its three consumers (r14).
     """
+    from pyspark import StorageLevel
+
     from kafka_sink_spark.extensions import text as text_ops
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     flags = text_ops.gopher_flags(docs, **_GOPHER)
     pass_ids = flags.filter(F.col("ok_all") == 1).select("doc_id")
-    passed = docs.join(pass_ids, "doc_id", "left_semi").select(
-        "doc_id", "lang", "text"
+    # passed feeds the dedup hash rollup, the survivor semi-join AND the
+    # per-language quality count — without the persist each consumer re-runs
+    # the full Gopher staged projection over the corpus scan (r14, guide
+    # §7.2: three consumers, one pass).
+    passed = (
+        docs.join(pass_ids, "doc_id", "left_semi")
+        .select("doc_id", "lang", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keep = (
         passed.select("doc_id", F.md5("text").alias("h"))
@@ -152,12 +162,19 @@ def pipeline_release_audit(spark, sf_dir):
         "lang",
         F.posexplode(text_ops.tokens(F.col("text"))).alias("p", "term"),
     )
-    slens = stoks.groupBy("doc_id").agg(F.count("*").cast("long").alias("len"))
+    # Document length rides a doc-keyed window over the SAME exploded pass
+    # instead of a separate aggregation branch + join (which re-executed the
+    # whole survivor explode). The doc_id exchange it plans first satisfies
+    # the (doc_id, term) lag window's clustering by the subset rule, so the
+    # lag pass adds only a local sort — one exchange total (r14, guide §2.4).
+    len_w = Window.partitionBy("doc_id")
     lag_w = Window.partitionBy("doc_id", "term").orderBy("p")
-    slagged = stoks.select(
-        "doc_id", "lang", "p", F.lag("p").over(lag_w).alias("q")
+    slagged = stoks.withColumn(
+        "len", F.count("*").over(len_w).cast("long")
+    ).select(
+        "doc_id", "lang", "p", "len", F.lag("p").over(lag_w).alias("q")
     )
-    scontrib = slagged.join(slens, "doc_id").select(
+    scontrib = slagged.select(
         "doc_id",
         "lang",
         F.expr(f"LEAST(CAST({_MATTR_W} AS BIGINT), len)").alias("win_len"),

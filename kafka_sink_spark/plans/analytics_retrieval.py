@@ -129,10 +129,25 @@ def _bm25_oracle() -> str:
     """
 
 
+# The full-corpus BM25 scored table is read by docs_bm25_topk, the exact
+# hybrid (docs_hybrid_rrf) and — through it — the hybrid-recall composition:
+# three consumers, each of which would otherwise re-run the tokenize +
+# per-term tf corpus pass. Persist + memoize per (session, sf_dir), same
+# discipline as _kn_scored/_cls_scored.
+_BM25_SCORED_CACHE: dict = {}
+
+
 def _bm25_scored(spark, sf_dir):
     """(doc_id, dl, score, n_terms) BM25 scores per document — the Spark
     twin of the ``_bm25_sc_ctes`` oracle chain, shared by the top-k query
-    and the hybrid-RRF fusion."""
+    and the hybrid-RRF fusion.  Persisted + memoized per (session, sf_dir)
+    — see _BM25_SCORED_CACHE."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BM25_SCORED_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     staged = docs.select("doc_id", text.tokens(F.col("text")).alias("_t"))
 
@@ -181,12 +196,18 @@ def _bm25_scored(spark, sf_dir):
         f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
         for i in range(len(_BM25_TERMS))
     )
-    return d.crossJoin(F.broadcast(z)).select(
-        "doc_id",
-        "dl",
-        F.expr(score).alias("score"),
-        F.expr(f"CAST({nt} AS INT)").alias("n_terms"),
+    out = (
+        d.crossJoin(F.broadcast(z))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(score).alias("score"),
+            F.expr(f"CAST({nt} AS INT)").alias("n_terms"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _BM25_SCORED_CACHE[key] = out
+    return out
 
 
 @register("docs_bm25_topk", oracle=_bm25_oracle())

@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kafka_sink_spark.plans.queries import register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 # --------------------------------------------------------------------------
 # Language-ID confusion matrix
@@ -87,11 +87,15 @@ def docs_langid_confusion(spark, sf_dir):
 
     Scale shape: one scan, vectorized token/marker projections, one
     partial-combined rollup on the (|langs|×|langs|)-bounded matrix,
-    and a broadcast of the per-true-language totals.
+    and a broadcast of the per-true-language totals.  The marker
+    projection rides spread_small_scan so the per-token CPU work feeds
+    every core when the scan itself cannot (r14, guide §2.2; structural
+    no-op at production scan widths).
     """
     from kafka_sink_spark.extensions import text as text_ops
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = spread_small_scan(docs, spark)
     pred = docs.select(
         F.col("lang").alias("true_lang"),
         text_ops.lang_id(F.col("text")).alias("pred_lang"),

@@ -23,6 +23,28 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _own_ops(spark, name: str) -> list:
+    """Node names of the query's OWN executing operators. Unlike the
+    treeString (which renders every referenced InMemoryRelation's cached
+    build plan inline, so substrate internals pollute counting assertions
+    whenever an earlier test materialized a shared substrate), this walks
+    the actual operator tree, whose InMemoryTableScan nodes are leaves."""
+    df = QUERIES[name](spark, SF_DIR)
+    names = []
+
+    def walk(n):
+        names.append(n.nodeName())
+        if n.nodeName() == "AdaptiveSparkPlan":
+            walk(n.initialPlan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return names
+
+
 def _formatted(spark, name: str) -> str:
     df = QUERIES[name](spark, SF_DIR)
     buf = io.StringIO()
@@ -566,15 +588,60 @@ def test_value_outliers_broadcast_stats_no_window(spark):
 
 
 def test_ivf_pq_two_level_broadcast_no_cartesian(spark):
-    """IVF-PQ: both training levels and the ADC/encode branches join the
-    corpus against BROADCAST centroid/probe tables; the candidate join is
-    cell-keyed (equi); argmin is a partial-aggregated min(struct); no
-    cartesian product anywhere in the composed index."""
+    """IVF-PQ: the trained index (coarse codebook, cell assignment, residual
+    codebook, code table) is a persisted session substrate (r14) — the query
+    plan reads it as InMemoryTableScans and keeps the query-side probe/ADC
+    path broadcast-joined (probes, centroids, ADC table); no cartesian
+    product anywhere. The TRAINING shape (broadcast centroid joins +
+    partial-aggregated min(struct) argmin) is pinned on an uncached replica
+    of the build lineage, since the cached index hides it from the query
+    plan by design."""
     plan = _plan(spark, "knn_ivf_pq")
-    assert plan.count("BroadcastHashJoin") >= 5
-    assert "partial_min" in plan
+    assert "InMemoryTableScan" in plan  # the trained-index substrate
+    assert plan.count("BroadcastHashJoin") >= 4  # query-side probe/ADC path
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+    from kafka_sink_spark.extensions import similarity
+    from kafka_sink_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    comp1 = similarity.component_rows(emb, 1, 64)
+    cent = similarity.lloyd_codebook(comp1, 8, 1)
+    assign = similarity._pq_argmin(similarity._pq_distances(comp1, cent))
+    p2 = assign._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in p2  # argmin partial-combines
+    assert "BroadcastHashJoin" in p2  # corpus x broadcast centroids
+    assert "CartesianProduct" not in p2
+
+
+def test_ivfpq_index_and_bm25_substrates_memoize_per_session(spark):
+    """r14 substrate caches: the trained IVF-PQ index and the two BM25
+    scored tables are built once per (session, inputs) and the memo returns
+    the SAME persisted frames on every subsequent call — a different index
+    hyperparameter must miss the cache. Keys include applicationId, so
+    nothing leaks across Spark sessions or bench invocations."""
+    from kafka_sink_spark.extensions import similarity
+    from kafka_sink_spark.plans.analytics_fusion import _bm25_posting_scored
+    from kafka_sink_spark.plans.analytics_retrieval import _bm25_scored
+    from kafka_sink_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    a = similarity._ivfpq_index(emb, 8, 8, 16, 64, 2, 1, "embedding")
+    b = similarity._ivfpq_index(emb, 8, 8, 16, 64, 2, 1, "embedding")
+    assert all(x is y for x, y in zip(a, b))  # cache hit: identical frames
+    c = similarity._ivfpq_index(emb, 4, 8, 16, 64, 2, 1, "embedding")
+    assert c[1] is not a[1]  # different n_centroids: distinct index
+    # cdists is the persisted anchor; cells/codes are cheap derived argmins
+    # (deliberately unpersisted — see _ivfpq_index)
+    assert a[2].storageLevel.useMemory or a[2].storageLevel.useDisk
+
+    s1 = _bm25_scored(spark, SF_DIR)
+    assert _bm25_scored(spark, SF_DIR) is s1
+    assert s1.storageLevel.useMemory or s1.storageLevel.useDisk
+    p1 = _bm25_posting_scored(spark, SF_DIR)
+    assert _bm25_posting_scored(spark, SF_DIR) is p1
+    assert p1.storageLevel.useMemory or p1.storageLevel.useDisk
 
 
 def test_language_id_bounded_fanout_no_global_sort(spark):
@@ -885,10 +952,16 @@ def test_signal_agreement_bounded_grid_no_cartesian(spark):
     """Quality-signal agreement (12c): three doc-keyed joins of per-doc
     aggregates onto a bounded 41-cell score grid — no cartesian.  The one
     sanctioned BroadcastNestedLoopJoin is the KN chain's 1-row totals
-    broadcast (the same node the certified docs_kn_bigram_nll plans)."""
+    broadcast (the same node the certified docs_kn_bigram_nll plans);
+    counted over the query's OWN operators (_own_ops) because the KN/
+    classifier substrates, once cached by an earlier test, render their
+    build plans inline in the treeString — duplicating that sanctioned
+    node in the string without executing it here."""
     plan = _plan(spark, "docs_quality_signal_agreement")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert _own_ops(spark, "docs_quality_signal_agreement").count(
+        "BroadcastNestedLoopJoin"
+    ) <= 1
     assert "partial_count" in plan and "partial_sum" in plan
 
 
