@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from kafka_sink_spark.plans.analytics_readability import _DUCK_LOG2, _SPARK_LOG2
 from kafka_sink_spark.plans.queries import register
-from kafka_sink_spark.session import load_tables
+from kafka_sink_spark.session import load_tables, spread_small_scan
 
 # UniMax epoch cap: a source may repeat at most E times (Chung 2023 §3
 # uses small integer caps; E=4 keeps the sf-grade corpus interesting —
@@ -463,7 +463,10 @@ def multimodal_dhash_neardup(spark, sf_dir):
     from kafka_sink_spark.extensions import multimodal
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    assets = multimodal.documents_as_assets(docs)
+    # the 264-byte segment-mean aggregation is the CPU-heavy narrow stage
+    # before the checkpoint — spread the single-row-group scan so it feeds
+    # every core (guide §2.2; no-op at production scan widths)
+    assets = multimodal.documents_as_assets(spread_small_scan(docs, spark))
     segs = _dh_segs_spark("CAST(payload AS STRING)")
     h = assets.select(
         F.col("asset_id"), F.expr(segs).alias("segs")

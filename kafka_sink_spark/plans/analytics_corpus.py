@@ -366,30 +366,31 @@ def _dsir_oracle(buckets: int = _DSIR_BUCKETS) -> str:
     """
 
 
-@register("docs_dsir_weights", oracle=_dsir_oracle())
-def docs_dsir_weights(spark, sf_dir):
-    """DSIR (Xie et al. 2023, 'Data Selection for Language Models via
-    Importance Resampling'): documents are featurized as hashed bigrams
-    (md5-derived 60-bit hash mod {B} buckets — the paper's hashed n-gram
-    generative model), the TARGET distribution is the Gopher-passing subset
-    (the published composition: syntactic quality gates feed the importance
-    sampler), and each doc's importance weight is its mean per-feature
-    smoothed probability ratio (target+1)/(raw+1) normalized by the corpus
-    totals. The paper's log-ratio is replaced by the ratio itself in exact
-    fixed-point (×1e6, truncating integer division) so weights hash
-    bit-identically cross-engine — monotone per feature, so resampling
-    order within a feature is preserved.
+# The (doc, feature) count table + the ≤_DSIR_BUCKETS-row ratio table are
+# the DSIR model fit — consumed by docs_dsir_weights, docs_dsir_ess and any
+# composition.  Memoized per (session, docs plan) like _BIGRAM_CACHE so the
+# feature build + marginal/target aggregations run once per session; the
+# per-doc scoring join + aggregate stay live per call.
+_DSIR_CACHE: dict = {}
 
-    Scale shape: ONE tokenize+explode pass builds the per-(doc, feature)
-    count table, which is the sole input to all three downstream
-    aggregations (raw marginals, target marginals via a semi-join with the
-    Gopher flags, per-doc scores) — persisted so the explode runs once.
-    The ratio table is at most {B} rows — broadcast back into the per-doc
-    score join. Feature-hash products stay < 1e15 at this SF; at 100 TB the
-    numerator products move to decimal(38,0) unchanged in shape."""
+
+def _dsir_substrate(docs):
+    """(per_doc, ratios) — PERSISTED and memoized per (session, docs plan).
+
+    per_doc: (doc_id, feat, cnt) hashed-bigram counts; ratios: (feat,
+    ratio_fixed) smoothed target/raw probability ratios in ×1e6 fixed point.
+    At 100 TB this is the importance-model fit a production DSIR run would
+    compute exactly once and score every shard against."""
     from pyspark import StorageLevel
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    spark = docs.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        docs._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    cached = _DSIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     per_doc = (
         _doc_bigrams(docs)
         .select(
@@ -426,7 +427,35 @@ def docs_dsir_weights(spark, sf_dir):
                 "((coalesce(tc, 0) + 1) * rtot * 1000000) div ((rc + 1) * ttot)"
             ).alias("ratio_fixed"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _DSIR_CACHE[key] = (per_doc, ratios)
+    return per_doc, ratios
+
+
+@register("docs_dsir_weights", oracle=_dsir_oracle())
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023, 'Data Selection for Language Models via
+    Importance Resampling'): documents are featurized as hashed bigrams
+    (md5-derived 60-bit hash mod {B} buckets — the paper's hashed n-gram
+    generative model), the TARGET distribution is the Gopher-passing subset
+    (the published composition: syntactic quality gates feed the importance
+    sampler), and each doc's importance weight is its mean per-feature
+    smoothed probability ratio (target+1)/(raw+1) normalized by the corpus
+    totals. The paper's log-ratio is replaced by the ratio itself in exact
+    fixed-point (×1e6, truncating integer division) so weights hash
+    bit-identically cross-engine — monotone per feature, so resampling
+    order within a feature is preserved.
+
+    Scale shape: ONE tokenize+explode pass builds the per-(doc, feature)
+    count table, which is the sole input to all three downstream
+    aggregations (raw marginals, target marginals via a semi-join with the
+    Gopher flags, per-doc scores) — persisted so the explode runs once.
+    The ratio table is at most {B} rows — broadcast back into the per-doc
+    score join. Feature-hash products stay < 1e15 at this SF; at 100 TB the
+    numerator products move to decimal(38,0) unchanged in shape."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per_doc, ratios = _dsir_substrate(docs)
     return (
         per_doc.join(F.broadcast(ratios), "feat")
         .groupBy("doc_id")
@@ -735,7 +764,11 @@ def dedup_minhash_accuracy(spark, sf_dir):
     # union = 128 and odd intersection the true value is an exact half at
     # the 6th decimal, where engine round() behaviors diverge. No round()
     # appears anywhere in this query.
-    sh = dedup.shingle_hashes(docs, n=_ACC_N).distinct()
+    # identical to the PPJoin family's persisted substrate (_ACC_N == 3,
+    # default text column) — ride it instead of re-running explode+distinct
+    from kafka_sink_spark.plans.analytics_assoc import _distinct_shingles
+
+    sh = _distinct_shingles(spark, sf_dir)
     sides = cand.select(
         "doc_a", "doc_b",
         F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id"),

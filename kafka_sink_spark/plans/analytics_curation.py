@@ -935,11 +935,12 @@ def dedup_df_pruned_pairs(spark, sf_dir):
     from kafka_sink_spark.extensions import dedup
 
     # The posting table feeds THREE consumers (df ranking, the pruned index,
-    # and both sides of the self-join); Spark plans no common-subplan reuse
-    # here (0 ReusedExchange), so without materialization the tokenize +
-    # explode lineage executes 4x. A lazy localCheckpoint computes it once
-    # and truncates the lineage — the same pattern dedup_clusters uses.
-    hs = dedup.shingle_hashes(docs, n=3).distinct().localCheckpoint(eager=False)
+    # and both sides of the self-join) — and is byte-identical to the PPJoin
+    # family's persisted substrate, so read it from there instead of
+    # re-materializing a private localCheckpoint copy per call.
+    from kafka_sink_spark.plans.analytics_assoc import _distinct_shingles
+
+    hs = _distinct_shingles(spark, sf_dir)
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     df_h = hs.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     kept = (
@@ -1034,7 +1035,9 @@ def dedup_containment(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     from kafka_sink_spark.extensions import dedup
 
-    hs = dedup.shingle_hashes(docs, n=3).distinct().localCheckpoint(eager=False)
+    from kafka_sink_spark.plans.analytics_assoc import _distinct_shingles
+
+    hs = _distinct_shingles(spark, sf_dir)
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     df_h = hs.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     kept = (
