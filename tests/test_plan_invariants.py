@@ -644,6 +644,29 @@ def test_ivfpq_index_and_bm25_substrates_memoize_per_session(spark):
     assert p1.storageLevel.useMemory or p1.storageLevel.useDisk
 
 
+def test_dsir_and_shingle_substrates_memoize_per_session(spark):
+    """Batch-K substrate caches: the DSIR model fit (per-(doc,feature)
+    counts + ratio table) and the distinct-shingle posting table are built
+    once per (session, inputs) and the memo returns the SAME persisted
+    frames on every subsequent call. Keys include applicationId (DSIR keys
+    additionally on the docs plan), so nothing leaks across Spark sessions
+    or bench invocations."""
+    from kafka_sink_spark.plans.analytics_assoc import _distinct_shingles
+    from kafka_sink_spark.plans.analytics_corpus import _dsir_substrate
+    from kafka_sink_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    pd1, r1 = _dsir_substrate(docs)
+    pd2, r2 = _dsir_substrate(docs)
+    assert pd2 is pd1 and r2 is r1  # cache hit: identical frames
+    assert pd1.storageLevel.useMemory or pd1.storageLevel.useDisk
+    assert r1.storageLevel.useMemory or r1.storageLevel.useDisk
+
+    sh1 = _distinct_shingles(spark, SF_DIR)
+    assert _distinct_shingles(spark, SF_DIR) is sh1
+    assert sh1.storageLevel.useMemory or sh1.storageLevel.useDisk
+
+
 def test_language_id_bounded_fanout_no_global_sort(spark):
     """Cavnar–Trenkle language ID: profile ranks come from doc-/lang-keyed
     windows (never a single-partition global sort); the candidate fan-out
