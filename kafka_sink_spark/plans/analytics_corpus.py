@@ -169,8 +169,7 @@ def dedup_semantic(spark, sf_dir):
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     comp = similarity.component_rows(emb, 1, _SEM_DIM)
-    cent = similarity.lloyd_codebook(comp, _SEM_C, _SEM_ITERS)
-    dists = similarity._pq_distances(comp, cent)
+    dists = similarity.trained_distances(comp, _SEM_C, _SEM_ITERS)
     # The cell-assignment table feeds FIVE consumers (both pair sides, both
     # removal-rank lookups, the output spine) — persist the n-row result so
     # the corpus × centroid distance aggregation underneath runs once, not 5×.

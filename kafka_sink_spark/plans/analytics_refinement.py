@@ -197,7 +197,9 @@ def embedding_residual_vq(spark, sf_dir):
     cb1 = similarity.lloyd_codebook(
         comp, k_codewords=_RVQ_K1, iterations=_RVQ_ITERS
     )
-    fd1 = similarity._pq_distances(comp, cb1)
+    # Shared persisted corpus × K₁ distance table (same fit as the trained
+    # IVF/IVF-PQ/SemDeDup consumers — lloyd_codebook memoizes it per session).
+    fd1 = similarity.trained_distances(comp, _RVQ_K1, _RVQ_ITERS)
     fa1 = (
         fd1.select("vid", F.struct(F.col("d"), F.col("j")).alias("_c"))
         .groupBy("vid")

@@ -644,6 +644,35 @@ def test_ivfpq_index_and_bm25_substrates_memoize_per_session(spark):
     assert p1.storageLevel.useMemory or p1.storageLevel.useDisk
 
 
+def test_lloyd_fit_and_trained_distances_memoize_per_session(spark):
+    """Batch-L substrate caches: the seeded Lloyd fit and its corpus ×
+    codebook distance table are built once per (session, comp plan, K,
+    iterations) and shared by every consumer of the identical fit
+    (knn_ivf_trained, dedup_semantic, embedding_residual_vq stage 1, the
+    IVF-PQ coarse stage). Different K or iterations must miss the cache;
+    keys include applicationId so nothing crosses sessions or bench
+    invocations. The fit is seeded + integer-exact, so sharing cannot
+    change any query's rows."""
+    from kafka_sink_spark.extensions import similarity
+    from kafka_sink_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR, ("embeddings",))["embeddings"]
+    comp = similarity.component_rows(emb, 1, 64)
+    f1 = similarity.lloyd_codebook(comp, 8, 2)
+    assert similarity.lloyd_codebook(comp, 8, 2) is f1  # cache hit
+    assert similarity.lloyd_codebook(comp, 8, 1) is not f1  # iters miss
+    assert similarity.lloyd_codebook(comp, 4, 2) is not f1  # K miss
+    assert f1.storageLevel.useMemory or f1.storageLevel.useDisk
+
+    d1 = similarity.trained_distances(comp, 8, 2)
+    assert similarity.trained_distances(comp, 8, 2) is d1
+    assert d1.storageLevel.useMemory or d1.storageLevel.useDisk
+    # the distance substrate rides the memoized fit, and the IVF-PQ index's
+    # cdists anchor is the SAME frame when hyperparameters match
+    idx = similarity._ivfpq_index(emb, 8, 8, 16, 64, 2, 1, "embedding")
+    assert idx[2] is d1
+
+
 def test_dsir_and_shingle_substrates_memoize_per_session(spark):
     """Batch-K substrate caches: the DSIR model fit (per-(doc,feature)
     counts + ratio table) and the distinct-shingle posting table are built
