@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
-{name: sec}, "sf": ...}.
+{name: sec}, "sf": ...} (plus the small canary/mode fields).  The full
+gate/analysis payload (baseline ratios, cohort gates, remeasure log) is
+written to BENCH_SIDECAR.json — round 13's analysis-laden line outgrew the
+driver's tail capture and cost a whole round of comparison (r14 verdict
+ask #2), so the printed line stays at the contract minimum.
 
 Each query is forced with a noop-format write: every output column is fully
 computed and materialized executor-side (a count() would let Catalyst prune
@@ -41,6 +45,31 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Cold mode (r14 verdict ask #1): the session-scoped substrate memos
+# (kafka_sink_spark/substrates.py) mean the default min-of-reps numbers are
+# warm-only — the first consumer's first rep pays each substrate build and
+# the min drops it.  SPARK_GRAFT_BENCH_COLD=1 clears every substrate memo
+# before EVERY rep, so each published number is the honest cold
+# single-query cost (substrate builds included).  Cold runs are labeled
+# ("mode": "cold") and gate against BENCH_BASELINE_COLD.json, never the
+# warm pin.  Timing methodology (noop sink, min of reps) is unchanged.
+BENCH_COLD = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+
+# Sidecar output (r14 verdict ask #2): round 13's one-line JSON outgrew the
+# driver's tail capture (BENCH_r13 parsed: null — no round-over-round
+# comparison possible), because the line carried the ~335-entry ratio dicts
+# three times over.  The printed line now stays at the contract minimum
+# ({metric, value, unit, queries, sf} + the small canary/mode fields); the
+# full gate/analysis payload (vs_baseline, normalized ratios, cohort gates,
+# remeasured, regressions) is written to this sidecar file instead.
+SIDECAR_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_SIDECAR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"),
+)
+
+# Keys kept on the printed line; everything else goes to the sidecar only.
+LINE_KEYS = ("metric", "value", "unit", "queries", "sf", "canary", "mode", "regressions_n")
 
 # Every oracle-paired catalog query is benched (the perf gate must see the
 # whole parity + analytics surface, per the r8 verdict), except an explicit
@@ -190,9 +219,15 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    def timed_min(make_df, n=reps) -> float:
+    def timed_min(make_df, n=reps, cold=False) -> float:
         best = float("inf")
         for _ in range(n):
+            if cold:
+                # Teardown outside the timed region: the rebuild itself is
+                # what the cold rep must pay, not the unpersist bookkeeping.
+                from kafka_sink_spark import substrates
+
+                substrates.clear_all()
             t0 = time.perf_counter()
             force(make_df())
             best = min(best, time.perf_counter() - t0)
@@ -208,7 +243,7 @@ def main() -> None:
     names = only.split(",") if only else bench_queries()
     times: dict[str, float] = {}
     for name in names:
-        times[name] = timed_min(lambda: QUERIES[name](spark, sf_dir))
+        times[name] = timed_min(lambda: QUERIES[name](spark, sf_dir), cold=BENCH_COLD)
 
     canary_end = timed_min(lambda: canary_df(spark))
     canary_now = min(canary_start, canary_end)
@@ -226,8 +261,13 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "canary": {"start": canary_start, "end": canary_end},
+        "mode": "cold" if BENCH_COLD else "warm",
     }
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    # Cold runs gate against the cold pin only — comparing a
+    # substrate-inclusive number against the warm pin would flag every
+    # substrate family as a phantom regression.
+    base_name = "BENCH_BASELINE_COLD.json" if BENCH_COLD else "BENCH_BASELINE.json"
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), base_name)
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
@@ -259,7 +299,10 @@ def main() -> None:
             remeasured: dict[str, list[float]] = {}
             for name in retry:
                 orig = times[name]
-                best = min(orig, timed_min(lambda: QUERIES[name](spark, sf_dir)))
+                best = min(
+                    orig,
+                    timed_min(lambda: QUERIES[name](spark, sf_dir), cold=BENCH_COLD),
+                )
                 remeasured[name] = [orig, best]
                 times[name] = best
             if remeasured:
@@ -327,7 +370,22 @@ def main() -> None:
             # drift, not canary-normalized.  Flag it so readers know.
             out["cohort_vs_anchor"]["canary_normalized"] = bool(a_canary)
 
-    print(json.dumps(out))
+    # Substrate-memo provenance: which substrates were materialized this run
+    # (cold runs should show the same set being rebuilt per rep).
+    from kafka_sink_spark import substrates
+
+    out["substrate_caches"] = substrates.sizes()
+    if "regressions" in out:
+        out["regressions_n"] = len(out["regressions"])
+
+    # Full gate/analysis payload → sidecar; contract-minimum line → stdout.
+    try:
+        with open(SIDECAR_PATH, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the contract
+    line = {k: out[k] for k in LINE_KEYS if k in out}
+    print(json.dumps(line))
     spark.stop()
 
 

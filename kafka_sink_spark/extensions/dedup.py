@@ -265,7 +265,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .repartition("doc_id")
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -287,11 +288,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = new_labels.drop("_chg")
-        if changed == 0:
-            break
-    else:
+        # Batched convergence check (r14 verdict ask #5): the sum(_chg)
+        # collect is a driver round-trip PER ROUND — at 100 TB that is an
+        # extra job and scheduler barrier every iteration.  Rounds 1 and 2
+        # always check (near-dup components are shallow, so the common case
+        # converges there and pays nothing extra); past that only every
+        # second round checks, trading at most one no-op round — extra
+        # rounds cannot change converged labels (least() is idempotent) —
+        # for half the convergence jobs on deep components.  The final
+        # round always checks so the non-convergence guard still fires.
+        if i < 2 or (i + 1) % 2 == 0 or i == max_iter - 1:
+            changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             f"(component diameter exceeds max_iter) — raise max_iter"
